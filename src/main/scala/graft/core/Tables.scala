@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Every query in [[graft.SparkEntry]] receives `(spark, sfDir)` and reads
+  * through here so the read path (format, options) is centralized. At 100 TB
+  * these would be partitioned/bucketed table roots rather than single files;
+  * the loader is the one place that would change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects; read nanos as long and downcast to micros (matches DuckDB's
+    // CAST(ts AS TIMESTAMP) truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

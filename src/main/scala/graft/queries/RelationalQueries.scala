@@ -1,0 +1,374 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Cleansing, DateKeys, Dedup, ScdHash}
+import graft.pipeline.Scd2
+import graft.tx.Upsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2 reference-parity operators, expressed as oracle-checked
+  * queries over the driver testdata (TESTDATA.md).
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - double aggregation goes through an exact DECIMAL(38,6) sum, then a
+  *    single cast back to double — order-independent and bit-identical in
+  *    both engines;
+  *  - no double→string casts inside hashes (engines format differently);
+  *  - every window order is total (explicit tiebreakers).
+  */
+object RelationalQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact, order-independent sum of a double column. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast(DecimalType(38, 6))).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P3/P6: cast projection + null-like scrub + case normalization
+    "q01_clean_project" -> ((s, dir) =>
+      T(s, dir, "customer").select(
+        col("c_custkey"),
+        Cleansing.normUpper(col("c_name")).as("name_norm"),
+        Cleansing.normLower(col("c_mktsegment")).as("segment"),
+        Cleansing.scrubNullLike(col("c_mktsegment")).as("segment_scrubbed"),
+        col("c_nationkey").cast("long").as("nation_id"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("acctbal_dec"))),
+
+    // P2: predicate pushdown filter + per-row arithmetic
+    "q02_filter_project" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))),
+
+    // P4/P5/P8: DQ guard flags
+    "q03_dq_flags" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_out_of_range"),
+        (col("l_discount") < 0 || col("l_discount") > 1).as("discount_invalid"),
+        (col("l_tax") < 0).as("tax_negative"),
+        (!col("l_returnflag").isin("A", "N", "R")).as("returnflag_unknown"))),
+
+    // P9: sha2 change-detection hash (exact reference formula)
+    "q04_scd_hash" -> ((s, dir) =>
+      T(s, dir, "customer").select(
+        col("c_custkey"),
+        ScdHash.scdHash(Seq(col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+          .as("scd_hash"))),
+
+    // W1/A5: latest-version-per-key dedup
+    "q05_dedup_latest" -> ((s, dir) =>
+      Dedup.latestPerKey(T(s, dir, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey").as("latest_order_key"),
+          to_date(col("o_orderdate")).as("latest_order_date"),
+          col("o_orderstatus").as("latest_status"))),
+
+    // W2/J3: SCD3 current + previous per key
+    "q06_scd3_prev" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val keys = Seq(col("o_custkey"))
+      val ord = Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+      val cur = Dedup.nthPerKey(o, keys, ord, 1)
+        .select(col("o_custkey"), col("o_orderkey").as("cur_order_key"),
+          col("o_totalprice").as("cur_price"))
+      val prev = Dedup.nthPerKey(o, keys, ord, 2)
+        .select(col("o_custkey"), col("o_orderkey").as("prev_order_key"),
+          col("o_totalprice").as("prev_price"))
+      cur.join(prev, Seq("o_custkey"), "left")
+    }),
+
+    // J1: fact→dim key validation to 0 (broadcast dim)
+    "q07_key_validation" -> ((s, dir) => {
+      val dim = T(s, dir, "supplier").filter(col("s_acctbal") > 1000)
+        .select(col("s_suppkey"))
+      T(s, dir, "lineitem")
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("s_suppkey"), lit(0L)).as("supplier_key"))
+    }),
+
+    // J2: left-semi join (GDPR affected-rows idiom)
+    "q08_semi_join" -> ((s, dir) => {
+      val ids = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      T(s, dir, "orders")
+        .join(broadcast(ids), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    // anti join (whenNotMatchedInsert idiom) + aggregate
+    "q09_anti_join" -> ((s, dir) => {
+      val ids = T(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+      T(s, dir, "orders")
+        .join(broadcast(ids), col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // A1: daily aggregate with conditional counts + exact double sums
+    "q10_agg_daily" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(
+          count(lit(1)).as("orders_total"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("orders_open"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("orders_filled"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast("long").as("orders_partial"),
+          dsum("o_totalprice").as("sum_price"),
+          (dsum("o_totalprice") / count(lit(1))).as("avg_price"))),
+
+    // A2: exact countDistinct per group
+    "q11_count_distinct" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(countDistinct(col("o_custkey")).as("active_customers"),
+          count(lit(1)).as("orders_cnt"))),
+
+    // A3: groupBy max (last-seen dim build)
+    "q12_groupby_max" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          max(col("c_acctbal")).as("max_bal"),
+          min(col("c_name")).as("first_name"))),
+
+    // A4: global scalar min/max (watermark read shape)
+    "q13_global_minmax" -> ((s, dir) =>
+      T(s, dir, "orders").agg(
+        to_date(min(col("o_orderdate"))).as("first_date"),
+        to_date(max(col("o_orderdate"))).as("last_date"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))),
+
+    // O3/S8: UNKNOWN row ∪ distinct dim
+    "q14_dim_union_unknown" -> ((s, dir) => {
+      import s.implicits._
+      val dim = T(s, dir, "orders").select(col("o_orderpriority").as("priority")).distinct()
+        .withColumn("priority_key",
+          row_number().over(Window.orderBy(col("priority"))).cast("int"))
+      Seq((0, "UNKNOWN")).toDF("priority_key", "priority")
+        .unionByName(dim.select(col("priority_key"), col("priority")))
+    }),
+
+    // P10: xxhash64 surrogate keys (Spark-specific → rows-only check)
+    "q15_surrogate_keys" -> ((s, dir) =>
+      T(s, dir, "orders").select(col("o_orderpriority").as("priority")).distinct()
+        .withColumn("priority_key", ScdHash.surrogateKey(col("priority")))),
+
+    // O4/O5: calendar spine via sequence+explode
+    "q16_date_spine" -> ((s, dir) =>
+      DateKeys.spine(T(s, dir, "orders").agg(
+        to_date(min(col("o_orderdate"))).as("mn"),
+        to_date(max(col("o_orderdate"))).as("mx")))),
+
+    // P12/P14: yyyyMMdd date keys with coalesce fallbacks + JSON props
+    "q17_date_key" -> ((s, dir) =>
+      T(s, dir, "events").select(
+        col("event_id"),
+        DateKeys.dateKey(Seq(col("ts"))).as("date_key"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        coalesce(col("value"), lit(0.0)).as("value_filled"))),
+
+    // M4: SCD1 upsert via the join-based MERGE replacement
+    "q18_scd1_upsert" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val target = o.select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("p"))
+      val updates = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("st"),
+          (col("o_totalprice") + lit(1000.0)).as("p"))
+      val inserts = o.filter(col("o_orderkey") % 5 === 0)
+        .select((-col("o_orderkey")).as("k"), lit("I").as("st"), col("o_totalprice").as("p"))
+      Upsert.scd1(target, updates.unionByName(inserts), Seq("k"),
+        updateWhen = (t, sc) => sc("p") > t("p"))
+    }),
+
+    // M2/M3: SCD2 history built from a change log (hash short-circuit,
+    // close + insert semantics)
+    "q19_scd2_changelog" -> ((s, dir) =>
+      Scd2.fromChangeLog(T(s, dir, "events"), Seq("user_id"),
+        businessCols = Seq("event_type"), tsCol = "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))),
+
+    // S9/P13: retention trim relative to max(ts)
+    "q20_retention" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val cut = ev.agg((max(col("ts")) - expr("interval 7 days")).as("cutoff"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("ts") > col("cutoff"), 1).otherwise(0)).cast("long").as("kept"),
+          sum(when(col("ts") <= col("cutoff"), 1).otherwise(0)).cast("long").as("dropped"))
+    }),
+
+    // M5/P11: GDPR update-only anonymization with salted fingerprint
+    "q21_gdpr_anonymize" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val subjects = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      Upsert.updateOnly(c, subjects, Seq("c_custkey"),
+        setCols = Map("c_name" -> (_ => concat(lit("ANON-"),
+          substring(ScdHash.subjectFingerprint("graft-salt", lit("customer"),
+            col("c_custkey")), 1, 16)))))
+        .select(col("c_custkey"), col("c_name").as("name_out"),
+          col("c_name").startsWith("ANON-").as("is_anon"))
+    }),
+
+    // J4: affected-partition incremental recompute
+    "q22_affected_slice" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val affected = o.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-06-01 00:00:00")))
+        .select(to_date(col("o_orderdate")).as("d")).distinct()
+      o.join(broadcast(affected), to_date(col("o_orderdate")) === col("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+    }))
+
+  private val DS = "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q01_clean_project" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS name_norm,
+        | lower(trim(c_mktsegment)) AS segment,
+        | CASE WHEN lower(trim(c_mktsegment)) IN ('null','n/a','none','-','') THEN NULL
+        |      ELSE trim(c_mktsegment) END AS segment_scrubbed,
+        | CAST(c_nationkey AS BIGINT) AS nation_id,
+        | CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec
+        |FROM customer""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05""".stripMargin,
+    "q03_dq_flags" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (l_quantity < 1 OR l_quantity > 50) AS qty_out_of_range,
+        | (l_discount < 0 OR l_discount > 1) AS discount_invalid,
+        | (l_tax < 0) AS tax_negative,
+        | (l_returnflag NOT IN ('A','N','R')) AS returnflag_unknown
+        |FROM lineitem""".stripMargin,
+    "q04_scd_hash" ->
+      """SELECT c_custkey, sha256(concat_ws('||',
+        |  coalesce(c_name,''), coalesce(CAST(c_nationkey AS VARCHAR),''),
+        |  coalesce(c_mktsegment,''))) AS scd_hash
+        |FROM customer""".stripMargin,
+    "q05_dedup_latest" ->
+      """SELECT o_custkey, o_orderkey AS latest_order_key,
+        | CAST(o_orderdate AS DATE) AS latest_order_date,
+        | o_orderstatus AS latest_status
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q06_scd3_prev" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders)
+        |SELECT c.o_custkey, c.o_orderkey AS cur_order_key, c.o_totalprice AS cur_price,
+        |       p.o_orderkey AS prev_order_key, p.o_totalprice AS prev_price
+        |FROM (SELECT * FROM r WHERE rn = 1) c
+        |LEFT JOIN (SELECT * FROM r WHERE rn = 2) p USING (o_custkey)""".stripMargin,
+    "q07_key_validation" ->
+      """SELECT l_orderkey, l_linenumber, coalesce(s_suppkey, 0) AS supplier_key
+        |FROM lineitem LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 1000) d
+        |ON l_suppkey = d.s_suppkey""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q10_agg_daily" ->
+      s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
+         | count(*) AS orders_total,
+         | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS orders_open,
+         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS orders_filled,
+         | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS orders_partial,
+         | $DS AS sum_price,
+         | $DS / count(*) AS avg_price
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q11_count_distinct" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(DISTINCT o_custkey) AS active_customers, count(*) AS orders_cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q12_groupby_max" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        | max(c_acctbal) AS max_bal, min(c_name) AS first_name
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q13_global_minmax" ->
+      """SELECT CAST(min(o_orderdate) AS DATE) AS first_date,
+        | CAST(max(o_orderdate) AS DATE) AS last_date,
+        | count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+        |FROM orders""".stripMargin,
+    "q14_dim_union_unknown" ->
+      """SELECT 0 AS priority_key, 'UNKNOWN' AS priority
+        |UNION ALL
+        |SELECT CAST(row_number() OVER (ORDER BY priority) AS INT), priority
+        |FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders)""".stripMargin,
+    "q16_date_spine" ->
+      """WITH mm AS (SELECT CAST(min(o_orderdate) AS DATE) mn, CAST(max(o_orderdate) AS DATE) mx FROM orders),
+        |days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS date FROM mm)
+        |SELECT CAST(strftime(date, '%Y%m%d') AS INT) AS date_key, date,
+        | CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
+        | CAST(day(date) AS INT) AS day, CAST(quarter(date) AS INT) AS quarter,
+        | CAST(weekofyear(date) AS INT) AS week_iso,
+        | CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
+        | dayname(date) AS day_name,
+        | dayofweek(date) IN (0, 6) AS is_weekend
+        |FROM days""".stripMargin,
+    "q17_date_key" ->
+      """SELECT event_id,
+        | coalesce(CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT), 0) AS date_key,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        | coalesce(value, 0.0) AS value_filled
+        |FROM events""".stripMargin,
+    "q18_scd1_upsert" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p FROM orders),
+        |s AS (SELECT o_orderkey AS k, 'U' AS st, o_totalprice + 1000.0 AS p
+        |      FROM orders WHERE o_orderkey % 3 = 0
+        |      UNION ALL
+        |      SELECT -o_orderkey, 'I', o_totalprice FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT coalesce(t.k, s.k) AS k,
+        | CASE WHEN t.k IS NULL THEN s.st WHEN s.k IS NULL THEN t.st
+        |      WHEN s.p > t.p THEN s.st ELSE t.st END AS st,
+        | CASE WHEN t.k IS NULL THEN s.p WHEN s.k IS NULL THEN t.p
+        |      WHEN s.p > t.p THEN s.p ELSE t.p END AS p
+        |FROM t FULL OUTER JOIN s ON t.k = s.k""".stripMargin,
+    "q19_scd2_changelog" ->
+      """WITH h AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |             sha256(concat_ws('||', coalesce(event_type,''))) AS hash
+        |           FROM events),
+        |d AS (SELECT *, lag(hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph FROM h),
+        |f AS (SELECT * FROM d WHERE ph IS NULL OR ph <> hash)
+        |SELECT user_id, event_type, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM f""".stripMargin,
+    "q20_retention" ->
+      """WITH c AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 7 DAY AS cutoff FROM events)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) > cutoff THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        | CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) <= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |FROM events, c GROUP BY event_type""".stripMargin,
+    "q21_gdpr_anonymize" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'ANON-' || substring(sha256(concat_ws('||',
+        |   'graft-salt', 'customer', CAST(c_custkey AS VARCHAR))), 1, 16)
+        |      ELSE c_name END AS name_out,
+        | (c_acctbal < 0) AS is_anon
+        |FROM customer""".stripMargin,
+    "q22_affected_slice" ->
+      s"""WITH affected AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+         |                  WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+         |SELECT d, count(*) AS n_orders, $DS AS sum_price
+         |FROM orders JOIN affected ON CAST(o_orderdate AS DATE) = d
+         |GROUP BY d""".stripMargin)
+}

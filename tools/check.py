@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name>/ parquet (Spark output), runs the matching
+oracle SQL from <outDir>/oracle_sql.json against the sf tables, and
+compares after sorting columns by name and rows by value.
+"""
+import sys, json, glob, math, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in idx))
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        gcols, grows = list(got.columns), got.fetchall()
+        if name not in oracle:
+            ok = len(grows) > 0
+            print(f"{'rows' if ok else 'FAIL'} {name}: rows-only ({len(grows)} rows)")
+            n_rowsonly += ok; n_fail += (not ok); continue
+        try:
+            exp = con.sql(oracle[name])
+            ecols, erows = list(exp.columns), exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {str(e)[:200]}"); n_fail += 1; continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}"); n_fail += 1; continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}"); n_fail += 1; continue
+        if gr != er:
+            bad = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            print(f"FAIL {name}: {sum(1 for a,b in zip(gr,er) if a!=b)} mismatched rows; first: {bad}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(gr)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
