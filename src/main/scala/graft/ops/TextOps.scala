@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, stopword/quality metrics, language-ID scoring,
+  * fingerprinting, MinHash signatures and SimHash bits.
+  *
+  * Everything is stock Catalyst higher-order functions (`transform`,
+  * `filter`, `aggregate`) over array columns — codegen-friendly, no UDFs,
+  * no shuffle implied — so a 100 TB corpus processes embarrassingly
+  * parallel at scan speed. Every formula is deliberately expressible in
+  * ANSI/DuckDB SQL so the driver's oracle can replay it exactly.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lower(trim(text)). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish subword tokens: letter runs, digit runs, single other chars. */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Sliding word k-grams joined by a single space (1-based slice). */
+  def shingles(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(k)), " "))
+
+  /** Count of tokens contained in `set`. */
+  def tokenHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set.map(lit): _*))).cast("long")
+
+  /** Punctuation characters (anything not alnum/whitespace). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("long")
+
+  /** English stopword sample used for quality scoring. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  val StopwordsFr = Seq("le", "les", "et", "une", "est", "dans", "pour")
+
+  /** Document fingerprint: min sha256 over word 3-gram shingles — the
+    * min-wise rolling-window scheme (one-permutation MinHash). */
+  def fingerprint(toks: Column): Column =
+    array_min(transform(shingles(toks, 3), s => sha2(s, 256)))
+
+  /** MinHash signature row i: min over shingles of sha256(i || '|' || s).
+    * Seeded string hashing keeps the signature reproducible in any engine
+    * with sha256 — no engine-specific 64-bit hash needed. */
+  def minhash(shingleCol: Column, i: Int): Column =
+    array_min(transform(shingleCol, s => sha2(concat(lit(s"$i|"), s), 256)))
+
+  /** LSH band key: hash of `rows` consecutive minhash values. */
+  def band(minhashes: Seq[Column]): Column =
+    sha2(concat_ws("|", minhashes: _*), 256)
+
+  /** SimHash bit b (0-based, little-endian within hex nibbles) of one
+    * token's sha256: bit (b%4) of hex digit (b/4+1) of the hash prefix. */
+  def tokenBit(tok: Column, b: Int): Column = {
+    val hexDigit = substring(sha2(tok, 256), b / 4 + 1, 1)
+    val v = instr(lit("0123456789abcdef"), hexDigit) - lit(1)
+    floor(v / math.pow(2, b % 4).toInt).cast("int") % 2
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns.
+  *
+  * All arithmetic is done in DOUBLE after an exact elementwise float→double
+  * cast, with a strictly sequential left-fold — the same evaluation order an
+  * ANSI-SQL `list_reduce` uses — so results are bit-identical across engines
+  * and across re-computation (safe for task retries).
+  *
+  * Stock higher-order functions (`zip_with`, `aggregate`): codegen'd, no
+  * UDF, no shuffle. A brute-force cosine scan is a single narrow map over
+  * the corpus; the LSH variant in [[graft.queries.VectorQueries]] bounds the
+  * candidate set for the 100 TB path.
+  */
+object VectorOps {
+
+  /** Exact float→double elementwise cast. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  def norm2(a: Column): Column = foldSum(transform(asDouble(a), x => x * x))
+
+  /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)), double throughout. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Random-hyperplane-style LSH bucket from coordinate sign bits: the
+    * first `nBits` coordinates' signs concatenated to a bit string.
+    * (Axis-aligned hyperplanes — valid LSH for centered embeddings, and
+    * exactly reproducible in any SQL engine.) */
+  def signBucket(v: Column, nBits: Int): Column =
+    concat_ws("", (0 until nBits).map(i =>
+      when(element_at(asDouble(v), i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+}

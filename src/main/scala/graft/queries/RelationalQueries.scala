@@ -231,6 +231,64 @@ object RelationalQueries {
       o.join(broadcast(affected), to_date(col("o_orderdate")) === col("d"))
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+    }),
+
+    // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
+    "q23_tpch_pricing" -> ((s, dir) => {
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(discPrice.cast(DecimalType(38, 6))).cast("double").as("sum_disc_price"),
+          sum((discPrice * (lit(1.0) + col("l_tax"))).cast(DecimalType(38, 6)))
+            .cast("double").as("sum_charge"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (dsum("l_extendedprice") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join + agg + global sort + limit
+    "q24_tpch_shipping" -> ((s, dir) => {
+      val cut = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = T(s, dir, "orders").filter(col("o_orderdate") < lit(cut))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      T(s, dir, "lineitem").filter(col("l_shipdate") > lit(cut))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way snowflake join, broadcast dims
+    "q25_tpch_local_supplier" -> ((s, dir) => {
+      val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val n = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = T(s, dir, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+      val asiaNations = broadcast(
+        n.join(r, col("n_regionkey") === col("r_regionkey")).select("n_nationkey", "n_name"))
+      val c = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select("o_orderkey", "o_custkey")
+      T(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 6))).cast("double").as("revenue"))
     }))
 
   private val DS = "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
@@ -370,5 +428,36 @@ object RelationalQueries {
          |                  WHERE o_orderdate >= TIMESTAMP '2001-06-01')
          |SELECT d, count(*) AS n_orders, $DS AS sum_price
          |FROM orders JOIN affected ON CAST(o_orderdate AS DATE) = d
-         |GROUP BY d""".stripMargin)
+         |GROUP BY d""".stripMargin,
+    "q23_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q24_tpch_shipping" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01' AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q25_tpch_local_supplier" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin)
 }

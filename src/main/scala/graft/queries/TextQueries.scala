@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference text operators for training-data pipelines: stats,
+  * quality scoring, language ID, fingerprinting, and the dedup suite
+  * (exact, n-gram Jaccard, MinHash+LSH, SimHash) over `documents`.
+  *
+  * Every query has an exactly-mirrored DuckDB oracle; all hashing is
+  * sha256-string-based so both engines agree bit-for-bit. Plans are
+  * narrow maps except the dedup joins, which shuffle on shingle/band/
+  * signature keys — the standard scale-out shape (df-capped shingles
+  * bound worst-case pair blowup on a 100 TB corpus).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks: Column = TextOps.tokens(col("text"))
+
+  private val S = 12     // minhash signature rows
+  private val Bands = 6  // 2 rows per band
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(toks).cast("long").as("n_tokens"),
+        size(TextOps.subwordTokens(col("text"))).cast("long").as("n_subwords"),
+        round(length(array_join(toks, "")) / size(toks), 6).as("avg_token_len"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.digitCount(col("text")).as("n_digits"))),
+
+    "q31_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"),
+        TextOps.punctCount(col("text")).as("n_punct"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stop_hits") / col("n_tokens"), 6).as("stopword_ratio"),
+          round(col("n_punct") / col("n_chars"), 6).as("punct_ratio"),
+          (col("n_chars") < 100).as("too_short"),
+          (col("stop_hits") / col("n_tokens") < 0.05).as("low_stopword"),
+          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
+            .as("quality_score"))),
+
+    "q32_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.tokenHits(toks, TextOps.StopwordsEn).as("s_en"),
+        TextOps.tokenHits(toks, TextOps.StopwordsDe).as("s_de"),
+        TextOps.tokenHits(toks, TextOps.StopwordsEs).as("s_es"),
+        TextOps.tokenHits(toks, TextOps.StopwordsFr).as("s_fr"))
+        .withColumn("predicted_lang",
+          when(col("s_de") > col("s_en") && col("s_de") > col("s_es") &&
+            col("s_de") > col("s_fr"), "de")
+            .when(col("s_es") > col("s_en") && col("s_es") > col("s_fr"), "es")
+            .when(col("s_fr") > col("s_en"), "fr")
+            .otherwise("en"))
+        .withColumn("is_match", col("predicted_lang") === col("lang"))),
+
+    "q33_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(toks).as("fingerprint"))),
+
+    "q34_exact_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+            .as("text_hash"))
+        .groupBy("text_hash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))),
+
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(toks, 3))).as("sh"))
+      // stop-shingle cap: drop shingles shared by >100 docs (pair blowup
+      // guard at scale), and unshared ones (can't form a pair anyway)
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100).select("sh")
+      val shf = sh.join(keep, "sh")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      shf.alias("a").join(shf.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("common") / (col("na") + col("nb") - col("common")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    "q36_minhash_lsh" -> ((s, dir) => {
+      val sg = docs(s, dir).select(col("doc_id"),
+        array_distinct(TextOps.shingles(toks, 3)).as("sg"))
+      val sig = sg.select(col("doc_id") +:
+        (0 until S).map(i => TextOps.minhash(col("sg"), i).as(s"m$i")): _*)
+      val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b =>
+          TextOps.band(Seq(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)))
+        .toDF("doc_id", "band_idx", "bh")
+      val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand.join(sig.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.alias("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round((0 until S).map(i =>
+            when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+            .reduce(_ + _) / lit(S.toDouble), 6).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+    }),
+
+    "q37_simhash" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("t"))
+      val sums = tok.groupBy("doc_id").agg(
+        sum(TextOps.tokenBit(col("t"), 0) * 2 - lit(1)).as("b0"),
+        (1 until 32).map(b =>
+          sum(TextOps.tokenBit(col("t"), b) * 2 - lit(1)).as(s"b$b")): _*)
+      sums.select(col("doc_id"),
+        concat_ws("", (0 until 32).map(b =>
+          when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+    }))
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val ToksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+  private val ShinglesSql =
+    "list_transform(range(1, greatest(len(toks)-2,1)+1), i -> array_to_string(toks[i:i+2], ' '))"
+  private def inList(set: Seq[String]) = set.map(w => s"'$w'").mkString(", ")
+
+  private def minhashSql(i: Int) =
+    s"list_min(list_transform(sg, x -> sha256('$i|' || x)))"
+
+  private def simhashBitSql(b: Int): String = {
+    val d = b / 4 + 1
+    val p = math.pow(2, b % 4).toInt
+    s"(CAST(floor((position(substr(sha256(t), $d, 1) IN '0123456789abcdef') - 1) / $p) AS INT) % 2)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords,
+         | round(length(array_to_string(toks, '')) / len(toks), 6) AS avg_token_len,
+         | CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+         |FROM t""".stripMargin,
+    "q31_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, text, $ToksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct FROM t)
+         |SELECT doc_id, n_tokens, round(stop_hits / n_tokens, 6) AS stopword_ratio,
+         | round(n_punct / n_chars, 6) AS punct_ratio,
+         | (n_chars < 100) AS too_short,
+         | (stop_hits / n_tokens < 0.05) AS low_stopword,
+         | round(least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |FROM b""".stripMargin,
+    "q32_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> x IN (${inList(TextOps.StopwordsDe)}))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> x IN (${inList(TextOps.StopwordsEs)}))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> x IN (${inList(TextOps.StopwordsFr)}))) AS BIGINT) AS s_fr FROM t)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         | CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |      WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+         |      WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS predicted_lang,
+         | (CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |      WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+         |      WHEN s_fr > s_en THEN 'fr' ELSE 'en' END = lang) AS is_match
+         |FROM sc""".stripMargin,
+    "q33_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, list_min(list_transform($ShinglesSql, x -> sha256(x))) AS fingerprint
+         |FROM t""".stripMargin,
+    "q34_exact_dedup" ->
+      """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        | count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q35_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
+         |      FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
+         |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "q36_minhash_lsh" -> {
+      val sigCols = (0 until S).map(i => s"  ${minhashSql(i)} AS m$i").mkString(",\n")
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, sha256(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM sig")
+        .mkString("\n UNION ALL ")
+      val estSum = (0 until S).map(i =>
+        s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sgt AS (SELECT doc_id, list_distinct($ShinglesSql) AS sg FROM t),
+         |sig AS (SELECT doc_id,
+         |$sigCols
+         |FROM sgt),
+         |band AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a
+         |         JOIN band b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT doc_a, doc_b, round(($estSum) / ${S.toDouble}, 6) AS est_jaccard
+         |        FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+         |SELECT * FROM est WHERE est_jaccard >= 0.5""".stripMargin
+    },
+    "q37_simhash" -> {
+      val sums = (0 until 32).map(b =>
+        s"  sum(${simhashBitSql(b)} * 2 - 1) AS b$b").mkString(",\n")
+      val bits = (0 until 32).map(b =>
+        s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         |a AS (SELECT doc_id,
+         |$sums
+         |FROM tok GROUP BY doc_id)
+         |SELECT doc_id, concat($bits) AS simhash FROM a""".stripMargin
+    })
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators over `embeddings` (array<float>, 64-dim):
+  * cosine near-dup pairs, brute-force top-k ANN, and an LSH-bucketed ANN
+  * variant.
+  *
+  * Scale shape: cosine math is a narrow map (no UDF, all codegen'd
+  * higher-order functions). The pairwise queries bound their candidate sets
+  * — by label partition (q38) or sign-bit LSH bucket (q40) — which is the
+  * 100 TB path: pre-partition the corpus by bucket and the self-join becomes
+  * a co-partitioned join instead of a cross product. Brute-force q39 is the
+  * small-query-set baseline: |Q| × corpus scan with a broadcast query set.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def cosAB = round(
+    VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-cosine near-duplicate pairs within a label partition.
+    "q38_cosine_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      e.alias("a").join(e.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosAB.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+    }),
+
+    // Brute-force cosine top-k: every 50th vector queries the full corpus.
+    "q39_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(VectorOps.cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 5)
+    }),
+
+    // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
+    "q40_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+          round(VectorOps.cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+    }))
+
+  // Sequential-fold cosine, mirroring VectorOps exactly (double throughout).
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), x -> x[1] * x[2]), (p, q) -> p + q)"
+  private def normSql(a: String) =
+    s"list_reduce(list_transform($a::DOUBLE[], x -> x * x), (p, q) -> p + q)"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${normSql(a)}) * sqrt(${normSql(b)})), 6)"
+  private val BucketSql = (1 to 8).map(i =>
+    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q38_cosine_neardup" ->
+      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT * FROM p WHERE cos_sim >= 0.3""".stripMargin,
+    "q39_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qv", "e.embedding")} AS cos_sim
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM c)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q40_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+         |c AS (SELECT query_id, e.vec_id AS neighbor_id, e.bucket,
+         |        ${cosSql("qv", "e.embedding")} AS cos_sim
+         |      FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM c)
+         |SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM r WHERE rank <= 3""".stripMargin)
+}
