@@ -1,0 +1,92 @@
+package graft.tx
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "ts")
+
+  test("scd1: insert new, update matched when guard passes, keep otherwise") {
+    val source = Seq((2L, "b2", 25.0), (3L, "c", 5.0), (1L, "a-stale", 1.0))
+      .toDF("k", "v", "ts")
+    val out = Upsert.scd1(target, source, Seq("k"),
+      updateWhen = (t, s) => s("ts") > t("ts"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 5.0)))
+  }
+
+  test("scd1: per-column resolve implements watermark never-regress") {
+    val t = Seq(("job", Some(100L))).toDF("job_name", "wm")
+    val failRun = Seq(("job", None: Option[Long])).toDF("job_name", "wm")
+    val out = Upsert.scd1(t, failRun, Seq("job_name"),
+      resolve = Map("wm" -> ((tc, sc) => coalesce(sc, tc))))
+      .as[(String, Option[Long])].head()
+    assert(out == ("job", Some(100L))) // NULL source never regresses
+  }
+
+  test("scd1 rejects schema mismatch") {
+    val bad = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Upsert.scd1(target, bad, Seq("k"))
+    }
+  }
+
+  test("updateOnly redacts only matched rows, honors extraCond") {
+    val ids = Seq(1L, 99L).toDF("k")
+    val out = Upsert.updateOnly(target, ids, Seq("k"),
+      setCols = Map("v" -> (_ => lit("REDACTED"))),
+      extraCond = col("ts") > 5.0)
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "REDACTED", 10.0), (2L, "b", 20.0)))
+  }
+}
+
+class AtomicRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write/read round-trip, versioning, vacuum, exists") {
+    val root = Files.createTempDirectory("graft-ar").toString + "/t"
+    assert(!AtomicRewrite.exists(spark, root))
+    AtomicRewrite.write(spark, root, Seq(1, 2).toDF("x"))
+    assert(AtomicRewrite.exists(spark, root))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(0L))
+    AtomicRewrite.write(spark, root, Seq(3).toDF("x"), keepVersions = 1)
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+    assert(AtomicRewrite.read(spark, root).as[Int].collect().toSeq == Seq(3))
+    // keepVersions=1 vacuumed v=0
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("v=1"))
+  }
+
+  test("reader resolves the committed pointer, not in-flight writes") {
+    val root = Files.createTempDirectory("graft-ar2").toString + "/t"
+    AtomicRewrite.write(spark, root, Seq("committed").toDF("x"))
+    // simulate an in-flight (uncommitted) staging dir
+    new java.io.File(s"$root/v=9").mkdirs()
+    assert(AtomicRewrite.read(spark, root).as[String].collect().toSeq == Seq("committed"))
+  }
+}
+
+class WatermarksSpec extends SparkSpec {
+
+  test("advance then read; FAIL run never regresses") {
+    val root = Files.createTempDirectory("graft-wm").toString + "/ctl"
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val runAt = Timestamp.valueOf("2024-01-02 00:00:00")
+    assert(Watermarks.read(spark, root, "job").isEmpty)
+    Watermarks.advance(spark, root, "job", Some(t1), "OK", runAt)
+    assert(Watermarks.read(spark, root, "job").contains(t1))
+    // failed run: None watermark must not step on t1
+    Watermarks.advance(spark, root, "job", None, "FAIL:Boom", runAt)
+    assert(Watermarks.read(spark, root, "job").contains(t1))
+    // other jobs are independent
+    Watermarks.advance(spark, root, "job2", Some(runAt), "OK", runAt)
+    assert(Watermarks.read(spark, root, "job").contains(t1))
+    assert(Watermarks.read(spark, root, "job2").contains(runAt))
+  }
+}
