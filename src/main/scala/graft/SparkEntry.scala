@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * beyond-reference LLM-pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+    RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -20,9 +20,16 @@ object Tables {
     // CAST(ts AS TIMESTAMP) truncation).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val fixed =
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    // The testdata parquet stores TIMESTAMP_NTZ; normalize to TIMESTAMP
+    // (session TZ is UTC, so the cast is value-preserving) so downstream
+    // code sees one timestamp type everywhere.
+    fixed.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(fixed)((d, c) => d.withColumn(c, d(c).cast("timestamp")))
   }
 }

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import graft.ops.ScdHash
+import graft.tx.{AtomicRewrite, Upsert}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** GDPR right-to-be-forgotten propagation (reference:
+  * gdpr/gdpr_propagate_erasure.py).
+  *
+  * For each processed erasure subject, every configured table gets an
+  * update-only merge rewriting the PII columns (M5), and an irreversible
+  * salted-fingerprint audit row records what was scrubbed — never the raw
+  * subject id. Anonymization runs over ALL versions (SCD2 history included),
+  * matching the reference's backfill ordering guarantee that history rows
+  * are redacted too.
+  *
+  * Scale: subject sets are tiny relative to the table → forced broadcast in
+  * [[Upsert.updateOnly]]; each table rewrite is one narrow scan + map.
+  */
+object Gdpr {
+
+  /** One table's redaction policy: which key matches the subject id and how
+    * each PII column is rewritten (given the old column, usually ignored). */
+  case class Policy(
+      table: String,
+      keyCol: String,
+      setCols: Map[String, Column => Column],
+      extraCond: Column = lit(true))
+
+  val AuditCols: Seq[String] =
+    Seq("subject_fingerprint", "subject_type", "table_name",
+      "columns_scrubbed", "erased_at")
+
+  /** Deterministic pseudonym: ANON-<16 hex of salted subject hash>. */
+  def pseudonym(salt: String, subjectType: String, id: Column): Column =
+    concat(lit("ANON-"),
+      substring(ScdHash.subjectFingerprint(salt, lit(subjectType), id), 1, 16))
+
+  /** Apply `policies` for the subject ids in `subjects` (single column =
+    * the business id). Rewrites each table snapshot and appends one audit
+    * row per (subject, table). Returns the audit DataFrame written. */
+  def propagate(spark: SparkSession, subjects: DataFrame, subjectType: String,
+                policies: Seq[Policy], tableRoot: String => String,
+                auditRoot: String, salt: String, now: Timestamp): DataFrame = {
+    val ids = subjects.toDF("subject_id").distinct().cache()
+    policies.foreach { p =>
+      val root = tableRoot(p.table)
+      if (AtomicRewrite.exists(spark, root)) {
+        val t = AtomicRewrite.read(spark, root)
+        val next = Upsert.updateOnly(t, ids.select(col("subject_id").as(p.keyCol)),
+          Seq(p.keyCol), p.setCols, p.extraCond)
+        AtomicRewrite.write(spark, root, next)
+      }
+    }
+    val audit = policies.foldLeft(Option.empty[DataFrame]) { (acc, p) =>
+      val rows = ids.select(
+        ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
+          .as("subject_fingerprint"),
+        lit(subjectType).as("subject_type"),
+        lit(p.table).as("table_name"),
+        array(p.setCols.keys.toSeq.sorted.map(lit): _*).as("columns_scrubbed"),
+        lit(now).as("erased_at"))
+      Some(acc.map(_.unionByName(rows)).getOrElse(rows))
+    }.getOrElse(spark.emptyDataFrame)
+    val next =
+      if (AtomicRewrite.exists(spark, auditRoot))
+        AtomicRewrite.read(spark, auditRoot).unionByName(audit)
+      else audit
+    AtomicRewrite.write(spark, auditRoot, next)
+    ids.unpersist()
+    audit
+  }
+}

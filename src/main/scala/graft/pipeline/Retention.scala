@@ -1,0 +1,30 @@
+package graft.pipeline
+
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Retention trims (reference: retention/bronze_retention_cleanup.py,
+  * silver_retention_cleanup.py) — Delta DELETE + VACUUM replaced by a
+  * filtered snapshot rewrite; old snapshot versions are the "files to
+  * vacuum" and are dropped by [[AtomicRewrite.vacuum]] on commit.
+  */
+object Retention {
+
+  /** Keep only rows with `tsCol` within `days` of `asOf`; returns rows
+    * dropped. Closed SCD2 history can additionally be bounded with
+    * `onlyClosed` so current rows never expire. */
+  def trim(spark: SparkSession, root: String, tsCol: String, days: Int,
+           asOf: Timestamp, onlyClosed: Boolean = false): Long = {
+    if (!AtomicRewrite.exists(spark, root)) return 0L
+    val t = AtomicRewrite.read(spark, root)
+    val cutoff = new Timestamp(asOf.getTime - days * 86400000L)
+    val expired = col(tsCol) < lit(cutoff) &&
+      (if (onlyClosed) !col("is_current") else lit(true))
+    val dropped = t.filter(expired).count()
+    if (dropped > 0) AtomicRewrite.write(spark, root, t.filter(!expired))
+    dropped
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import java.sql.Timestamp
+
+/** End-to-end medallion flow over the driver testdata star (the reference's
+  * scripts/run/ DAG re-expressed as one in-code registry): bronze extracts
+  * for customer + orders, silver SCD2 for both, gold dims (snapshot, SCD3,
+  * date spine), fact_orders with key validation, and the incremental daily
+  * aggregate. Re-runnable: a second invocation is a watermark-guarded no-op.
+  */
+object Runner {
+
+  val FixedNow: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  /** Run every stage into `root` and return agg_orders_daily. */
+  def runAll(spark: SparkSession, sfDir: String, root: String,
+             now: Timestamp = FixedNow, batchId: String = "batch-0"): DataFrame = {
+    val paths = Medallion.Paths(root)
+
+    // --- bronze: customer is a static dim source (synthetic updated_at);
+    //     orders uses its event time.
+    val customer = Tables.load(spark, sfDir, "customer")
+      .withColumn("updated_at", to_timestamp(lit("2020-01-01 00:00:00")))
+    val orders = Tables.load(spark, sfDir, "orders")
+    Medallion.bronzeLoad(spark, paths, "customer", customer, "updated_at", batchId, now)
+    Medallion.bronzeLoad(spark, paths, "orders", orders, "o_orderdate", batchId, now)
+
+    // --- silver SCD2
+    Medallion.silverScd2(spark, paths, Medallion.SilverConf(
+      entity = "customer",
+      keys = Seq("c_custkey"),
+      businessCols = Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+      flags = Seq(
+        "missing_name" -> col("c_name").isNull,
+        "negative_balance" -> (col("c_acctbal") < 0))), now)
+    Medallion.silverScd2(spark, paths, Medallion.SilverConf(
+      entity = "orders",
+      keys = Seq("o_orderkey"),
+      businessCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"),
+      flags = Seq(
+        "negative_price" -> (col("o_totalprice") < 0),
+        "unknown_status" -> !col("o_orderstatus").isin("O", "F", "P"))), now)
+
+    // --- gold dims
+    Medallion.goldScd1Snapshot(spark, paths, "customer", Seq("c_custkey"), now)
+    Medallion.goldScd3(spark, paths, "customer", "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), now)
+    Medallion.goldDimDate(spark, paths,
+      graft.tx.AtomicRewrite.read(spark, paths.silver("orders")), "o_orderdate")
+
+    // --- fact + aggregate
+    Medallion.goldFact(spark, paths, "fact_orders", "orders",
+      keys = Seq("o_orderkey"), dateKeyFrom = Seq("o_orderdate"),
+      dimKeys = Map("o_custkey" -> ("customer", "c_custkey")), now = now)
+    Medallion.goldAggDaily(spark, paths, "fact_orders", "agg_orders_daily",
+      Seq(
+        count(lit(1)).as("orders_total"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price")))
+
+    graft.tx.AtomicRewrite.read(spark, paths.gold("agg_orders_daily"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, root) = args.take(2)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val agg = runAll(spark, sfDir, root)
+    println(s"agg_orders_daily rows=${agg.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tx.{AtomicRewrite, Watermarks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end medallion test: two incremental micro-batches through
+  * bronze → silver SCD2 → gold dims/fact/agg, then GDPR propagation and
+  * retention — the reference's whole lifecycle on synthetic rows. */
+class MedallionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("graft-e2e").toString
+  private val paths = Medallion.Paths(root)
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val custConf = Medallion.SilverConf(
+    entity = "customer", keys = Seq("id"),
+    businessCols = Seq("name", "segment"),
+    flags = Seq("missing_name" -> col("name").isNull))
+
+  private def customers(rows: (Long, String, String, String)*): DataFrame =
+    rows.toSeq.toDF("id", "name", "segment", "updated_at")
+      .withColumn("updated_at", to_timestamp(col("updated_at")))
+
+  private def orders(rows: (Long, Long, Double, String)*): DataFrame =
+    rows.toSeq.toDF("oid", "cust_id", "price", "odate")
+      .withColumn("odate", to_timestamp(col("odate")))
+
+  private val ordConf = Medallion.SilverConf(
+    entity = "orders", keys = Seq("oid"),
+    businessCols = Seq("cust_id", "price"))
+
+  private def runGold(now: Timestamp): Unit = {
+    Medallion.goldScd1Snapshot(spark, paths, "customer", Seq("id"), now)
+    Medallion.goldScd3(spark, paths, "customer", "id", Seq("segment"), now)
+    Medallion.goldFact(spark, paths, "fact_orders", "orders",
+      keys = Seq("oid"), dateKeyFrom = Seq("odate"),
+      dimKeys = Map("cust_id" -> ("customer", "id")), now = now)
+    Medallion.goldAggDaily(spark, paths, "fact_orders", "agg_daily",
+      Seq(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price")))
+  }
+
+  test("batch 1: full load lands in every layer") {
+    val now = ts("2024-01-01 10:00:00")
+    Medallion.bronzeLoad(spark, paths, "customer",
+      customers((1L, "alice", "A", "2024-01-01 00:00:00"),
+        (2L, "bob", "B", "2024-01-01 00:00:00")),
+      "updated_at", "b1", now)
+    Medallion.bronzeLoad(spark, paths, "orders",
+      orders((10L, 1L, 100.0, "2024-01-01 05:00:00"),
+        (11L, 2L, 50.0, "2024-01-01 06:00:00"),
+        (12L, 9L, 10.0, "2024-01-01 06:30:00")), // unknown customer 9
+      "odate", "b1", now)
+    Medallion.silverScd2(spark, paths, custConf, now)
+    Medallion.silverScd2(spark, paths, ordConf, now)
+    runGold(now)
+
+    val silver = AtomicRewrite.read(spark, paths.silver("customer"))
+    assert(silver.count() == 2 && silver.filter(col("is_current")).count() == 2)
+    val fact = AtomicRewrite.read(spark, paths.gold("fact_orders"))
+    assert(fact.count() == 3)
+    // key validation: unknown customer 9 → key 0
+    val k = fact.select("oid", "cust_id_key").as[(Long, Long)].collect().toMap
+    assert(k(10L) == 1L && k(11L) == 2L && k(12L) == 0L)
+    val agg = AtomicRewrite.read(spark, paths.gold("agg_daily"))
+    assert(agg.select("n").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("batch 2: incremental update versions SCD2, repoints SCD3, patches agg") {
+    val now = ts("2024-01-02 10:00:00")
+    // alice changes segment; carol is new; bob unchanged (not re-sent)
+    Medallion.bronzeLoad(spark, paths, "customer",
+      customers((1L, "alice", "A2", "2024-01-02 00:00:00"),
+        (3L, "carol", "C", "2024-01-02 00:00:00")),
+      "updated_at", "b2", now)
+    Medallion.bronzeLoad(spark, paths, "orders",
+      orders((13L, 3L, 70.0, "2024-01-02 04:00:00")), "odate", "b2", now)
+    Medallion.silverScd2(spark, paths, custConf, now)
+    Medallion.silverScd2(spark, paths, ordConf, now)
+    runGold(now)
+
+    val silver = AtomicRewrite.read(spark, paths.silver("customer"))
+    assert(silver.count() == 4) // alice v1 closed + v2, bob, carol
+    assert(silver.filter(col("is_current")).count() == 3)
+    val aliceClosed = silver.filter(col("id") === 1 && !col("is_current"))
+    assert(aliceClosed.select("valid_to").as[Timestamp].head() == now)
+    // SCD3 prev column captures the superseded segment
+    val scd3 = AtomicRewrite.read(spark, paths.gold("dim_customer_scd3"))
+    val alice = scd3.filter(col("id") === 1)
+      .select("segment", "prev_segment").as[(String, String)].head()
+    assert(alice == (("A2", "A")))
+    // snapshot dim follows the new version
+    val snap = AtomicRewrite.read(spark, paths.gold("dim_customer_snapshot"))
+    assert(snap.filter(col("id") === 1).select("segment").as[String].head() == "A2")
+    // agg gains the new day only (affected-partition recompute)
+    val agg = AtomicRewrite.read(spark, paths.gold("agg_daily"))
+      .select("date_key", "n").as[(Int, Long)].collect().toMap
+    assert(agg == Map(20240101 -> 3L, 20240102 -> 1L))
+  }
+
+  test("replaying a batch is a watermark-guarded no-op") {
+    val now = ts("2024-01-03 10:00:00")
+    val n = Medallion.bronzeLoad(spark, paths, "customer",
+      customers((1L, "alice", "A2", "2024-01-02 00:00:00")),
+      "updated_at", "b3", now)
+    assert(n == 0L) // updated_at not newer than watermark
+    assert(Medallion.silverScd2(spark, paths, custConf, now) == 0L)
+    assert(AtomicRewrite.read(spark, paths.silver("customer")).count() == 4)
+  }
+
+  test("GDPR erasure redacts every version and writes a salted audit trail") {
+    val now = ts("2024-01-04 10:00:00")
+    val subjects = Seq(1L).toDF("id")
+    val policies = Seq(
+      Gdpr.Policy("silver/customer", "id",
+        Map("name" -> (_ => Gdpr.pseudonym("s", "customer", col("id"))))),
+      Gdpr.Policy("gold/dim_customer_snapshot", "id",
+        Map("name" -> (_ => Gdpr.pseudonym("s", "customer", col("id"))))),
+      Gdpr.Policy("gold/dim_customer_scd3", "id",
+        Map("name" -> (_ => Gdpr.pseudonym("s", "customer", col("id"))))))
+    val audit = Gdpr.propagate(spark, subjects, "customer", policies,
+      t => s"$root/$t", s"$root/control/gdpr_audit", "s", now)
+    assert(audit.count() == 3)
+    // every alice version (current AND closed history) is redacted
+    val names = AtomicRewrite.read(spark, paths.silver("customer"))
+      .filter(col("id") === 1).select("name").as[String].collect()
+    assert(names.length == 2 && names.forall(_.startsWith("ANON-")))
+    // bob untouched
+    val bob = AtomicRewrite.read(spark, paths.silver("customer"))
+      .filter(col("id") === 2).select("name").as[String].head()
+    assert(bob == "bob")
+    // audit has no raw ids, only fingerprints
+    val fp = AtomicRewrite.read(spark, s"$root/control/gdpr_audit")
+      .select("subject_fingerprint").as[String].head()
+    assert(fp.length == 64)
+  }
+
+  test("retention trims closed history only, never current rows") {
+    val now = ts("2025-06-01 00:00:00")
+    val dropped = Retention.trim(spark, paths.silver("customer"),
+      "valid_from", days = 365, asOf = now, onlyClosed = true)
+    assert(dropped == 1L) // alice v1 (closed 2024-01-02) expires
+    val left = AtomicRewrite.read(spark, paths.silver("customer"))
+    assert(left.count() == 3 && left.filter(col("is_current")).count() == 3)
+  }
+}
