@@ -27,6 +27,11 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
 
+  /** Dot product over already-double arrays (skip the repeated cast when a
+    * pairwise query pre-casts each vector once). */
+  def dotD(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
   def norm2(a: Column): Column = foldSum(transform(asDouble(a), x => x * x))
 
   /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)), double throughout. */

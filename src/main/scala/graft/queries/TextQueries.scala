@@ -77,9 +77,12 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))),
 
     "q35_ngram_jaccard" -> ((s, dir) => {
+      // persisted: the exploded shingle set feeds four branches (df cap,
+      // both join sides, per-doc sizes) — materialize once
       val sh = docs(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(toks, 3))).as("sh"))
+        .persist()
       // stop-shingle cap: drop shingles shared by >100 docs (pair blowup
       // guard at scale), and unshared ones (can't form a pair anyway)
       val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -101,8 +104,11 @@ object TextQueries {
     "q36_minhash_lsh" -> ((s, dir) => {
       val sg = docs(s, dir).select(col("doc_id"),
         array_distinct(TextOps.shingles(toks, 3)).as("sg"))
+      // persisted: the 12-minhash projection is the expensive part and
+      // feeds three branches (banding + both sides of the estimate join)
       val sig = sg.select(col("doc_id") +:
         (0 until S).map(i => TextOps.minhash(col("sg"), i).as(s"m$i")): _*)
+        .persist()
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           TextOps.band(Seq(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)))
