@@ -20,11 +20,11 @@ object SparkEntry {
     * beyond-reference LLM-pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ MediaQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ MediaQueries.oracles
 }

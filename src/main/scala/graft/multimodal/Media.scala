@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed through batched
+  * `mapPartitions` passes (the JVM analog of arrow-batched UDF execution:
+  * one partition streams through in fixed-size batches, so a real decoder
+  * would amortize model/codec setup per batch, not per row).
+  *
+  * The actual decode step is a clearly-marked deterministic STUB —
+  * image/audio codecs are not available in this container — but everything
+  * Spark-side is real: schemas, encoders, partition batching, frame
+  * sampling, resize arithmetic. Swap [[Media.decodeStub]] for a codec call
+  * and the pipeline is production-shaped.
+  *
+  * Scale: payload processing is embarrassingly parallel (narrow map over
+  * the scan); keep `spark.sql.files.maxPartitionBytes` sized so one
+  * partition of payload bytes fits executor memory, and never collect
+  * payloads to the driver.
+  */
+object Media {
+
+  /** Typed metadata carried beside the opaque payload. */
+  case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+
+  case class MediaFeatures(media_id: Long, n_bytes: Int, first_byte: Int,
+                           checksum: Long, features: Array[Float])
+
+  case class Frame(media_id: Long, frame_idx: Int, frame_len: Int, frame_first_byte: Int)
+
+  /** Wrap the documents table as a media corpus: the UTF-8 text bytes stand
+    * in for an encoded payload; synthetic-but-deterministic dimensions. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("fake/raw").as("format"),
+        (col("n_chars") % 512 + 64).cast("int").as("width"),
+        (col("n_chars") % 256 + 64).cast("int").as("height"),
+        (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
+
+  /** STUB decoder (???): a real implementation would decode the payload
+    * with an image/audio codec and emit an embedding. This deterministic
+    * fake emits `dim` byte-histogram buckets so the plumbing is testable. */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val counts = new Array[Int](dim)
+    payload.foreach(b => counts((b & 0xFF) % dim) += 1)
+    val n = math.max(payload.length, 1).toFloat
+    counts.map(_ / n)
+  }
+
+  /** Resize STUB: only the dimension arithmetic (longest side → maxSide,
+    * aspect preserved, integer floor) — no pixels to touch here. */
+  def resizeDims(width: Int, height: Int, maxSide: Int): (Int, Int) = {
+    val longest = math.max(width, height)
+    (width * maxSide / longest, height * maxSide / longest)
+  }
+
+  /** Frame boundaries for sampling `frames` evenly-sized chunks: frame i
+    * covers [i*n/frames, (i+1)*n/frames) — exact cover, no overlap. */
+  def frameOffsets(nBytes: Int, frames: Int): Seq[(Int, Int)] =
+    (0 until frames).map(i => (i * nBytes / frames, (i + 1) * nBytes / frames))
+
+  /** Batched feature extraction: each partition streams through in
+    * `batchSize` groups (decoder setup would happen once per batch). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (codec init, model load)
+        batch.iterator.map { r =>
+          val p = r.payload
+          MediaFeatures(
+            media_id = r.media_id,
+            n_bytes = p.length,
+            first_byte = if (p.isEmpty) -1 else p(0) & 0xFF,
+            checksum = p.foldLeft(0L)((acc, b) => acc + (b & 0xFF)),
+            features = decodeStub(p, dim))
+        }
+      }
+    }
+  }
+
+  /** Sample `frames` pseudo-frames per payload (video frame-sample shape):
+    * emits offsets/length/first-byte, payload bytes stay on the executor. */
+  def frameSample(media: Dataset[MediaRow], frames: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      frameOffsets(r.payload.length, frames).zipWithIndex.map {
+        case ((s, e), i) =>
+          Frame(r.media_id, i, e - s,
+            if (e > s) r.payload(s) & 0xFF else -1)
+      }
+    }
+  }
+}

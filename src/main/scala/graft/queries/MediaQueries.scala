@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing as oracle-checked queries. The payloads are the
+  * documents' UTF-8 bytes (pure ASCII corpus, so DuckDB can replay the
+  * byte arithmetic from the text column): feature extraction and frame
+  * sampling run through the typed `mapPartitions` path in
+  * [[graft.multimodal.Media]], and the oracle recomputes the same
+  * integers character-wise.
+  */
+object MediaQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batched feature extraction + resize arithmetic over binary payloads.
+    "q41_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val media = Media.fromDocuments(docs).as[Media.MediaRow]
+      val feats = Media.extractFeatures(media).drop("features")
+      val dims = Media.fromDocuments(docs)
+        .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"))
+        .select(col("media_id"),
+          (col("w") * 128 / greatest(col("w"), col("h"))).cast("int").as("rs_width"),
+          (col("h") * 128 / greatest(col("w"), col("h"))).cast("int").as("rs_height"))
+      feats.join(dims, "media_id")
+    }),
+
+    // Video-style frame sampling: 4 even chunks per payload.
+    "q42_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Media.fromDocuments(Tables.load(s, dir, "documents"))
+        .as[Media.MediaRow]
+      Media.frameSample(media, frames = 4).toDF()
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q41_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |  CAST(n_chars % 512 + 64 AS INT) AS w, CAST(n_chars % 256 + 64 AS INT) AS h
+        |FROM documents)
+        |SELECT media_id, CAST(length(text) AS INT) AS n_bytes,
+        | CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum,
+        | CAST(w * 128 // greatest(w, h) AS INT) AS rs_width,
+        | CAST(h * 128 // greatest(w, h) AS INT) AS rs_height
+        |FROM m""".stripMargin,
+    "q42_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, text, length(text) AS n,
+        |  unnest([0, 1, 2, 3]) AS frame_idx FROM documents)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(((frame_idx + 1) * n // 4) - (frame_idx * n // 4) AS INT) AS frame_len,
+        | CAST(CASE WHEN ((frame_idx + 1) * n // 4) > (frame_idx * n // 4)
+        |      THEN ascii(substr(text, (frame_idx * n // 4) + 1, 1))
+        |      ELSE -1 END AS INT) AS frame_first_byte
+        |FROM f""".stripMargin)
+}

@@ -233,6 +233,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
     }),
 
+    // Gap-based sessionization (30-min inactivity): lag + running cumsum,
+    // then per-session aggregate — the batch twin of the streaming
+    // flatMapGroupsWithState sessionizer in graft.streaming.
+    "q27_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+    }),
+
     // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
     "q23_tpch_pricing" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -429,6 +450,18 @@ object RelationalQueries {
          |SELECT d, count(*) AS n_orders, $DS AS sum_price
          |FROM orders JOIN affected ON CAST(o_orderdate AS DATE) = d
          |GROUP BY d""".stripMargin,
+    "q27_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+        |        CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq FROM n)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q23_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payload = "hello world".getBytes("UTF-8")
+  private def row(id: Long, p: Array[Byte]) =
+    Media.MediaRow(id, "image", p, Media.MediaMeta("fake/raw", 100, 50, 1000L))
+
+  test("decodeStub is deterministic and normalized") {
+    val a = Media.decodeStub(payload, 8)
+    val b = Media.decodeStub(payload, 8)
+    assert(a.toSeq == b.toSeq)
+    assert(math.abs(a.sum - 1.0f) < 1e-5)
+    assert(Media.decodeStub(Array.emptyByteArray, 8).toSeq == Seq.fill(8)(0f))
+  }
+
+  test("resizeDims preserves aspect, longest side = maxSide") {
+    assert(Media.resizeDims(100, 50, 128) == ((128, 64)))
+    assert(Media.resizeDims(50, 100, 128) == ((64, 128)))
+    assert(Media.resizeDims(64, 64, 128) == ((128, 128)))
+  }
+
+  test("frameOffsets exactly tile the payload") {
+    for (n <- Seq(0, 1, 7, 11, 100); k <- Seq(1, 3, 4)) {
+      val offs = Media.frameOffsets(n, k)
+      assert(offs.length == k)
+      assert(offs.head._1 == 0 && offs.last._2 == n)
+      offs.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("extractFeatures runs batched over partitions and keeps every row") {
+    val ds = spark.createDataset(
+      (1L to 10L).map(i => row(i, s"payload-$i".getBytes("UTF-8"))))
+      .repartition(3)
+    val out = Media.extractFeatures(ds, dim = 4, batchSize = 3).collect()
+    assert(out.length == 10)
+    val one = out.find(_.media_id == 1L).get
+    assert(one.n_bytes == 9 && one.first_byte == 'p'.toInt)
+    assert(one.checksum == "payload-1".getBytes("UTF-8").map(_ & 0xFF).sum)
+    assert(one.features.length == 4)
+  }
+
+  test("frameSample emits n frames per row covering the payload") {
+    val ds = spark.createDataset(Seq(row(1L, payload)))
+    val frames = Media.frameSample(ds, frames = 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_len).sum == payload.length)
+    assert(frames.head.frame_first_byte == 'h'.toInt)
+  }
+}
