@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) = Event(id, ts(t), user, typ, v)
+
+  test("windowedCounts finalizes a window once the watermark passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:40:00", v = 2.0))
+      q.processAllAvailable()
+      // watermark still inside the 10:00 window → nothing appended yet
+      assert(spark.table("wc").count() == 0)
+      // event far ahead pushes the watermark past 11:00
+      in.addData(ev(3, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "n_events", "sum_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows == Set((ts("2024-01-01 10:00:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupe drops repeated event ids within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupe(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize emits a session when the gap timeout fires") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapSeconds = 1800, lateness = "1 minute")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", v = 1.5),
+        ev(2, "2024-01-01 10:10:00", v = 2.5))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open
+      // far-future event: watermark passes 10:10 + 30min gap → timeout
+      in.addData(ev(9, "2024-01-01 12:00:00", user = 2L))
+      q.processAllAvailable()
+      val s = spark.table("sess").as[Session].collect()
+      assert(s.length == 1)
+      assert(s.head == Session(1L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:10:00"), 2L, 4.0))
+    } finally q.stop()
+  }
+
+  test("sessionize splits events separated by more than the gap in one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapSeconds = 1800, lateness = "1 minute")
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      // first session closed inline (gap exceeded within the batch)
+      val s = spark.table("sess2").as[Session].collect()
+      assert(s.length == 1 && s.head.session_start == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+}
