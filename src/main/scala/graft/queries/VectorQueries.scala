@@ -22,39 +22,32 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Corpus with the per-vector work hoisted out of the pairwise loop:
-    * one double-cast and one sqrt(norm) per vector instead of per pair.
-    * (Bit-identical to recomputing per pair — same fold, same doubles.) */
-  private def prepped(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"), col("label"),
-      VectorOps.asDouble(col("embedding")).as("emb"),
-      sqrt(VectorOps.norm2(col("embedding"))).as("nrm"))
-
-  private def cosPre(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column) =
-    round(VectorOps.dotD(aEmb, bEmb) / (aNrm * bNrm), 6)
+  /** Codegen'd cosine ([[graft.functions.CosineSimilarity]]) — one tight
+    * primitive loop per pair inside whole-stage codegen, bit-identical to
+    * the HOF formulation the oracle mirrors. */
+  private def cosN(a: Column, b: Column) =
+    round(graft.functions.GraftFunctions.cosine(a, b), 6)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs within a label partition.
     "q38_cosine_neardup" -> ((s, dir) => {
-      val e = prepped(s, dir)
+      val e = emb(s, dir)
       e.alias("a").join(e.alias("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosPre(col("a.emb"), col("b.emb"), col("a.nrm"), col("b.nrm"))
-            .as("cos_sim"))
+          cosN(col("a.embedding"), col("b.embedding")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
     }),
 
     // Brute-force cosine top-k: every 50th vector queries the full corpus.
     "q39_ann_topk" -> ((s, dir) => {
-      val e = prepped(s, dir)
+      val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("emb").as("qv"),
-          col("nrm").as("qnrm"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosPre(col("qv"), col("emb"), col("qnrm"), col("nrm")).as("cos_sim"))
+          cosN(col("qv"), col("embedding")).as("cos_sim"))
         .withColumn("rank", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
@@ -62,15 +55,15 @@ object VectorQueries {
 
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
-      val e = prepped(s, dir)
-        .withColumn("bucket", VectorOps.signBucket(col("emb"), 8))
+      val e = emb(s, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("emb").as("qv"),
-          col("nrm").as("qnrm"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-          cosPre(col("qv"), col("emb"), col("qnrm"), col("nrm")).as("cos_sim"))
+          cosN(col("qv"), col("embedding")).as("cos_sim"))
         .withColumn("rank", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
         .filter(col("rank") <= 3)
