@@ -254,6 +254,28 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
     }),
 
+    // Custom typed Aggregator: mergeable bottom-k (KMV) sketch per group —
+    // k smallest distinct sha256(user_id) values per event_type.
+    "q28_bottomk_sketch" -> ((s, dir) => {
+      val bk = graft.functions.BottomK.bottomK(8)
+      T(s, dir, "events")
+        .select(col("event_type"),
+          sha2(col("user_id").cast("string"), 256).as("h"))
+        .groupBy("event_type")
+        .agg(bk(col("h")).as("bottom_k"))
+    }),
+
+    // HLL opt-in (A2 extension): approximate distinct beside the exact
+    // count, with an accuracy assertion the oracle can state exactly.
+    "q29_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("within_10pct"))),
+
     // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
     "q23_tpch_pricing" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -462,6 +484,14 @@ object RelationalQueries {
         | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q28_bottomk_sketch" ->
+      """SELECT event_type,
+        | list_sort(list(DISTINCT sha256(CAST(user_id AS VARCHAR))))[1:8] AS bottom_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q29_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | true AS within_10pct
+        |FROM events GROUP BY 1""".stripMargin,
     "q23_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
