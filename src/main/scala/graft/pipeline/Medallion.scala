@@ -48,6 +48,18 @@ object Medallion {
 
   // ---- bronze -----------------------------------------------------------
 
+  /** Incremental extraction through a pluggable [[graft.sources.Source]]
+    * (JDBC in the reference, parquet here): the watermark filter reaches
+    * the source scan via pushdown. */
+  def bronzeLoad(spark: SparkSession, paths: Paths, entity: String,
+                 source: graft.sources.Source, wmCol: String, batchId: String,
+                 now: Timestamp): Long = {
+    val job = s"bronze_$entity"
+    val wm = Watermarks.read(spark, paths.control, job)
+    bronzeAppend(spark, paths, entity, job,
+      source.readIncremental(spark, wmCol, wm), wmCol, batchId, now)
+  }
+
   /** Incremental source → bronze append with lineage columns. Returns rows
     * loaded. Watermark on `wmCol`; FAIL-safe via Watermarks.advance. */
   def bronzeLoad(spark: SparkSession, paths: Paths, entity: String,
@@ -56,6 +68,12 @@ object Medallion {
     val job = s"bronze_$entity"
     val wm = Watermarks.read(spark, paths.control, job)
     val inc = wm.map(ts => source.filter(col(wmCol) > lit(ts))).getOrElse(source)
+    bronzeAppend(spark, paths, entity, job, inc, wmCol, batchId, now)
+  }
+
+  private def bronzeAppend(spark: SparkSession, paths: Paths, entity: String,
+                           job: String, inc: DataFrame, wmCol: String,
+                           batchId: String, now: Timestamp): Long = {
     val staged = inc
       .withColumn("source_system", lit("graft_source"))
       .withColumn("raw_loaded_at", lit(now))
