@@ -1,0 +1,279 @@
+package graft.domain
+
+import graft.ops.Cleansing._
+import graft.pipeline.{Gdpr, Medallion}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The ride-hailing domain of the reference, as data: per-entity silver
+  * configurations (casts, cleaning, the full DQ-flag catalog), gold star
+  * builders and GDPR policies — the reference's 30+ job files reduced to
+  * configuration over the [[graft.pipeline.Medallion]] templates (the
+  * per-entity diffs are config, not code; SURVEY.md §7.1).
+  *
+  * Flag catalog, status vocabularies and hash-column lists follow the
+  * reference exactly: trips flags src/silver/trips_bronze_to_silver.py:222-281,
+  * vehicles :205-247 (note: scd_hash EXCLUDES plate_number), payments
+  * :210-256 (paid-like = paid/succeeded/success/completed/settled), zones
+  * :178-206 (hash over *_norm), aggregate status sets
+  * src/gold/_marts/aggregates/agg_trips_daily.py:133-135.
+  */
+object MobilityDomain {
+
+  private def cast(df: DataFrame, casts: (String, String)*): DataFrame =
+    df.select(df.columns.map { c =>
+      casts.toMap.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }: _*)
+
+  private def scrub(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, scrubNullLike(col(c))))
+
+  val PaidLike: Seq[String] = Seq("paid", "succeeded", "success", "completed", "settled")
+  val VehicleTypes: Seq[String] = Seq("sedan", "hatchback", "motorbike")
+  val CompletedSet: Seq[String] = Seq("completed", "complete", "done")
+  val CancelledSet: Seq[String] = Seq("cancelled", "canceled")
+  val ActiveSet: Seq[String] = Seq("requested", "accepted", "started", "in_progress")
+
+  // ---- silver configurations -------------------------------------------
+
+  val trips: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "trips",
+    keys = Seq("trip_id"),
+    businessCols = Seq("passenger_id", "driver_id", "vehicle_id",
+      "pickup_zone_id", "dropoff_zone_id", "status", "requested_at",
+      "accepted_at", "started_at", "ended_at", "canceled_at", "cancel_reason",
+      "estimated_distance_km", "actual_distance_km", "fare_amount"),
+    clean = df => {
+      val c1 = cast(df,
+        "trip_id" -> "long", "passenger_id" -> "long", "driver_id" -> "long",
+        "vehicle_id" -> "long", "pickup_zone_id" -> "long",
+        "dropoff_zone_id" -> "long",
+        "start_lat" -> "double", "start_lng" -> "double",
+        "end_lat" -> "double", "end_lng" -> "double",
+        "estimated_distance_km" -> "double", "actual_distance_km" -> "double",
+        "fare_amount" -> "double",
+        "requested_at" -> "timestamp", "accepted_at" -> "timestamp",
+        "started_at" -> "timestamp", "ended_at" -> "timestamp",
+        "canceled_at" -> "timestamp")
+      scrub(c1, "cancel_note", "cancel_reason", "cancel_by")
+        .withColumn("status", normLower(col("status")))
+        .withColumn("estimated_distance_km", nonNegativeOrNull(col("estimated_distance_km")))
+        .withColumn("actual_distance_km", nonNegativeOrNull(col("actual_distance_km")))
+        .withColumn("fare_amount", nonNegativeOrNull(col("fare_amount")))
+    },
+    flags = Seq(
+      "has_distance_in_invalid_status" ->
+        (col("actual_distance_km").isNotNull && !col("status").isin(CompletedSet: _*)),
+      "distance_diff_km" ->
+        (col("actual_distance_km") - col("estimated_distance_km")),
+      "is_distance_outlier" ->
+        (abs(col("actual_distance_km") - col("estimated_distance_km")) > 10),
+      "completed_but_ended_at_null" ->
+        (col("status").isin(CompletedSet: _*) && col("ended_at").isNull),
+      "accepted_before_requested" -> (col("accepted_at") < col("requested_at")),
+      "started_before_accepted" -> (col("started_at") < col("accepted_at")),
+      "ended_before_started" -> (col("ended_at") < col("started_at"))))
+
+  val passengers: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "passengers",
+    keys = Seq("passenger_id"),
+    businessCols = Seq("full_name", "email", "phone", "city", "is_deleted"),
+    clean = df => scrub(
+      cast(df, "passenger_id" -> "long", "is_deleted" -> "boolean",
+        "deleted_at" -> "timestamp"),
+      "full_name", "email", "phone", "city")
+      .withColumn("email", lower(col("email"))),
+    flags = Seq(
+      "missing_full_name" -> col("full_name").isNull,
+      "missing_email" -> col("email").isNull,
+      "missing_phone" -> col("phone").isNull,
+      "invalid_email_format" ->
+        (col("email").isNotNull && !validEmail(col("email")))))
+
+  val drivers: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "drivers",
+    keys = Seq("driver_id"),
+    businessCols = Seq("full_name", "license_number", "status", "is_deleted"),
+    clean = df => scrub(
+      cast(df, "driver_id" -> "long", "is_deleted" -> "boolean",
+        "deleted_at" -> "timestamp"),
+      "full_name", "license_number")
+      .withColumn("status", normLower(col("status"))),
+    flags = Seq(
+      "missing_full_name" -> col("full_name").isNull,
+      "missing_license_number" -> col("license_number").isNull,
+      "invalid_status" ->
+        (col("status").isNotNull &&
+          !col("status").isin("active", "inactive", "suspended"))))
+
+  val vehicles: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "vehicles",
+    keys = Seq("vehicle_id"),
+    // reference quirk preserved: plate_number EXCLUDED from the change hash
+    businessCols = Seq("driver_id", "vehicle_type", "make", "model", "year",
+      "status", "is_deleted"),
+    clean = df => scrub(
+      cast(df, "vehicle_id" -> "long", "driver_id" -> "long", "year" -> "int",
+        "is_deleted" -> "boolean", "deleted_at" -> "timestamp"),
+      "make", "model")
+      .withColumn("plate_number", normUpper(col("plate_number")))
+      .withColumn("vehicle_type", normLower(col("vehicle_type")))
+      .withColumn("status", normLower(col("status"))),
+    flags = Seq(
+      "missing_plate_number" -> col("plate_number").isNull,
+      "missing_vehicle_type" -> col("vehicle_type").isNull,
+      "invalid_vehicle_type" ->
+        (col("vehicle_type").isNotNull && !col("vehicle_type").isin(VehicleTypes: _*)),
+      "missing_driver_id" -> col("driver_id").isNull,
+      "invalid_year" ->
+        (col("year").isNotNull &&
+          (col("year") < 1980 || col("year") > year(current_date()) + 1)),
+      "invalid_status" ->
+        (col("status").isNotNull && !col("status").isin("active", "inactive"))))
+
+  val payments: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "payments",
+    keys = Seq("payment_id"),
+    businessCols = Seq("trip_id", "method", "status", "amount", "currency",
+      "paid_at"),
+    clean = df => {
+      val c1 = cast(df, "payment_id" -> "long", "trip_id" -> "long",
+        "amount" -> "decimal(12,2)", "paid_at" -> "timestamp")
+      scrub(c1, "provider_ref")
+        .withColumn("method", normLower(col("method")))
+        .withColumn("status", normLower(col("status")))
+        .withColumn("amount", nonNegativeOrNull(col("amount")))
+        .withColumn("currency",
+          when(length(normUpper(col("currency"))) === 3, normUpper(col("currency"))))
+    },
+    flags = Seq(
+      "amount_invalid" -> col("amount").isNull,
+      "currency_invalid" -> col("currency").isNull,
+      "paid_but_paid_at_null" ->
+        (col("status").isin(PaidLike: _*) && col("paid_at").isNull),
+      "pending_but_paid_at_not_null" ->
+        (col("status") === "pending" && col("paid_at").isNotNull),
+      "provider_ref_missing" -> col("provider_ref").isNull))
+
+  val ratings: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "ratings",
+    keys = Seq("rating_id"),
+    businessCols = Seq("trip_id", "passenger_id", "driver_id", "score"),
+    clean = df => scrub(
+      cast(df, "rating_id" -> "long", "trip_id" -> "long",
+        "passenger_id" -> "long", "driver_id" -> "long", "score" -> "int"),
+      "comment")
+      .withColumn("score", inRangeOrNull(col("score"), lit(1), lit(5))),
+    flags = Seq(
+      "score_invalid" -> col("score").isNull,
+      "comment_missing" -> col("comment").isNull))
+
+  val zones: Medallion.SilverConf = Medallion.SilverConf(
+    entity = "zones",
+    keys = Seq("zone_id"),
+    // reference hashes the *_norm columns (zones:196-206)
+    businessCols = Seq("zone_name_norm", "city_norm", "region_norm"),
+    clean = df => cast(df, "zone_id" -> "long")
+      .withColumn("zone_name_norm", scrubNullLike(col("zone_name")))
+      .withColumn("city_norm", scrubNullLike(col("city")))
+      .withColumn("region_norm", scrubNullLike(col("region"))),
+    flags = Seq(
+      "zone_name_is_null" -> col("zone_name_norm").isNull,
+      "city_is_null" -> col("city_norm").isNull,
+      "region_is_null" -> col("region_norm").isNull,
+      "has_missing_fields" ->
+        (col("zone_name_norm").isNull || col("city_norm").isNull ||
+          col("region_norm").isNull)))
+
+  val silverConfs: Seq[Medallion.SilverConf] =
+    Seq(trips, passengers, drivers, vehicles, payments, ratings, zones)
+
+  /** Bronze watermark column per entity (zones only has created_at —
+    * reference src/bronze/zones_oltp_to_bronze.py:25-27). */
+  val watermarkCol: Map[String, String] =
+    silverConfs.map(_.entity -> "updated_at").toMap + ("zones" -> "created_at")
+
+  // ---- gold star -------------------------------------------------------
+
+  /** agg_trips_daily measure list (reference agg_trips_daily.py:128-143). */
+  def aggTripsDaily: Seq[Column] = Seq(
+    count(lit(1)).as("trips_total"),
+    sum(when(col("status").isin(CompletedSet: _*), 1).otherwise(0))
+      .cast("long").as("trips_completed"),
+    sum(when(col("status").isin(CancelledSet: _*), 1).otherwise(0))
+      .cast("long").as("trips_cancelled"),
+    sum(when(col("status").isin(ActiveSet: _*), 1).otherwise(0))
+      .cast("long").as("trips_active"),
+    sum(col("fare_amount")).as("sum_fare_amount"),
+    avg(col("fare_amount")).as("avg_fare_amount"),
+    sum(col("actual_distance_km")).as("sum_distance_km"),
+    avg(col("actual_distance_km")).as("avg_distance_km"))
+
+  /** agg_driver_daily measures keyed (trip_date_key, driver_id)
+    * (reference agg_driver_daily.py:175-197). */
+  def aggDriverDaily(fact: DataFrame): DataFrame =
+    fact.groupBy(col("date_key").as("trip_date_key"), col("driver_id"))
+      .agg(
+        countDistinct(col("trip_id")).as("trips_count"),
+        sum(when(col("status").isin(CompletedSet: _*), 1).otherwise(0))
+          .cast("long").as("completed_trips"),
+        sum(when(col("status").isin(CancelledSet: _*), 1).otherwise(0))
+          .cast("long").as("canceled_trips"),
+        countDistinct(col("passenger_id")).as("unique_passengers"),
+        sum(coalesce(col("fare_amount"), lit(0.0))).as("total_fare_amount"),
+        sum(coalesce(col("actual_distance_km"), lit(0.0))).as("total_distance_km"),
+        max(col("raw_loaded_at")).as("max_raw_loaded_at"))
+
+  /** dim_payment_method (reference static/dim_payment.py:89-137): one row
+    * per observed method with surrogate key, plus the UNKNOWN row. */
+  def dimPaymentMethod(silverPayments: DataFrame): DataFrame = {
+    val dim = silverPayments.filter(col("is_current"))
+      .groupBy(col("method").as("payment_method_name"))
+      .agg(max(col("raw_loaded_at")).as("raw_loaded_at"))
+      .withColumn("payment_method_key",
+        graft.ops.ScdHash.surrogateKey(col("payment_method_name")))
+      .withColumn("is_cash", col("payment_method_name") === "cash")
+      .withColumn("is_card", col("payment_method_name") === "card")
+    dim.sparkSession.range(1).select(
+      lit("UNKNOWN").as("payment_method_name"),
+      lit(null).cast("timestamp").as("raw_loaded_at"),
+      lit(0).as("payment_method_key"),
+      lit(false).as("is_cash"), lit(false).as("is_card"))
+      .unionByName(dim)
+  }
+
+  // ---- GDPR policy catalog (reference gdpr_propagate_erasure.py:401-604) --
+
+  /** Passenger erasure: PII on silver + every gold dim flavor. */
+  def passengerPolicies(layers: Seq[String]): Seq[Gdpr.Policy] =
+    layers.map { t =>
+      Gdpr.Policy(t, "passenger_id", Map(
+        "full_name" -> (_ => Gdpr.pseudonym("graft-mobility-salt", "passenger", col("passenger_id"))),
+        "email" -> (_ => lit(null).cast("string")),
+        "phone" -> (_ => lit(null).cast("string")),
+        "city" -> (_ => lit(null).cast("string"))))
+    }
+
+  def driverPolicies(layers: Seq[String]): Seq[Gdpr.Policy] =
+    layers.map { t =>
+      Gdpr.Policy(t, "driver_id", Map(
+        "full_name" -> (_ => Gdpr.pseudonym("graft-mobility-salt", "driver", col("driver_id"))),
+        "license_number" -> (_ => lit(null).cast("string"))))
+    }
+
+  /** Vehicle plate → deterministic ANON-PLATE-<id> (reference :480-492). */
+  def vehiclePolicies(layers: Seq[String]): Seq[Gdpr.Policy] =
+    layers.map { t =>
+      Gdpr.Policy(t, "vehicle_id", Map(
+        "plate_number" -> (_ => concat(lit("ANON-PLATE-"), col("vehicle_id")))))
+    }
+
+  /** Comment/note scrubs, update-only where non-null (reference :495-604). */
+  def scrubPolicies: Seq[Gdpr.Policy] = Seq(
+    Gdpr.Policy("silver/ratings", "passenger_id",
+      Map("comment" -> (_ => lit(null).cast("string"))),
+      extraCond = col("comment").isNotNull),
+    Gdpr.Policy("silver/trips", "passenger_id",
+      Map("cancel_note" -> (_ => lit(null).cast("string"))),
+      extraCond = col("cancel_note").isNotNull))
+}
