@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central session construction (SURVEY.md §7.1): UTC, AQE with skew-join
+  * handling, shuffle parallelism matched to cores, graft SQL functions
+  * registered. One place to retune when moving from local[32] to a real
+  * cluster. */
+object SparkSessionFactory {
+
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .getOrCreate()
+    graft.functions.GraftFunctions.registerTo(s)
+    s
+  }
+
+  /** Cores from SPARK_GRAFT_CPUS (driver contract), default 32. */
+  def fromEnv(appName: String = "graft"): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, appName)
+}

@@ -74,20 +74,21 @@ object Medallion {
   private def bronzeAppend(spark: SparkSession, paths: Paths, entity: String,
                            job: String, inc: DataFrame, wmCol: String,
                            batchId: String, now: Timestamp): Long = {
-    val staged = inc
-      .withColumn("source_system", lit("graft_source"))
-      .withColumn("raw_loaded_at", lit(now))
-      .withColumn("batch_id", lit(batchId))
-      .withColumn("load_date", to_date(lit(now)))
-    if (staged.isEmpty) {
+    // one pass for count + new watermark (instead of isEmpty/count/max)
+    val stats = inc.agg(count(lit(1)), max(col(wmCol))).head()
+    val n = stats.getLong(0)
+    if (n == 0L) {
       Watermarks.advance(spark, paths.control, job, None, "OK:empty", now)
       0L
     } else {
-      staged.write.mode("append").partitionBy("load_date")
+      inc.withColumn("source_system", lit("graft_source"))
+        .withColumn("raw_loaded_at", lit(now))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("load_date", to_date(lit(now)))
+        .write.mode("append").partitionBy("load_date")
         .parquet(paths.bronze(entity))
-      val n = staged.count()
-      val newWm = inc.agg(max(col(wmCol))).head().getTimestamp(0)
-      Watermarks.advance(spark, paths.control, job, Option(newWm), "OK", now)
+      Watermarks.advance(spark, paths.control, job,
+        Option(stats.getTimestamp(1)), "OK", now)
       n
     }
   }
@@ -105,7 +106,9 @@ object Medallion {
     val inc0 = wm.map(ts => bronze
       .filter(col("load_date") >= to_date(lit(ts)))
       .filter(col("raw_loaded_at") > lit(ts))).getOrElse(bronze)
-    if (inc0.isEmpty) {
+    // one pass for emptiness + count + new watermark
+    val stats = inc0.agg(count(lit(1)), max(col("raw_loaded_at"))).head()
+    if (stats.getLong(0) == 0L) {
       Watermarks.advance(spark, paths.control, job, None, "OK:empty", now)
       return 0L
     }
@@ -120,9 +123,9 @@ object Medallion {
       else prepared.limit(0)
     val next = Scd2.apply(history, prepared, conf.keys, conf.orderCols)
     AtomicRewrite.write(spark, target, next)
-    val newWm = inc0.agg(max(col("raw_loaded_at"))).head().getTimestamp(0)
-    Watermarks.advance(spark, paths.control, job, Option(newWm), "OK", now)
-    prepared.count()
+    Watermarks.advance(spark, paths.control, job,
+      Option(stats.getTimestamp(1)), "OK", now)
+    stats.getLong(0)
   }
 
   // ---- gold dims --------------------------------------------------------

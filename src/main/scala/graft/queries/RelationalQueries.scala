@@ -254,6 +254,13 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
     }),
 
+    // Skew-safe two-phase salted aggregation: identical result to a direct
+    // groupBy (the oracle), but the hot key spreads over 32 reducers first.
+    "q43_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedCountSum(
+        T(s, dir, "orders").select(col("o_orderstatus"), col("o_totalprice")),
+        keys = Seq("o_orderstatus"), sumCol = "o_totalprice")),
+
     // Custom typed Aggregator: mergeable bottom-k (KMV) sketch per group —
     // k smallest distinct sha256(user_id) values per event_type.
     "q28_bottomk_sketch" -> ((s, dir) => {
@@ -484,6 +491,10 @@ object RelationalQueries {
         | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q43_salted_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM orders GROUP BY 1""".stripMargin,
     "q28_bottomk_sketch" ->
       """SELECT event_type,
         | list_sort(list(DISTINCT sha256(CAST(user_id AS VARCHAR))))[1:8] AS bottom_k
