@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.BottomK
+import graft.multimodal.Media
+import graft.pipeline.Scd2
+import graft.tx.{AtomicRewrite, Watermarks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Property-based invariants (SURVEY.md §5.2): SCD2 state machine, watermark
+  * monotonicity, sketch merge laws, frame tiling — random inputs, not
+  * hand-picked cases. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("BottomK merge is commutative, associative, idempotent, k-bounded") {
+    val agg = BottomK(5)
+    val gl = Gen.listOf(Gen.alphaStr.map(_.take(6)))
+      .map(l => l.distinct.sorted.take(5).toVector)
+    check(Prop.forAll(gl, gl, gl) { (a, b, c) =>
+      val comm = agg.merge(a, b) == agg.merge(b, a)
+      val assoc = agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c))
+      val idem = agg.merge(a, a) == a
+      val bounded = agg.merge(a, b).length <= 5
+      val exact = agg.merge(a, b) == (a ++ b).distinct.sorted.take(5)
+      comm && assoc && idem && bounded && exact
+    })
+  }
+
+  test("frameOffsets tiles any payload exactly for any frame count") {
+    check(Prop.forAll(Gen.chooseNum(0, 10000), Gen.chooseNum(1, 64)) { (n, k) =>
+      val offs = Media.frameOffsets(n, k)
+      offs.length == k && offs.head._1 == 0 && offs.last._2 == n &&
+        offs.forall { case (s, e) => s <= e } &&
+        offs.sliding(2).forall {
+          case Seq((_, e1), (s2, _)) => e1 == s2
+          case _ => true
+        }
+    })
+  }
+
+  test("SCD2: random batch sequences keep exactly one current row per key") {
+    val batchGen = Gen.nonEmptyListOf(for {
+      key <- Gen.chooseNum(1L, 4L)
+      value <- Gen.oneOf("a", "b", "c")
+    } yield (key, value))
+    val seqGen = Gen.listOfN(4, batchGen)
+
+    check(Prop.forAll(seqGen) { batches =>
+      var hist: DataFrame = Scd2.prepare(
+        Seq.empty[(Long, String, Timestamp)].toDF("id", "v", "t"),
+        Seq("v"), "t").limit(0)
+      var t = 0
+      batches.foreach { rows =>
+        t += 1
+        val batch = Scd2.prepare(
+          rows.zipWithIndex.map { case ((k, v), i) =>
+            (k, v, Timestamp.valueOf(f"2024-01-01 00:$t%02d:${i % 60}%02d"))
+          }.toDF("id", "v", "t"),
+          Seq("v"), "t")
+        hist = Scd2.apply(hist, batch, Seq("id"), Seq("t"))
+      }
+      val rows = hist.select("id", "valid_from", "valid_to", "is_current")
+        .collect()
+      val byKey = rows.groupBy(_.getLong(0))
+      val oneCurrent = byKey.values.forall(_.count(_.getBoolean(3)) == 1)
+      val closedOrdered = rows.filter(!_.getBoolean(3)).forall(r =>
+        r.getTimestamp(1).before(r.getTimestamp(2)) ||
+          r.getTimestamp(1).equals(r.getTimestamp(2)))
+      val currentOpen = rows.filter(_.getBoolean(3)).forall(_.isNullAt(2))
+      oneCurrent && closedOrdered && currentOpen
+    }, n = 8)
+  }
+
+  test("FAIL runs (null ts) never clear the stored watermark: coalesce(s,t)") {
+    val stepGen = Gen.listOfN(8, Gen.option(Gen.chooseNum(0L, 1000L)))
+    check(Prop.forAll(stepGen) { steps =>
+      val root = Files.createTempDirectory("graft-prop-wm").toString + "/c"
+      val runAt = Timestamp.valueOf("2024-01-01 00:00:00")
+      var expected = Option.empty[Long] // last non-null ts survives any FAILs
+      steps.zipWithIndex.forall { case (tsOpt, i) =>
+        val ts = tsOpt.map(o => new Timestamp(1700000000000L + o * 1000))
+        Watermarks.advance(spark, root, "job", ts,
+          if (tsOpt.isDefined) "OK" else s"FAIL:$i", runAt)
+        expected = tsOpt.orElse(expected)
+        val stored = Watermarks.read(spark, root, "job")
+          .map(t => (t.getTime - 1700000000000L) / 1000)
+        stored == expected
+      }
+    }, n = 6)
+  }
+}
