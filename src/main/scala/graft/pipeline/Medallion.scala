@@ -147,6 +147,14 @@ object Medallion {
     AtomicRewrite.write(spark, target, next)
   }
 
+  /** SCD2 hist dim: the full silver history conformed into gold (all
+    * versions + dwh_loaded_at) — reference hist/dim_driver.py. */
+  def goldScd2Hist(spark: SparkSession, paths: Paths, entity: String,
+                   now: Timestamp): Unit =
+    AtomicRewrite.write(spark, paths.gold(s"dim_${entity}_hist"),
+      AtomicRewrite.read(spark, paths.silver(entity))
+        .withColumn("dwh_loaded_at", lit(now)))
+
   /** SCD3 dim: current + prev_* columns from rank-1/rank-2 versions
     * (reference: src/gold/_conformed/scd3/dim_driver.py:48-81). */
   def goldScd3(spark: SparkSession, paths: Paths, entity: String,

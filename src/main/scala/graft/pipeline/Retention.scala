@@ -13,6 +13,28 @@ import java.sql.Timestamp
   */
 object Retention {
 
+  /** Bronze retention: drop whole `load_date=<d>` partition directories
+    * older than `days` — a metadata-cheap partition drop, never a row scan
+    * (the correct shape for an append-only 100 TB bronze). Returns the
+    * number of partitions dropped. */
+  def trimBronzePartitions(spark: SparkSession, root: String, days: Int,
+                           asOf: Timestamp): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val cutoff = new Timestamp(asOf.getTime - days * 86400000L)
+      .toLocalDateTime.toLocalDate
+    val old = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("load_date="))
+      .filter { s =>
+        val d = s.getPath.getName.stripPrefix("load_date=")
+        java.time.LocalDate.parse(d).isBefore(cutoff)
+      }
+    old.foreach(s => fs.delete(s.getPath, true))
+    old.size
+  }
+
   /** Keep only rows with `tsCol` within `days` of `asOf`; returns rows
     * dropped. Closed SCD2 history can additionally be bounded with
     * `onlyClosed` so current rows never expire. */
