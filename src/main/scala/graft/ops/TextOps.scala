@@ -59,6 +59,28 @@ object TextOps {
   def band(minhashes: Seq[Column]): Column =
     sha2(concat_ws("|", minhashes: _*), 256)
 
+  /** Rabin-Karp rolling-hash machinery: token value = 28-bit sha prefix,
+    * window hash = polynomial fold mod P (B=1000003, P=2^31-1). All
+    * arithmetic stays under 2^52 — exact in any engine's BIGINT. */
+  val RollB = 1000003L
+  val RollP = 2147483647L
+
+  /** 28-bit integer value of a token (first 7 hex chars of its sha256). */
+  def tokenValue(tok: Column): Column =
+    conv(substring(sha2(tok, 256), 1, 7), 16, 10).cast("long")
+
+  /** Polynomial hash of one token window: ((v1·B + v2)·B + …) mod P. */
+  def windowHash(window: Column): Column =
+    aggregate(transform(window, tokenValue(_)),
+      lit(0L), (acc, v) => (acc * RollB + v) % RollP)
+
+  /** Min rolling-window hash per document (winnowing-style fingerprint):
+    * min over all k-token windows of the polynomial hash. */
+  def rollingMinHash(toks: Column, k: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => windowHash(slice(toks, i, lit(k)))))
+
   /** SimHash bit b (0-based, little-endian within hex nibbles) of one
     * token's sha256: bit (b%4) of hex digit (b/4+1) of the hash prefix. */
   def tokenBit(tok: Column, b: Int): Column = {

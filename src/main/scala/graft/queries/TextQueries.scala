@@ -127,6 +127,13 @@ object TextQueries {
         .filter(col("est_jaccard") >= 0.5)
     }),
 
+    // True rolling hash (Rabin-Karp polynomial mod 2^31-1) over 5-token
+    // windows; fingerprint = min window hash (winnowing) + window count.
+    "q44_rolling_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        greatest(size(toks) - lit(4), lit(1)).cast("long").as("n_windows"),
+        TextOps.rollingMinHash(toks, 5).as("min_window_hash"))),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -229,6 +236,16 @@ object TextQueries {
          |        FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT * FROM est WHERE est_jaccard >= 0.5""".stripMargin
     },
+    "q44_rolling_hash" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, CAST(greatest(len(toks) - 4, 1) AS BIGINT) AS n_windows,
+         |  list_min(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+         |    i -> list_reduce(
+         |           list_transform(toks[i:i+4],
+         |             x -> ('0x' || substr(sha256(x), 1, 7))::BIGINT),
+         |           (acc, v) -> (acc * 1000003 + v) % 2147483647))) AS min_window_hash
+         |FROM t)
+         |SELECT doc_id, n_windows, min_window_hash FROM w""".stripMargin,
     "q37_simhash" -> {
       val sums = (0 until 32).map(b =>
         s"  sum(${simhashBitSql(b)} * 2 - 1) AS b$b").mkString(",\n")

@@ -53,6 +53,35 @@ object VectorQueries {
         .filter(col("rank") <= 5)
     }),
 
+    // IVF-style ANN: deterministic centroid subset partitions the corpus
+    // into cells (argmax-cosine assignment); queries probe only their
+    // nearest centroid's cell (nprobe=1). The 100 TB path: the assignment
+    // is a narrow map vs. K broadcast centroids, and the corpus can be
+    // physically partitioned by centroid_id so a probe reads one cell.
+    "q45_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
+      def assign(df: DataFrame, idCol: String): DataFrame =
+        df.crossJoin(cents)
+          .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
+          .withColumn("__rn", row_number().over(Window.partitionBy(idCol)
+            .orderBy(col("__c_cos").desc, col("centroid_id"))))
+          .filter(col("__rn") === 1)
+          .drop("__c_cos", "__rn", "cv")
+      val cells = assign(e, "vec_id")
+      val queries = assign(e.filter(col("vec_id") % 50 === 0), "vec_id")
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("centroid_id"))
+      cells.join(broadcast(queries), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("centroid_id"), cosN(col("qv"), col("embedding")).as("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -92,6 +121,24 @@ object VectorQueries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM c)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q45_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+         |      FROM cells WHERE vec_id % 50 = 0),
+         |cand AS (SELECT q.query_id, cells.vec_id AS neighbor_id, q.centroid_id,
+         |           ${cosSql("q.qv", "cells.embedding")} AS cos_sim
+         |         FROM q JOIN cells USING (centroid_id)
+         |         WHERE cells.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM cand)
+         |SELECT query_id, neighbor_id, centroid_id, cos_sim, rank
+         |FROM r WHERE rank <= 3""".stripMargin,
     "q40_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 50 = 0),
