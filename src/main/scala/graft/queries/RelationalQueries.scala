@@ -254,6 +254,25 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
     }),
 
+    // As-of join (no Spark built-in): for each event, the latest order of
+    // that customer as of the event time — union+window merge formulation,
+    // one shuffle, no per-key range cross-product.
+    "q46_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey").desc)
+      val ordersDedup = T(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      val ev = T(s, dir, "events").select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.leftAsOf(ev, ordersDedup,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey").as("last_order_key"),
+          col("asof_o_totalprice").as("last_order_price"))
+    }),
+
     // Skew-safe two-phase salted aggregation: identical result to a direct
     // groupBy (the oracle), but the hot key spreads over 32 reducers first.
     "q43_salted_agg" -> ((s, dir) =>
@@ -491,6 +510,16 @@ object RelationalQueries {
         | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q46_asof_join" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |              row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                ORDER BY o_orderkey DESC) AS rn FROM orders),
+        |odd AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM od WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, odd.o_orderkey AS last_order_key,
+        |       odd.o_totalprice AS last_order_price
+        |FROM e ASOF LEFT JOIN odd
+        |  ON e.user_id = odd.o_custkey AND e.ts >= odd.o_orderdate""".stripMargin,
     "q43_salted_agg" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
