@@ -69,17 +69,19 @@ object TextOps {
   def tokenValue(tok: Column): Column =
     conv(substring(sha2(tok, 256), 1, 7), 16, 10).cast("long")
 
-  /** Polynomial hash of one token window: ((v1·B + v2)·B + …) mod P. */
-  def windowHash(window: Column): Column =
-    aggregate(transform(window, tokenValue(_)),
-      lit(0L), (acc, v) => (acc * RollB + v) % RollP)
+  /** Polynomial hash of one window of precomputed token VALUES:
+    * ((v1·B + v2)·B + …) mod P. */
+  def windowHash(valueWindow: Column): Column =
+    aggregate(valueWindow, lit(0L), (acc, v) => (acc * RollB + v) % RollP)
 
-  /** Min rolling-window hash per document (winnowing-style fingerprint):
-    * min over all k-token windows of the polynomial hash. */
-  def rollingMinHash(toks: Column, k: Int): Column =
+  /** Min rolling-window hash over a precomputed token-value array
+    * (winnowing-style fingerprint). Materialize the values column first
+    * (one sha per token) — hashing tokens inside the window transform
+    * would recompute each token's sha k times. */
+  def rollingMinHash(tokenValues: Column, k: Int): Column =
     array_min(transform(
-      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
-      i => windowHash(slice(toks, i, lit(k)))))
+      sequence(lit(1), greatest(size(tokenValues) - lit(k - 1), lit(1))),
+      i => windowHash(slice(tokenValues, i, lit(k)))))
 
   /** SimHash bit b (0-based, little-endian within hex nibbles) of one
     * token's sha256: bit (b%4) of hex digit (b/4+1) of the hash prefix. */

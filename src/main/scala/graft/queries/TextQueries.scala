@@ -130,9 +130,12 @@ object TextQueries {
     // True rolling hash (Rabin-Karp polynomial mod 2^31-1) over 5-token
     // windows; fingerprint = min window hash (winnowing) + window count.
     "q44_rolling_hash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        greatest(size(toks) - lit(4), lit(1)).cast("long").as("n_windows"),
-        TextOps.rollingMinHash(toks, 5).as("min_window_hash"))),
+      docs(s, dir)
+        .select(col("doc_id"),
+          transform(toks, TextOps.tokenValue(_)).as("vals"))
+        .select(col("doc_id"),
+          greatest(size(col("vals")) - lit(4), lit(1)).cast("long").as("n_windows"),
+          TextOps.rollingMinHash(col("vals"), 5).as("min_window_hash"))),
 
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
