@@ -268,6 +268,28 @@ object MobilityDomain {
         "plate_number" -> (_ => concat(lit("ANON-PLATE-"), col("vehicle_id")))))
     }
 
+  /** Payments carry no subject key: derive the affected trip ids from
+    * silver trips, then scrub provider_ref update-only (reference
+    * gdpr_propagate_erasure.py:658-719). */
+  def scrubPaymentsForPassengers(spark: org.apache.spark.sql.SparkSession,
+                                 passengerIds: DataFrame,
+                                 silverTripsRoot: String,
+                                 silverPaymentsRoot: String): Long = {
+    import graft.tx.{AtomicRewrite, Upsert}
+    if (!AtomicRewrite.exists(spark, silverTripsRoot) ||
+      !AtomicRewrite.exists(spark, silverPaymentsRoot)) return 0L
+    val tripIds = AtomicRewrite.read(spark, silverTripsRoot)
+      .join(broadcast(passengerIds.toDF("__sid")),
+        col("passenger_id") === col("__sid"))
+      .select("trip_id").distinct()
+    val payments = AtomicRewrite.read(spark, silverPaymentsRoot)
+    val next = Upsert.updateOnly(payments, tripIds, Seq("trip_id"),
+      Map("provider_ref" -> (_ => lit(null).cast("string"))),
+      extraCond = col("provider_ref").isNotNull)
+    AtomicRewrite.write(spark, silverPaymentsRoot, next)
+    tripIds.count()
+  }
+
   /** Comment/note scrubs, update-only where non-null (reference :495-604). */
   def scrubPolicies: Seq[Gdpr.Policy] = Seq(
     Gdpr.Policy("silver/ratings", "passenger_id",

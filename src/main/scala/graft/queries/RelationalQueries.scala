@@ -254,6 +254,37 @@ object RelationalQueries {
           sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
     }),
 
+    // Bucketized range join (points-in-interval): events matched into
+    // their user's 30-min-gap sessions. The naive theta-join explodes
+    // per-key; instead intervals explode to hour buckets and the join is
+    // EQUI on (user, hour) + a residual range filter — the standard
+    // scale-out range-join shape (each event lands in exactly one bucket,
+    // so no dedup needed).
+    "q47_range_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = T(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val buckets = sessions.select(col("user_id"), col("session_seq"),
+        col("s_start"), col("s_end"),
+        explode(sequence(date_trunc("hour", col("s_start")),
+          date_trunc("hour", col("s_end")), expr("interval 1 hour"))).as("hb"))
+      val ev = T(s, dir, "events").select(col("event_id"),
+        col("user_id"), col("ts"), date_trunc("hour", col("ts")).as("hb"))
+      ev.join(buckets, Seq("user_id", "hb"))
+        .filter(col("ts") >= col("s_start") && col("ts") <= col("s_end"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_in_range"),
+          countDistinct(col("event_id")).as("n_distinct_events"))
+    }),
+
     // As-of join (no Spark built-in): for each event, the latest order of
     // that customer as of the event time — union+window merge formulation,
     // one shuffle, no per-key range cross-product.
@@ -510,6 +541,21 @@ object RelationalQueries {
         | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q47_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+        |        CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq FROM n),
+        |iv AS (SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+        |       FROM s GROUP BY 1, 2)
+        |SELECT iv.user_id, CAST(iv.session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_in_range, count(DISTINCT e.event_id) AS n_distinct_events
+        |FROM iv JOIN e ON e.user_id = iv.user_id
+        |  AND e.ts >= iv.s_start AND e.ts <= iv.s_end
+        |GROUP BY 1, 2""".stripMargin,
     "q46_asof_join" ->
       """WITH od AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
         |              row_number() OVER (PARTITION BY o_custkey, o_orderdate

@@ -201,6 +201,14 @@ class MobilityE2ESpec extends SparkSpec {
       .filter(col("passenger_id") === 1L).select("cancel_note").collect()(0).isNullAt(0))
     // facts/aggregates unaffected (no PII there)
     assert(AtomicRewrite.read(spark, paths.gold("fact_trips")).count() == 2)
+
+    // payments scrub via derived trip ids: provider_ref of trip 100 nulled
+    val n = MobilityDomain.scrubPaymentsForPassengers(spark, Seq(1L).toDF("id"),
+      paths.silver("trips"), paths.silver("payments"))
+    assert(n == 1L)
+    assert(AtomicRewrite.read(spark, paths.silver("payments"))
+      .filter(col("trip_id") === 100L).select("provider_ref")
+      .collect()(0).isNullAt(0))
   }
 
   test("bronze retention drops whole expired load_date partitions") {
