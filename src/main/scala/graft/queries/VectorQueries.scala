@@ -82,6 +82,22 @@ object VectorQueries {
         .filter(col("rank") <= 3)
     }),
 
+    // Quantized ANN: int8 vectors (8x smaller), ranking by exact integer
+    // dot product — the memory-bandwidth scale path for a 100 TB corpus.
+    "q49_ann_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("qv8"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("qv8").as("q8"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.intDot(col("q8"), col("qv8")).as("qdot"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("qdot").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -139,6 +155,23 @@ object VectorQueries {
          |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM cand)
          |SELECT query_id, neighbor_id, centroid_id, cos_sim, rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q49_ann_quantized" -> {
+      val q8 =
+        """list_transform(embedding::DOUBLE[],
+          |   x -> CAST(round((x * 127.0) / mx) AS INT))""".stripMargin.replace("\n", " ")
+      s"""WITH m AS (SELECT vec_id,
+         |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx,
+         |  embedding FROM embeddings),
+         |e AS (SELECT vec_id, $q8 AS qv8 FROM m),
+         |q AS (SELECT vec_id AS query_id, qv8 AS q8 FROM e WHERE vec_id % 50 = 0),
+         |c AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |        list_reduce(list_transform(list_zip(q8, e.qv8),
+         |          x -> CAST(x[1] AS BIGINT) * x[2]), (p, v) -> p + v) AS qdot
+         |      FROM q, e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM c)
+         |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin
+    },
     "q40_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 50 = 0),
