@@ -163,6 +163,7 @@ object TextQueries {
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
       var labels = d.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      var prev: Option[DataFrame] = None
       var converged = false
       var iter = 0
       while (!converged && iter < 10) {
@@ -177,9 +178,13 @@ object TextQueries {
         converged = next.alias("n")
           .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
           .filter(col("n.cluster_id") =!= col("o.cluster_id")).isEmpty
+        prev.foreach(_.unpersist()) // next is materialized; release old labels
+        prev = Some(next)
         labels = next
         iter += 1
       }
+      sh.unpersist()
+      edges.unpersist() // final labels are persisted+materialized above
       labels.withColumn("is_duplicate", col("cluster_id") =!= col("doc_id"))
     }),
 
