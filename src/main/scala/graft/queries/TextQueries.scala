@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** The corpus ships as one small parquet file → one partition → the
+    * heavy per-doc maps (shingling, hashing) would run on one core.
+    * Spread it once; at real scale the many-file scan partitions itself
+    * and this becomes a no-op-sized exchange. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
 
   private def toks: Column = TextOps.tokens(col("text"))
 

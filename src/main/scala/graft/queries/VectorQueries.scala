@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** Single-file corpus → spread the pairwise cosine work across cores
+    * (see TextQueries.docs). */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Codegen'd cosine ([[graft.functions.CosineSimilarity]]) — one tight
     * primitive loop per pair inside whole-stage codegen, bit-identical to

@@ -1,0 +1,23 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle a table ONCE at write time so every
+  * later equi-join/aggregation on the bucket key runs shuffle-free.
+  *
+  * At 100 TB the win is structural: a fact bucketed by its join key meets
+  * a dimension bucketed the same way with zero exchanges — the cluster
+  * never moves the big table again. Requirements Spark enforces: same
+  * bucket count both sides, join on the bucket column, bucketing enabled
+  * (`spark.sql.sources.bucketing.enabled`, default true).
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
