@@ -233,6 +233,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
     }),
 
+    // TPC-H Q17 shape (correlated scalar subquery, hand-decorrelated the
+    // way Catalyst would): lineitems below 20% of their part's average
+    // quantity. The threshold compare is kept in exact arithmetic
+    // (5·qty·count < Σqty) so both engines agree bit-for-bit.
+    "q50_small_qty_revenue" -> ((s, dir) => {
+      val stats = T(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(38, 6))).cast("double").as("sumq"))
+      T(s, dir, "lineitem")
+        .join(stats, "l_partkey")
+        .filter(col("l_quantity") * 5 * col("cnt") < col("sumq"))
+        .agg(count(lit(1)).as("n_small"),
+          dsum("l_extendedprice").as("sum_revenue"))
+    }),
+
     // Gap-based sessionization (30-min inactivity): lag + running cumsum,
     // then per-session aggregate — the batch twin of the streaming
     // flatMapGroupsWithState sessionizer in graft.streaming.
@@ -541,6 +556,14 @@ object RelationalQueries {
         | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q50_small_qty_revenue" ->
+      """WITH stats AS (SELECT l_partkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sumq
+        |FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_revenue
+        |FROM lineitem JOIN stats USING (l_partkey)
+        |WHERE l_quantity * 5 * cnt < sumq""".stripMargin,
     "q47_range_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
