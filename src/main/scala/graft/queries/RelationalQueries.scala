@@ -233,6 +233,32 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
     }),
 
+    // TPC-H Q7 shape: nation-pair volume shipping — two roles of the same
+    // dim (customer nation, supplier nation) with a pair predicate,
+    // yearly revenue rollup.
+    "q51_volume_shipping" -> ((s, dir) => {
+      val n1 = T(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      val n2 = T(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .filter((col("cust_nation") === "NATION_10" && col("supp_nation") === "NATION_9") ||
+          (col("cust_nation") === "NATION_9" && col("supp_nation") === "NATION_10"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q17 shape (correlated scalar subquery, hand-decorrelated the
     // way Catalyst would): lineitems below 20% of their part's average
     // quantity. The threshold compare is kept in exact arithmetic
@@ -556,6 +582,20 @@ object RelationalQueries {
         | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q51_volume_shipping" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        | CAST(year(l_shipdate) AS INT) AS ship_year,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+        |   OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q50_small_qty_revenue" ->
       """WITH stats AS (SELECT l_partkey, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sumq
