@@ -85,8 +85,13 @@ object TextOps {
 
   /** SimHash bit b (0-based, little-endian within hex nibbles) of one
     * token's sha256: bit (b%4) of hex digit (b/4+1) of the hash prefix. */
-  def tokenBit(tok: Column, b: Int): Column = {
-    val hexDigit = substring(sha2(tok, 256), b / 4 + 1, 1)
+  def tokenBit(tok: Column, b: Int): Column = hashBit(sha2(tok, 256), b)
+
+  /** Same bit extraction over an ALREADY-COMPUTED sha256 hex column —
+    * hash each token once, then read all 32 bits from the stored hex
+    * (32× fewer digests than hashing inside each bit expression). */
+  def hashBit(hashHex: Column, b: Int): Column = {
+    val hexDigit = substring(hashHex, b / 4 + 1, 1)
     val v = instr(lit("0123456789abcdef"), hexDigit) - lit(1)
     floor(v / math.pow(2, b % 4).toInt).cast("int") % 2
   }

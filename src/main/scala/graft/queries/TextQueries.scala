@@ -196,10 +196,11 @@ object TextQueries {
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
+        .select(col("doc_id"), sha2(col("t"), 256).as("h")) // one sha/token
       val sums = tok.groupBy("doc_id").agg(
-        sum(TextOps.tokenBit(col("t"), 0) * 2 - lit(1)).as("b0"),
+        sum(TextOps.hashBit(col("h"), 0) * 2 - lit(1)).as("b0"),
         (1 until 32).map(b =>
-          sum(TextOps.tokenBit(col("t"), b) * 2 - lit(1)).as(s"b$b")): _*)
+          sum(TextOps.hashBit(col("h"), b) * 2 - lit(1)).as(s"b$b")): _*)
       sums.select(col("doc_id"),
         concat_ws("", (0 until 32).map(b =>
           when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("simhash"))
