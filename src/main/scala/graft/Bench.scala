@@ -27,7 +27,12 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release any caches a query persisted — in a 50+-query single
+      // session, leaked persists compound memory pressure for the rest of
+      // the suite (round-1 bench pathology)
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

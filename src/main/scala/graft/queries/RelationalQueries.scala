@@ -37,7 +37,11 @@ object RelationalQueries {
         Cleansing.normLower(col("c_mktsegment")).as("segment"),
         Cleansing.scrubNullLike(col("c_mktsegment")).as("segment_scrubbed"),
         col("c_nationkey").cast("long").as("nation_id"),
-        col("c_acctbal").cast(DecimalType(12, 2)).as("acctbal_dec"))),
+        // round-to-2 as DOUBLE, not DECIMAL: Spark casts double→decimal
+        // HALF_UP while DuckDB rounds half-even, and decimal repr differs
+        // across engines — a DOUBLE no-op round (acctbal already has 2dp)
+        // is bit-identical in both.
+        round(col("c_acctbal"), 2).as("acctbal_round"))),
 
     // P2: predicate pushdown filter + per-row arithmetic
     "q02_filter_project" -> ((s, dir) =>
@@ -160,10 +164,25 @@ object RelationalQueries {
         .unionByName(dim.select(col("priority_key"), col("priority")))
     }),
 
-    // P10: xxhash64 surrogate keys (Spark-specific → rows-only check)
-    "q15_surrogate_keys" -> ((s, dir) =>
-      T(s, dir, "orders").select(col("o_orderpriority").as("priority")).distinct()
-        .withColumn("priority_key", ScdHash.surrogateKey(col("priority")))),
+    // P10: xxhash64 surrogate keys. xxhash64 does not exist in DuckDB, so
+    // the output is the set of oracle-checkable invariants instead of the
+    // raw keys: range [1, 2147483646] (0 reserved for UNKNOWN), uniqueness
+    // (bijective over the 5 priorities), and determinism (two independent
+    // derivations agree — task-retry safety).
+    "q15_surrogate_keys" -> ((s, dir) => {
+      val base = T(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority")).distinct()
+      val keyed = base.withColumn("priority_key", ScdHash.surrogateKey(col("priority")))
+      val again = base.select(col("priority"),
+        ScdHash.surrogateKey(col("priority")).as("priority_key2"))
+      keyed.join(again, Seq("priority"))
+        .withColumn("uniq",
+          count(lit(1)).over(Window.partitionBy(col("priority_key"))) === 1)
+        .select(col("priority"),
+          (col("priority_key") >= 1 && col("priority_key") <= 2147483646L).as("in_range"),
+          col("uniq").as("is_unique"),
+          (col("priority_key") === col("priority_key2")).as("stable"))
+    }),
 
     // O4/O5: calendar spine via sequence+explode
     "q16_date_spine" -> ((s, dir) =>
@@ -360,7 +379,10 @@ object RelationalQueries {
         .select(col("event_type"),
           sha2(col("user_id").cast("string"), 256).as("h"))
         .groupBy("event_type")
-        .agg(bk(col("h")).as("bottom_k"))
+        .agg(bk(col("h")).as("bk"))
+        // flatten to a scalar string: the driver's pandas row-sort cannot
+        // hash an array<string> column (CORRECTNESS_r01 q28 crash).
+        .select(col("event_type"), array_join(col("bk"), ",").as("bottom_k"))
     }),
 
     // HLL opt-in (A2 extension): approximate distinct beside the exact
@@ -441,7 +463,7 @@ object RelationalQueries {
         | CASE WHEN lower(trim(c_mktsegment)) IN ('null','n/a','none','-','') THEN NULL
         |      ELSE trim(c_mktsegment) END AS segment_scrubbed,
         | CAST(c_nationkey AS BIGINT) AS nation_id,
-        | CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec
+        | round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal_round
         |FROM customer""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
@@ -512,6 +534,10 @@ object RelationalQueries {
         |UNION ALL
         |SELECT CAST(row_number() OVER (ORDER BY priority) AS INT), priority
         |FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders)""".stripMargin,
+    "q15_surrogate_keys" ->
+      """SELECT o_orderpriority AS priority, true AS in_range, true AS is_unique,
+        |       true AS stable
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin,
     "q16_date_spine" ->
       """WITH mm AS (SELECT CAST(min(o_orderdate) AS DATE) mn, CAST(max(o_orderdate) AS DATE) mx FROM orders),
         |days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS date FROM mm)
@@ -635,7 +661,8 @@ object RelationalQueries {
         |FROM orders GROUP BY 1""".stripMargin,
     "q28_bottomk_sketch" ->
       """SELECT event_type,
-        | list_sort(list(DISTINCT sha256(CAST(user_id AS VARCHAR))))[1:8] AS bottom_k
+        | array_to_string(list_sort(list(DISTINCT sha256(CAST(user_id AS VARCHAR))))[1:8], ',')
+        |   AS bottom_k
         |FROM events GROUP BY 1""".stripMargin,
     "q29_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Single-file corpus → spread the pairwise cosine work across cores
-    * (see TextQueries.docs). */
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+  /** Single-file corpus → spread the pairwise cosine work across cores —
+    * only when the scan under-partitions (see TextQueries.docs); at real
+    * scale the multi-file scan self-partitions and this is a no-op. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val p = s.sparkContext.defaultParallelism
+    if (e.rdd.getNumPartitions < p) e.repartition(p) else e
+  }
 
   /** Codegen'd cosine ([[graft.functions.CosineSimilarity]]) — one tight
     * primitive loop per pair inside whole-stage codegen, bit-identical to
