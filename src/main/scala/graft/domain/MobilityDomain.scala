@@ -39,10 +39,15 @@ object MobilityDomain {
   val trips: Medallion.SilverConf = Medallion.SilverConf(
     entity = "trips",
     keys = Seq("trip_id"),
+    // exact reference hash-column list AND order
+    // (trips_bronze_to_silver.py:285-319) — incl. lat/lng, cancel_by and
+    // source_system, so a change to any of them opens a new SCD2 version
     businessCols = Seq("passenger_id", "driver_id", "vehicle_id",
       "pickup_zone_id", "dropoff_zone_id", "status", "requested_at",
-      "accepted_at", "started_at", "ended_at", "canceled_at", "cancel_reason",
-      "estimated_distance_km", "actual_distance_km", "fare_amount"),
+      "accepted_at", "started_at", "ended_at", "canceled_at",
+      "estimated_distance_km", "actual_distance_km",
+      "start_lat", "start_lng", "end_lat", "end_lng",
+      "cancel_reason", "cancel_by", "fare_amount", "source_system"),
     clean = df => {
       val c1 = cast(df,
         "trip_id" -> "long", "passenger_id" -> "long", "driver_id" -> "long",
@@ -61,18 +66,42 @@ object MobilityDomain {
         .withColumn("actual_distance_km", nonNegativeOrNull(col("actual_distance_km")))
         .withColumn("fare_amount", nonNegativeOrNull(col("fare_amount")))
     },
+    // exact reference formulas (trips_bronze_to_silver.py:222-281): every
+    // flag is non-NULL (comparisons guarded by isNotNull / when-otherwise),
+    // distance flags key on literal 'completed'/'started' statuses, and
+    // is_distance_outlier reads the distance_diff_km flag column (flags
+    // apply in order, so it is in scope)
     flags = Seq(
       "has_distance_in_invalid_status" ->
-        (col("actual_distance_km").isNotNull && !col("status").isin(CompletedSet: _*)),
+        when(col("actual_distance_km").isNotNull &&
+          col("actual_distance_km") > 0 &&
+          !col("status").isin("completed", "started"), lit(true))
+          .when(col("actual_distance_km").isNull &&
+            col("status").isin("completed"), lit(true))
+          .otherwise(lit(false)),
       "distance_diff_km" ->
-        (col("actual_distance_km") - col("estimated_distance_km")),
+        when(col("actual_distance_km").isNotNull &&
+          col("estimated_distance_km").isNotNull &&
+          col("status") === "completed",
+          col("actual_distance_km") - col("estimated_distance_km"))
+          .otherwise(lit(null)),
       "is_distance_outlier" ->
-        (abs(col("actual_distance_km") - col("estimated_distance_km")) > 10),
+        when(col("actual_distance_km").isNotNull &&
+          col("estimated_distance_km").isNotNull &&
+          abs(col("distance_diff_km")) > 10, lit(true))
+          .otherwise(lit(false)),
       "completed_but_ended_at_null" ->
-        (col("status").isin(CompletedSet: _*) && col("ended_at").isNull),
-      "accepted_before_requested" -> (col("accepted_at") < col("requested_at")),
-      "started_before_accepted" -> (col("started_at") < col("accepted_at")),
-      "ended_before_started" -> (col("ended_at") < col("started_at"))))
+        when(col("status") === "completed" && col("ended_at").isNull, lit(true))
+          .otherwise(lit(false)),
+      "accepted_before_requested" ->
+        (col("accepted_at").isNotNull && col("requested_at").isNotNull &&
+          col("accepted_at") < col("requested_at")),
+      "started_before_accepted" ->
+        (col("started_at").isNotNull && col("accepted_at").isNotNull &&
+          col("started_at") < col("accepted_at")),
+      "ended_before_started" ->
+        (col("ended_at").isNotNull && col("started_at").isNotNull &&
+          col("ended_at") < col("started_at"))))
 
   val passengers: Medallion.SilverConf = Medallion.SilverConf(
     entity = "passengers",

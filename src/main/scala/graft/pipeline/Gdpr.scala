@@ -46,25 +46,36 @@ object Gdpr {
                 policies: Seq[Policy], tableRoot: String => String,
                 auditRoot: String, salt: String, now: Timestamp): DataFrame = {
     val ids = subjects.toDF("subject_id").distinct().cache()
-    policies.foreach { p =>
+    // only policies whose table actually exists are applied — and only
+    // those may claim audit rows (an audit entry for a never-rewritten
+    // table would falsely record columns as scrubbed)
+    val applied = policies.filter(p => AtomicRewrite.exists(spark, tableRoot(p.table)))
+    applied.foreach { p =>
       val root = tableRoot(p.table)
-      if (AtomicRewrite.exists(spark, root)) {
-        val t = AtomicRewrite.read(spark, root)
-        val next = Upsert.updateOnly(t, ids.select(col("subject_id").as(p.keyCol)),
-          Seq(p.keyCol), p.setCols, p.extraCond)
-        AtomicRewrite.write(spark, root, next)
-      }
+      val t = AtomicRewrite.read(spark, root)
+      val next = Upsert.updateOnly(t, ids.select(col("subject_id").as(p.keyCol)),
+        Seq(p.keyCol), p.setCols, p.extraCond)
+      AtomicRewrite.write(spark, root, next)
     }
-    val audit = policies.foldLeft(Option.empty[DataFrame]) { (acc, p) =>
-      val rows = ids.select(
+    if (applied.isEmpty) {
+      // nothing rewritten → nothing to audit; writing spark.emptyDataFrame
+      // (schemaless) to parquet would fail anyway
+      ids.unpersist()
+      return ids.limit(0).select(
+        lit("").as("subject_fingerprint"), lit(subjectType).as("subject_type"),
+        lit("").as("table_name"),
+        array().cast("array<string>").as("columns_scrubbed"),
+        lit(now).as("erased_at"))
+    }
+    val audit = applied.map { p =>
+      ids.select(
         ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
           .as("subject_fingerprint"),
         lit(subjectType).as("subject_type"),
         lit(p.table).as("table_name"),
         array(p.setCols.keys.toSeq.sorted.map(lit): _*).as("columns_scrubbed"),
         lit(now).as("erased_at"))
-      Some(acc.map(_.unionByName(rows)).getOrElse(rows))
-    }.getOrElse(spark.emptyDataFrame)
+    }.reduce(_ unionByName _)
     val next =
       if (AtomicRewrite.exists(spark, auditRoot))
         AtomicRewrite.read(spark, auditRoot).unionByName(audit)

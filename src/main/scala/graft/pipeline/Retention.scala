@@ -43,8 +43,11 @@ object Retention {
     if (!AtomicRewrite.exists(spark, root)) return 0L
     val t = AtomicRewrite.read(spark, root)
     val cutoff = new Timestamp(asOf.getTime - days * 86400000L)
-    val expired = col(tsCol) < lit(cutoff) &&
-      (if (onlyClosed) !col("is_current") else lit(true))
+    // NULL-explicit: under 3-valued logic a NULL tsCol (or is_current)
+    // would satisfy neither `expired` nor `!expired` and silently vanish
+    // from the rewrite. NULL ts ⇒ never expired.
+    val expired = col(tsCol).isNotNull && col(tsCol) < lit(cutoff) &&
+      (if (onlyClosed) !coalesce(col("is_current"), lit(true)) else lit(true))
     val dropped = t.filter(expired).count()
     if (dropped > 0) AtomicRewrite.write(spark, root, t.filter(!expired))
     dropped

@@ -49,9 +49,12 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Exactly-once event dedup within the watermark horizon. */
+  /** Exactly-once event dedup within the watermark horizon: duplicates are
+    * dropped on `event_id` alone, so a redelivery with a perturbed
+    * timestamp still dedups (the (id, ts)-exact form would not). */
   def dedupe(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
-    events.withWatermark("ts", lateness).dropDuplicates("event_id", "ts")
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization: a session closes when no event arrives for
     * `gapSeconds` of event time. Sessions are emitted on timeout, i.e.

@@ -1,6 +1,6 @@
 package graft.tx
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import java.nio.charset.StandardCharsets
@@ -31,22 +31,33 @@ object AtomicRewrite {
 
   private def pointer(root: String) = new Path(root, "_LATEST")
 
-  def exists(spark: SparkSession, root: String): Boolean = {
-    val f = fs(spark, new Path(root))
-    f.exists(pointer(root))
-  }
+  def exists(spark: SparkSession, root: String): Boolean =
+    currentVersion(spark, root).isDefined
 
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, new Path(root))
     val p = pointer(root)
-    if (!f.exists(p)) None
-    else {
+    if (f.exists(p)) {
+      // readFully, not a single read(): a short read would silently parse
+      // a truncated version number
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
       val in = f.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong)
-      } finally in.close()
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
+    } else {
+      // crash recovery: if the pointer was lost mid-swap, fall back to the
+      // newest fully-committed snapshot dir (_SUCCESS present — a staged
+      // but uncommitted v=N has none until the parquet job commits; the
+      // single-writer assumption means no concurrent stage is in flight
+      // when recovery runs)
+      val rootPath = new Path(root)
+      if (!f.exists(rootPath)) None
+      else f.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .filter(v => f.exists(new Path(root, s"v=$v/_SUCCESS")))
+        .sorted.lastOption
     }
   }
 
@@ -67,13 +78,22 @@ object AtomicRewrite {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(target.toString)
-    // Atomic pointer swap: write sidecar then rename over _LATEST.
+    // Atomic pointer swap: write sidecar then rename OVER the live
+    // _LATEST in one FS op (FileContext + Rename.OVERWRITE). A prior
+    // delete-then-rename had a window where readers saw no pointer and a
+    // crash lost it permanently; currentVersion's max-v recovery now also
+    // backstops that, but the swap itself should never expose the window.
     val tmp = new Path(root, s"._LATEST.${UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (f.exists(pointer(root))) f.delete(pointer(root), false)
-    if (!f.rename(tmp, pointer(root)))
-      throw new IllegalStateException(s"failed to commit pointer for $root")
+    try {
+      val fc = FileContext.getFileContext(rootPath.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, pointer(root), Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception =>
+        throw new IllegalStateException(s"failed to commit pointer for $root", e)
+    }
     vacuum(spark, root, keepVersions)
   }
 

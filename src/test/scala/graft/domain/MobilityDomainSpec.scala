@@ -32,7 +32,11 @@ class MobilityDomainSpec extends SparkSpec {
         None, None, None),
       // completed without ended_at; accepted before requested
       (3L, "Completed", Some(2.0), None, Some("2024-01-01 12:00:00"),
-        Some("2024-01-01 11:59:00"), None, None))
+        Some("2024-01-01 11:59:00"), None, None),
+      // completed with a 19 km diff -> outlier (only completed trips can
+      // be outliers per the reference: distance_diff_km is NULL otherwise)
+      (4L, "completed", Some(1.0), Some(20.0), Some("2024-01-01 13:00:00"),
+        Some("2024-01-01 13:01:00"), Some("2024-01-01 13:05:00"), Some("2024-01-01 13:40:00")))
       .toDF("trip_id", "status", "estimated_distance_km", "actual_distance_km",
         "requested_at", "accepted_at", "started_at", "ended_at")
       .select(col("trip_id"), col("status"), col("estimated_distance_km"),
@@ -63,9 +67,12 @@ class MobilityDomainSpec extends SparkSpec {
     assert(out(1L).isNullAt(3), "negative fare -> NULL")
     assert(!out(1L).getBoolean(4) && !out(1L).getBoolean(5))
     assert(out(2L).getBoolean(4), "distance in requested status")
-    assert(out(2L).getBoolean(5), "19km diff -> outlier")
+    assert(!out(2L).getBoolean(5), "non-completed trip is never an outlier (ref formula)")
+    assert(out(3L).getBoolean(4), "completed with NULL distance (ref second branch)")
     assert(out(3L).getBoolean(6), "completed but no ended_at (case-normalized)")
     assert(out(3L).getBoolean(7), "accepted before requested")
+    assert(out(4L).getBoolean(5), "completed with 19km diff -> outlier")
+    assert(!out(4L).getBoolean(4) && !out(4L).getBoolean(6))
   }
 
   test("passenger/driver/vehicle/payment/rating/zone flags fire correctly") {

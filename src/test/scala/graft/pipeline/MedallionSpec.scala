@@ -149,4 +149,37 @@ class MedallionSpec extends SparkSpec {
     val left = AtomicRewrite.read(spark, paths.silver("customer"))
     assert(left.count() == 3 && left.filter(col("is_current")).count() == 3)
   }
+
+  test("retention never deletes rows with a NULL timestamp") {
+    val r2 = Files.createTempDirectory("graft-ret-null").toString + "/t"
+    val t = Seq((1L, Some("2020-01-01 00:00:00")), (2L, None), (3L, Some("2025-01-01 00:00:00")))
+      .toDF("id", "paid_at").withColumn("paid_at", to_timestamp(col("paid_at")))
+    AtomicRewrite.write(spark, r2, t)
+    val dropped = Retention.trim(spark, r2, "paid_at", days = 30,
+      asOf = ts("2025-01-15 00:00:00"))
+    assert(dropped == 1L) // only id=1 expired; NULL-ts id=2 kept
+    val left = AtomicRewrite.read(spark, r2).select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L))
+  }
+
+  test("GDPR audit records only tables that exist; no-table run writes no audit") {
+    val r2 = Files.createTempDirectory("graft-gdpr-audit").toString
+    val now = ts("2024-01-01 00:00:00")
+    // none of the policy tables exist → no rewrite, no audit rows, and the
+    // audit table itself must not be created
+    val audit = Gdpr.propagate(spark, Seq(1L).toDF("id"), "customer",
+      Seq(Gdpr.Policy("silver/ghost", "id", Map("name" -> (_ => lit(null).cast("string"))))),
+      t => s"$r2/$t", s"$r2/audit", "s", now)
+    assert(audit.isEmpty)
+    assert(!AtomicRewrite.exists(spark, s"$r2/audit"))
+    // one real table + one ghost → audit rows only for the real one
+    AtomicRewrite.write(spark, s"$r2/silver/real",
+      Seq((1L, "x")).toDF("id", "name"))
+    val audit2 = Gdpr.propagate(spark, Seq(1L).toDF("id"), "customer",
+      Seq(
+        Gdpr.Policy("silver/real", "id", Map("name" -> (_ => lit(null).cast("string")))),
+        Gdpr.Policy("silver/ghost", "id", Map("name" -> (_ => lit(null).cast("string"))))),
+      t => s"$r2/$t", s"$r2/audit", "s", now)
+    assert(audit2.select("table_name").as[String].collect().toSeq == Seq("silver/real"))
+  }
 }

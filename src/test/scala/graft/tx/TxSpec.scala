@@ -70,6 +70,21 @@ class AtomicRewriteSpec extends SparkSpec {
     new java.io.File(s"$root/v=9").mkdirs()
     assert(AtomicRewrite.read(spark, root).as[String].collect().toSeq == Seq("committed"))
   }
+
+  test("lost _LATEST pointer recovers to the newest committed snapshot") {
+    val root = Files.createTempDirectory("graft-ar3").toString + "/t"
+    AtomicRewrite.write(spark, root, Seq(1).toDF("x"))
+    AtomicRewrite.write(spark, root, Seq(2).toDF("x"))
+    // crash scenario: the pointer file vanishes; staged-but-uncommitted
+    // v=9 (no _SUCCESS) must NOT be picked up
+    new java.io.File(s"$root/_LATEST").delete()
+    new java.io.File(s"$root/v=9").mkdirs()
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+    assert(AtomicRewrite.read(spark, root).as[Int].collect().toSeq == Seq(2))
+    // the next write resumes the version sequence instead of restarting at 0
+    AtomicRewrite.write(spark, root, Seq(3).toDF("x"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(2L))
+  }
 }
 
 class WatermarksSpec extends SparkSpec {
