@@ -238,20 +238,48 @@ object MobilityDomain {
     sum(col("actual_distance_km")).as("sum_distance_km"),
     avg(col("actual_distance_km")).as("avg_distance_km"))
 
-  /** agg_driver_daily measures keyed (trip_date_key, driver_id)
-    * (reference agg_driver_daily.py:175-197). */
+  /** agg_driver_daily measure list (reference agg_driver_daily.py:175-197). */
+  def driverDailyMeasures: Seq[Column] = Seq(
+    countDistinct(col("trip_id")).as("trips_count"),
+    sum(when(col("status").isin(CompletedSet: _*), 1).otherwise(0))
+      .cast("long").as("completed_trips"),
+    sum(when(col("status").isin(CancelledSet: _*), 1).otherwise(0))
+      .cast("long").as("canceled_trips"),
+    countDistinct(col("passenger_id")).as("unique_passengers"),
+    sum(coalesce(col("fare_amount"), lit(0.0))).as("total_fare_amount"),
+    sum(coalesce(col("actual_distance_km"), lit(0.0))).as("total_distance_km"))
+
+  /** Full-rebuild form of agg_driver_daily (used by specs; the pipeline
+    * path is the incremental [[goldAggDriverDaily]]). */
   def aggDriverDaily(fact: DataFrame): DataFrame =
     fact.groupBy(col("date_key").as("trip_date_key"), col("driver_id"))
-      .agg(
-        countDistinct(col("trip_id")).as("trips_count"),
-        sum(when(col("status").isin(CompletedSet: _*), 1).otherwise(0))
-          .cast("long").as("completed_trips"),
-        sum(when(col("status").isin(CancelledSet: _*), 1).otherwise(0))
-          .cast("long").as("canceled_trips"),
-        countDistinct(col("passenger_id")).as("unique_passengers"),
-        sum(coalesce(col("fare_amount"), lit(0.0))).as("total_fare_amount"),
-        sum(coalesce(col("actual_distance_km"), lit(0.0))).as("total_distance_km"),
-        max(col("raw_loaded_at")).as("max_raw_loaded_at"))
+      .agg(driverDailyMeasures.head, driverDailyMeasures.tail :+
+        max(col("raw_loaded_at")).as("max_raw_loaded_at"): _*)
+
+  /** agg_driver_daily as an affected-(trip_date_key, driver_id)-slice
+    * incremental aggregate over fact_trips, with the silver-trips fallback
+    * when the fact is absent (reference agg_driver_daily.py:96-104 source
+    * pick, :141-162 affected pairs, :245-282 composite-key merge). */
+  def goldAggDriverDaily(spark: org.apache.spark.sql.SparkSession,
+                         paths: Medallion.Paths): Unit = {
+    import graft.tx.AtomicRewrite
+    val factRoot = paths.gold("fact_trips")
+    val src0 =
+      if (AtomicRewrite.exists(spark, factRoot)) AtomicRewrite.read(spark, factRoot)
+      else AtomicRewrite.read(spark, paths.silver("trips"))
+    val src1 =
+      if (src0.columns.contains("is_current")) src0.filter(col("is_current")) else src0
+    val keyed =
+      if (src1.columns.contains("date_key"))
+        src1.withColumn("trip_date_key", col("date_key"))
+      else // silver fallback derives the grain from the trip timestamps
+        src1.withColumn("trip_date_key",
+          graft.ops.DateKeys.dateKey(Seq(col("requested_at"))))
+    val src = keyed.withColumn("driver_id",
+      coalesce(col("driver_id").cast("long"), lit(0L)))
+    Medallion.goldAggIncremental(spark, paths, "agg_driver_daily", src,
+      Seq("trip_date_key", "driver_id"), driverDailyMeasures)
+  }
 
   /** dim_payment_method (reference static/dim_payment.py:89-137): one row
     * per observed method with surrogate key, plus the UNKNOWN row. */
@@ -269,6 +297,76 @@ object MobilityDomain {
       lit(0).as("payment_method_key"),
       lit(false).as("is_cash"), lit(false).as("is_card"))
       .unionByName(dim)
+  }
+
+  /** Build/refresh the static dim_payment_method from silver payments
+    * (reference static/dim_payment.py:89-137). */
+  def buildDimPaymentMethod(spark: org.apache.spark.sql.SparkSession,
+                            paths: Medallion.Paths): Unit = {
+    import graft.tx.AtomicRewrite
+    AtomicRewrite.write(spark, paths.gold("dim_payment_method"),
+      dimPaymentMethod(AtomicRewrite.read(spark, paths.silver("payments"))))
+  }
+
+  /** fact_payments: incremental SCD1 snapshot, one row per payment_id
+    * (reference fact_payments.py:86-195):
+    *
+    *  - watermark = max(raw_loaded_at) in the target fact
+    *  - latest-per-payment_id inside the incremental batch
+    *  - payment_method_key = surrogate of lower(trim(method)) with
+    *    null-likes → 0, then VALIDATED against dim_payment_method — a key
+    *    the static dim has never seen goes to 0 (UNKNOWN), so the fact
+    *    never carries a dangling surrogate (fact_payments.py:117-161)
+    *  - payment_date_key from the paid_at → created_at → raw_loaded_at
+    *    coalesce chain, 0 if all NULL
+    *  - MERGE on payment_id guarded by newer raw_loaded_at
+    *
+    * Scale: the dim is tiny and broadcast; the merge shuffles once on
+    * payment_id — identical shape to Delta's MERGE. */
+  def factPayments(spark: org.apache.spark.sql.SparkSession,
+                   paths: Medallion.Paths, now: java.sql.Timestamp): Unit = {
+    import graft.tx.{AtomicRewrite, Upsert}
+    val target = paths.gold("fact_payments")
+    val exists = AtomicRewrite.exists(spark, target)
+    val silver0 = AtomicRewrite.read(spark, paths.silver("payments"))
+    val silver = (
+      if (silver0.columns.contains("is_current")) silver0.filter(col("is_current"))
+      else silver0
+    ).drop(graft.pipeline.Scd2.MetaCols.filterNot(_ == "scd_hash"): _*)
+    val wm: Option[java.sql.Timestamp] =
+      if (!exists) None
+      else Option(AtomicRewrite.read(spark, target)
+        .agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val inc = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
+      .getOrElse(silver)
+    if (wm.isDefined && inc.isEmpty) return
+    val latest = graft.ops.Dedup.latestPerKey(inc,
+      Seq(col("payment_id")), Seq(col("raw_loaded_at").desc))
+    val methodNorm = scrubNullLike(lower(col("method")))
+    val dateChain = Seq("paid_at", "created_at", "raw_loaded_at")
+      .filter(latest.columns.contains).map(col)
+    val fact0 = latest
+      .withColumn("payment_method_key",
+        when(methodNorm.isNull, lit(0))
+          .otherwise(graft.ops.ScdHash.surrogateKey(methodNorm)))
+      .withColumn("payment_date_key", graft.ops.DateKeys.dateKey(dateChain))
+      .withColumn("dwh_loaded_at", lit(now))
+    val dimPath = paths.gold("dim_payment_method")
+    val fact =
+      if (!AtomicRewrite.exists(spark, dimPath)) fact0
+      else {
+        val dim = AtomicRewrite.read(spark, dimPath)
+          .select(col("payment_method_key").cast("int").as("__pmk")).distinct()
+        fact0.join(broadcast(dim), col("payment_method_key") === col("__pmk"), "left")
+          .withColumn("payment_method_key",
+            when(col("__pmk").isNull, lit(0)).otherwise(col("payment_method_key")))
+          .drop("__pmk")
+      }
+    val next =
+      if (!exists) fact
+      else Upsert.scd1(AtomicRewrite.read(spark, target), fact, Seq("payment_id"),
+        updateWhen = (t, s) => s("raw_loaded_at") > t("raw_loaded_at"))
+    AtomicRewrite.write(spark, target, next)
   }
 
   // ---- GDPR policy catalog (reference gdpr_propagate_erasure.py:401-604) --

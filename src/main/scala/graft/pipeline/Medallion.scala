@@ -147,13 +147,36 @@ object Medallion {
     AtomicRewrite.write(spark, target, next)
   }
 
-  /** SCD2 hist dim: the full silver history conformed into gold (all
-    * versions + dwh_loaded_at) — reference hist/dim_driver.py. */
+  /** SCD2 hist dim, merged INCREMENTALLY: only silver versions newer than
+    * the hist dim's own watermark (max raw_loaded_at) are folded in via
+    * the one-pass SCD2 close+insert, so unchanged keys' rows pass through
+    * untouched (reference hist/dim_driver.py:215-289). The previous
+    * full-silver-history rewrite was a scan+write of all-time history per
+    * batch — a 100 TB scale-killer. First run seeds the dim from the full
+    * silver history verbatim; after that each batch touches only changed
+    * keys. */
   def goldScd2Hist(spark: SparkSession, paths: Paths, entity: String,
-                   now: Timestamp): Unit =
-    AtomicRewrite.write(spark, paths.gold(s"dim_${entity}_hist"),
-      AtomicRewrite.read(spark, paths.silver(entity))
-        .withColumn("dwh_loaded_at", lit(now)))
+                   keys: Seq[String], now: Timestamp): Unit = {
+    val target = paths.gold(s"dim_${entity}_hist")
+    val silver = AtomicRewrite.read(spark, paths.silver(entity))
+    if (!AtomicRewrite.exists(spark, target)) {
+      AtomicRewrite.write(spark, target,
+        silver.withColumn("dwh_loaded_at", lit(now)))
+      return
+    }
+    val history = AtomicRewrite.read(spark, target)
+    val wm = history.agg(max(col("raw_loaded_at"))).head().getTimestamp(0)
+    val inc = silver.filter(col("raw_loaded_at") > lit(wm))
+    if (inc.isEmpty) return
+    // re-open incremental rows as candidate current versions: the hist dim
+    // tracks its own valid_to/is_current lifecycle via the SCD2 merge
+    val batch = inc
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .withColumn("dwh_loaded_at", lit(now))
+    AtomicRewrite.write(spark, target,
+      Scd2.apply(history, batch, keys, Seq("raw_loaded_at")))
+  }
 
   /** SCD3 dim: current + prev_* columns from rank-1/rank-2 versions
     * (reference: src/gold/_conformed/scd3/dim_driver.py:48-81). */
@@ -215,24 +238,49 @@ object Medallion {
     * `date_key`s present in fact rows newer than the agg's own watermark
     * are rebuilt (reference: agg_trips_daily.py:83-113). */
   def goldAggDaily(spark: SparkSession, paths: Paths, factName: String,
-                   aggName: String, aggs: Seq[Column]): Unit = {
-    val fact = AtomicRewrite.read(spark, paths.gold(factName))
+                   aggName: String, aggs: Seq[Column]): Unit =
+    goldAggIncremental(spark, paths, aggName,
+      AtomicRewrite.read(spark, paths.gold(factName)), Seq("date_key"), aggs)
+
+  /** Incremental aggregate over an arbitrary COMPOSITE grain: only key
+    * combinations present in source rows newer than the aggregate's own
+    * watermark are recomputed, then merged with a newer-watermark guard
+    * (reference agg_driver_daily.py:141-162,245-282 — the
+    * (trip_date, driver_id) merge). First run aggregates the full source.
+    *
+    * Scale: the affected-key set of one batch is tiny relative to
+    * all-time history, so it broadcasts into the source scan; the rebuild
+    * reads only matching rows and the merge shuffles on the grain key —
+    * all-time history is never re-aggregated. Rows with a NULL grain key
+    * are excluded (reference dropna on trip_date). */
+  def goldAggIncremental(spark: SparkSession, paths: Paths, aggName: String,
+                         source: DataFrame, keyCols: Seq[String],
+                         aggs: Seq[Column]): Unit = {
     val target = paths.gold(aggName)
+    val exists = AtomicRewrite.exists(spark, target)
+    val base = source.na.drop("any", keyCols)
     val wm: Option[Timestamp] =
-      if (!AtomicRewrite.exists(spark, target)) None
+      if (!exists) None
       else Option(AtomicRewrite.read(spark, target)
         .agg(max(col("max_fact_raw_loaded_at"))).head().getTimestamp(0))
-    val newRows = wm.map(ts => fact.filter(col("raw_loaded_at") > lit(ts)))
-      .getOrElse(fact)
-    if (newRows.isEmpty && wm.isDefined) return
-    val affected = newRows.select("date_key").distinct()
-    val slice = fact.join(broadcast(affected), Seq("date_key"))
-      .groupBy("date_key")
+    val newRows = wm.map(ts => base.filter(col("raw_loaded_at") > lit(ts)))
+      .getOrElse(base)
+    if (wm.isDefined && newRows.isEmpty) return
+    val slice0 =
+      if (wm.isEmpty) base // first run: full aggregate, no self-join needed
+      else {
+        val affected = newRows.select(keyCols.map(col): _*).distinct()
+        base.join(broadcast(affected), keyCols)
+      }
+    val slice = slice0
+      .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail :+
         max(col("raw_loaded_at")).as("max_fact_raw_loaded_at"): _*)
     val next =
-      if (!AtomicRewrite.exists(spark, target)) slice
-      else Upsert.scd1(AtomicRewrite.read(spark, target), slice, Seq("date_key"))
+      if (!exists) slice
+      else Upsert.scd1(AtomicRewrite.read(spark, target), slice, keyCols,
+        updateWhen = (t, s) =>
+          s("max_fact_raw_loaded_at") > t("max_fact_raw_loaded_at"))
     AtomicRewrite.write(spark, target, next)
   }
 }

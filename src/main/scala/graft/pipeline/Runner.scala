@@ -66,6 +66,38 @@ object Runner {
     graft.tx.AtomicRewrite.read(spark, paths.gold("agg_orders_daily"))
   }
 
+  /** Payments slice of the pipeline over the sf `orders` table re-keyed as
+    * payments (payment_id/method/amount/paid_at): bronze → silver SCD2 →
+    * dim_payment_method → fact_payments with surrogate-key validation.
+    * The dim is built from a deliberately STALE snapshot (missing the
+    * '1-urgent' method) so the fact's validation-to-0 path is exercised:
+    * a method the static dim has never seen must land with
+    * payment_method_key = 0, never a dangling surrogate. */
+  def runPayments(spark: SparkSession, sfDir: String, root: String,
+                  now: Timestamp = FixedNow): DataFrame = {
+    val paths = Medallion.Paths(root)
+    val payments = Tables.load(spark, sfDir, "orders").select(
+      col("o_orderkey").as("payment_id"),
+      col("o_custkey").as("trip_id"),
+      col("o_orderpriority").as("method"),
+      lit("paid").as("status"),
+      col("o_totalprice").as("amount"),
+      col("o_orderdate").as("paid_at"),
+      col("o_orderdate").as("updated_at"))
+    Medallion.bronzeLoad(spark, paths, "payments", payments, "updated_at", "b0", now)
+    Medallion.silverScd2(spark, paths, Medallion.SilverConf(
+      entity = "payments", keys = Seq("payment_id"),
+      businessCols = Seq("trip_id", "method", "status", "amount", "paid_at"),
+      clean = df => df.withColumn("method", lower(trim(col("method"))))), now)
+    // stale dim: built before any '1-urgent' payment existed
+    graft.tx.AtomicRewrite.write(spark, paths.gold("dim_payment_method"),
+      graft.domain.MobilityDomain.dimPaymentMethod(
+        graft.tx.AtomicRewrite.read(spark, paths.silver("payments"))
+          .filter(col("method") =!= "1-urgent")))
+    graft.domain.MobilityDomain.factPayments(spark, paths, now)
+    graft.tx.AtomicRewrite.read(spark, paths.gold("fact_payments"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, root) = args.take(2)
     val spark = SparkSession.builder().master("local[8]")

@@ -43,12 +43,13 @@ class MobilityE2ESpec extends SparkSpec {
       ("vehicles", "vehicle_id"), ("zones", "zone_id")).foreach {
       case (e, k) => Medallion.goldScd1Snapshot(spark, paths, e, Seq(k), now)
     }
-    Medallion.goldScd2Hist(spark, paths, "passengers", now)
+    Medallion.goldScd2Hist(spark, paths, "passengers", Seq("passenger_id"), now)
     Medallion.goldScd3(spark, paths, "passengers", "passenger_id",
       Seq("full_name", "email", "phone", "city"), now)
-    AtomicRewrite.write(spark, paths.gold("dim_payment_method"),
-      MobilityDomain.dimPaymentMethod(
-        AtomicRewrite.read(spark, paths.silver("payments"))))
+    // STATIC dim (reference static/dim_payment.py): built once, not per
+    // batch — late-arriving methods must go through validation-to-0
+    if (!AtomicRewrite.exists(spark, paths.gold("dim_payment_method")))
+      MobilityDomain.buildDimPaymentMethod(spark, paths)
     Medallion.goldFact(spark, paths, "fact_trips", "trips",
       keys = Seq("trip_id"), dateKeyFrom = Seq("requested_at"),
       dimKeys = Map(
@@ -57,11 +58,10 @@ class MobilityE2ESpec extends SparkSpec {
         "vehicle_id" -> ("vehicles", "vehicle_id"),
         "pickup_zone_id" -> ("zones", "zone_id"),
         "dropoff_zone_id" -> ("zones", "zone_id")), now = now)
+    MobilityDomain.factPayments(spark, paths, now)
     Medallion.goldAggDaily(spark, paths, "fact_trips", "agg_trips_daily",
       MobilityDomain.aggTripsDaily)
-    AtomicRewrite.write(spark, paths.gold("agg_driver_daily"),
-      MobilityDomain.aggDriverDaily(
-        AtomicRewrite.read(spark, paths.gold("fact_trips"))))
+    MobilityDomain.goldAggDriverDaily(spark, paths)
   }
 
   test("batch 1: seven entities land across all layers with key validation") {
@@ -139,6 +139,10 @@ class MobilityE2ESpec extends SparkSpec {
 
     val pm = AtomicRewrite.read(spark, paths.gold("dim_payment_method"))
     assert(pm.count() == 2) // card + UNKNOWN
+
+    val fp = AtomicRewrite.read(spark, paths.gold("fact_payments")).collect()(0)
+    assert(fp.getAs[Int]("payment_method_key") != 0, "card is in the dim")
+    assert(fp.getAs[Int]("payment_date_key") == 20240301)
   }
 
   test("batch 2: city change versions passenger across hist and SCD3") {
@@ -147,7 +151,32 @@ class MobilityE2ESpec extends SparkSpec {
       "passengers" -> withAudit(Seq(
         (1L, "Alice A", "alice@x.com", "111", "Star City", false))
         .toDF("passenger_id", "full_name", "email", "phone", "city", "is_deleted")
-        .withColumn("deleted_at", lit(null).cast("timestamp")), "2024-03-02 00:00:00")),
+        .withColumn("deleted_at", lit(null).cast("timestamp")), "2024-03-02 00:00:00"),
+      "trips" -> withAudit(Seq(
+        (102L, 2L, Some(10L), Some(20L), Some(30L), Some(30L), "completed",
+          "2024-03-02 07:00:00", Some("2024-03-02 07:20:00"), Some(2.0), Some(8.0)))
+        .toDF("trip_id", "passenger_id", "driver_id", "vehicle_id",
+          "pickup_zone_id", "dropoff_zone_id", "status", "requested_at",
+          "ended_at", "actual_distance_km", "fare_amount")
+        .withColumn("requested_at", to_timestamp(col("requested_at")))
+        .withColumn("ended_at", to_timestamp(col("ended_at")))
+        .withColumn("accepted_at", col("requested_at"))
+        .withColumn("started_at", col("requested_at"))
+        .withColumn("canceled_at", lit(null).cast("timestamp"))
+        .withColumn("cancel_reason", lit(null).cast("string"))
+        .withColumn("cancel_by", lit(null).cast("string"))
+        .withColumn("cancel_note", lit(null).cast("string"))
+        .withColumn("estimated_distance_km", lit(2.0))
+        .withColumn("start_lat", lit(0.0)).withColumn("start_lng", lit(0.0))
+        .withColumn("end_lat", lit(0.0)).withColumn("end_lng", lit(0.0)),
+        "2024-03-02 00:00:00"),
+      // a method the STATIC dim has never seen -> validated to key 0
+      "payments" -> withAudit(Seq(
+        (201L, 102L, "voucher", "paid", 8.0, "usd",
+          Some("gw_def"), Some("2024-03-02 07:21:00")))
+        .toDF("payment_id", "trip_id", "method", "status", "amount",
+          "currency", "provider_ref", "paid_at")
+        .withColumn("paid_at", to_timestamp(col("paid_at"))), "2024-03-02 00:00:00")),
       "b2", now)
     buildGold(now)
 
@@ -157,8 +186,37 @@ class MobilityE2ESpec extends SparkSpec {
       .filter(col("passenger_id") === 1L).collect()(0)
     assert(scd3.getAs[String]("city") == "Star City")
     assert(scd3.getAs[String]("prev_city") == "Metropolis")
+
+    // incremental hist merge: alice gains a version; bob's row passes
+    // through BYTE-IDENTICAL — his dwh_loaded_at still carries the batch-1
+    // stamp (a full-history rewrite would have re-stamped every row)
     val hist = AtomicRewrite.read(spark, paths.gold("dim_passengers_hist"))
     assert(hist.filter(col("passenger_id") === 1L).count() == 2)
+    val alice = hist.filter(col("passenger_id") === 1L)
+      .orderBy("valid_from").collect()
+    assert(!alice(0).getAs[Boolean]("is_current") &&
+      alice(1).getAs[Boolean]("is_current"))
+    val bob = hist.filter(col("passenger_id") === 2L).collect()
+    assert(bob.length == 1 &&
+      bob(0).getAs[Timestamp]("dwh_loaded_at") == ts("2024-03-01 08:00:00"))
+
+    // fact_payments: late-arriving 'voucher' method -> surrogate validated
+    // to 0 against the static dim; batch-1 'card' row untouched
+    val fp = AtomicRewrite.read(spark, paths.gold("fact_payments"))
+      .select("payment_id", "payment_method_key").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fp(200L) != 0 && fp(201L) == 0)
+
+    // composite-key incremental aggregate: only the affected
+    // (20240302, 10) driver-day is recomputed — the 20240301 slice keeps
+    // its batch-1 max_fact_raw_loaded_at watermark untouched
+    val drv = AtomicRewrite.read(spark, paths.gold("agg_driver_daily"))
+      .filter(col("driver_id") === 10L)
+      .select("trip_date_key", "trips_count", "max_fact_raw_loaded_at")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(drv(20240301).getLong(1) == 1 && drv(20240302).getLong(1) == 1)
+    assert(drv(20240301).getTimestamp(2) == ts("2024-03-01 08:00:00"))
+    assert(drv(20240302).getTimestamp(2) == ts("2024-03-02 08:00:00"))
   }
 
   test("GDPR: passenger erasure reaches silver history, every dim flavor and scrubs") {
@@ -200,7 +258,7 @@ class MobilityE2ESpec extends SparkSpec {
     assert(AtomicRewrite.read(spark, paths.silver("trips"))
       .filter(col("passenger_id") === 1L).select("cancel_note").collect()(0).isNullAt(0))
     // facts/aggregates unaffected (no PII there)
-    assert(AtomicRewrite.read(spark, paths.gold("fact_trips")).count() == 2)
+    assert(AtomicRewrite.read(spark, paths.gold("fact_trips")).count() == 3)
 
     // payments scrub via derived trip ids: provider_ref of trip 100 nulled
     val n = MobilityDomain.scrubPaymentsForPassengers(spark, Seq(1L).toDF("id"),
