@@ -18,6 +18,9 @@ object SparkSessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      // bucketed gold tables (saveAsTable) land in tmp, never the cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     graft.functions.GraftFunctions.registerTo(s)
     s

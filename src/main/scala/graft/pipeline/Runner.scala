@@ -57,7 +57,16 @@ object Runner {
     Medallion.goldFact(spark, paths, "fact_orders", "orders",
       keys = Seq("o_orderkey"), dateKeyFrom = Seq("o_orderdate"),
       dimKeys = Map("o_custkey" -> ("customer", "c_custkey")), now = now)
-    Medallion.goldAggDaily(spark, paths, "fact_orders", "agg_orders_daily",
+    // bucketed gold fact: pre-shuffled ONCE on the aggregation grain at
+    // write time, so the daily rollup (and any later date_key equi-join
+    // over the fact) runs with zero exchanges — at 100 TB the cluster
+    // never moves the fact again (BucketedSpec proves the plan shape)
+    graft.sources.Bucketed.write(
+      graft.tx.AtomicRewrite.read(spark, paths.gold("fact_orders")),
+      bucketedFactTable(root), "date_key", buckets = 8)
+    Medallion.goldAggIncremental(spark, paths, "agg_orders_daily",
+      graft.sources.Bucketed.read(spark, bucketedFactTable(root)),
+      Seq("date_key"),
       Seq(
         count(lit(1)).as("orders_total"),
         sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
@@ -65,6 +74,12 @@ object Runner {
 
     graft.tx.AtomicRewrite.read(spark, paths.gold("agg_orders_daily"))
   }
+
+  /** Catalog name of the bucketed fact_orders copy for a pipeline root
+    * (bucketing metadata lives in the table catalog, not in path-read
+    * parquet, so the bucketed flavor is a managed table). */
+  def bucketedFactTable(root: String): String =
+    "fact_orders_b_" + root.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Payments slice of the pipeline over the sf `orders` table re-keyed as
     * payments (payment_id/method/amount/paid_at): bronze → silver SCD2 →

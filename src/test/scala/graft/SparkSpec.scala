@@ -15,6 +15,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
