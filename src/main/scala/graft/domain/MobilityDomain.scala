@@ -299,6 +299,40 @@ object MobilityDomain {
       .unionByName(dim)
   }
 
+  /** dim_zone static rebuild (reference static/dim_zone.py:60-128): latest
+    * current silver row per zone_id, empty-string → NULL scrub on the raw
+    * fields, *_norm regenerated (lower+trim) only where silver didn't
+    * carry them, full overwrite of the conformed dim. */
+  def buildDimZone(spark: org.apache.spark.sql.SparkSession,
+                   paths: Medallion.Paths, now: java.sql.Timestamp): Unit = {
+    import graft.tx.AtomicRewrite
+    val silver0 = AtomicRewrite.read(spark, paths.silver("zones"))
+    val silver =
+      if (silver0.columns.contains("is_current")) silver0.filter(col("is_current"))
+      else silver0
+    val latest = graft.ops.Dedup.latestPerKey(silver,
+      Seq(col("zone_id")), Seq(col("raw_loaded_at").desc))
+    def emptyToNull(c: String) = when(trim(col(c)) === "", lit(null)).otherwise(col(c))
+    val conformed = latest
+      .withColumn("zone_id", col("zone_id").cast("long"))
+      .withColumn("zone_name", emptyToNull("zone_name"))
+      .withColumn("city", emptyToNull("city"))
+      .withColumn("region", emptyToNull("region"))
+      .withColumn("zone_name_norm",
+        coalesce(col("zone_name_norm"), lower(trim(col("zone_name")))))
+      .withColumn("city_norm", coalesce(col("city_norm"), lower(trim(col("city")))))
+      .withColumn("region_norm", coalesce(col("region_norm"), lower(trim(col("region")))))
+      .withColumn("dwh_loaded_at", lit(now))
+    val base = Seq("zone_id", "zone_name", "city", "region",
+      "zone_name_norm", "city_norm", "region_norm",
+      "created_at", "raw_loaded_at", "source_system", "dwh_loaded_at")
+    val flags = Seq("zone_name_is_null", "city_is_null", "region_is_null",
+      "has_missing_fields")
+    val keep = (base ++ flags).filter(conformed.columns.contains)
+    AtomicRewrite.write(spark, paths.gold("dim_zone"),
+      conformed.select(keep.map(col): _*))
+  }
+
   /** Build/refresh the static dim_payment_method from silver payments
     * (reference static/dim_payment.py:89-137). */
   def buildDimPaymentMethod(spark: org.apache.spark.sql.SparkSession,

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.tx.Watermarks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Incremental GDPR request-feed wiring (reference
+  * gdpr/gdpr_propagate_erasure.py:100-165 control table, :290-347
+  * incremental request scan + subject normalization).
+  *
+  * The erasure job keeps its OWN control watermark (`last_processed_at`
+  * per job, never-regress) in a dedicated control table, scans only
+  * processed erasure requests newer than it, normalizes legacy
+  * passenger-only rows to (subject_type, subject_id), propagates per
+  * subject type through the policy catalog, and advances the watermark —
+  * a FAIL records status without stepping on the previous mark, so the
+  * failed batch is re-scanned next run.
+  *
+  * Scale: the request feed filter reaches the source scan (pushdown); the
+  * per-type loop iterates over the bounded subject-type enum, never over
+  * subjects; subject id-sets broadcast inside [[Gdpr.propagate]].
+  */
+object GdprRequests {
+
+  val Job = "gdpr_propagate_erasure"
+
+  /** Processed erasure requests newer than `since`, normalized to
+    * (request_id, processed_at, subject_type, subject_id). Handles the
+    * legacy shape where only `passenger_id` is populated. */
+  def pendingRequests(requests: DataFrame, since: Option[Timestamp]): DataFrame =
+    requests
+      .filter(col("request_type") === "erasure" &&
+        col("status") === "processed" &&
+        col("processed_at").isNotNull &&
+        since.map(ts => col("processed_at") > lit(ts)).getOrElse(lit(true)))
+      .withColumn("subject_type", coalesce(lower(col("subject_type")), lit("passenger")))
+      .withColumn("subject_id",
+        coalesce(col("subject_id"), col("passenger_id")).cast("long"))
+      .filter(col("subject_id").isNotNull)
+      .select(col("request_id").cast("string").as("request_id"),
+        col("processed_at").cast("timestamp").as("processed_at"),
+        col("subject_type"), col("subject_id"))
+
+  /** One incremental erasure cycle. Returns the number of requests
+    * processed; the control watermark advances to max(processed_at) on
+    * success, records FAIL (watermark untouched) on error. */
+  def runIncremental(spark: SparkSession, controlRoot: String,
+                     requests: DataFrame,
+                     policiesFor: String => Seq[Gdpr.Policy],
+                     tableRoot: String => String, auditRoot: String,
+                     salt: String, now: Timestamp): Long = {
+    val wm = Watermarks.read(spark, controlRoot, Job)
+    val pending = pendingRequests(requests, wm).cache()
+    try {
+      val stats = pending.agg(count(lit(1)), max(col("processed_at"))).head()
+      if (stats.getLong(0) == 0L) {
+        Watermarks.advance(spark, controlRoot, Job, None, "OK:empty", now)
+        return 0L
+      }
+      val types = pending.select("subject_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      types.foreach { st =>
+        val subjects = pending.filter(col("subject_type") === st)
+          .select("subject_id").distinct()
+        Gdpr.propagate(spark, subjects, st, policiesFor(st),
+          tableRoot, auditRoot, salt, now)
+      }
+      Watermarks.advance(spark, controlRoot, Job,
+        Option(stats.getTimestamp(1)), "OK", now)
+      stats.getLong(0)
+    } catch {
+      case e: Exception =>
+        Watermarks.advance(spark, controlRoot, Job, None,
+          s"FAIL:${e.getClass.getSimpleName}", now)
+        throw e
+    } finally pending.unpersist()
+  }
+}

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Bucketed-table helpers: pre-shuffle a table ONCE at write time so every
@@ -13,11 +14,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed+sorted managed parquet table. Clears any
+    * stale catalog entry AND warehouse directory first: the in-memory
+    * catalog dies with the session but the warehouse dir persists, and
+    * saveAsTable refuses a location it didn't create
+    * (LOCATION_ALREADY_EXISTS). */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -50,6 +50,7 @@ class MobilityE2ESpec extends SparkSpec {
     // batch — late-arriving methods must go through validation-to-0
     if (!AtomicRewrite.exists(spark, paths.gold("dim_payment_method")))
       MobilityDomain.buildDimPaymentMethod(spark, paths)
+    MobilityDomain.buildDimZone(spark, paths, now)
     Medallion.goldFact(spark, paths, "fact_trips", "trips",
       keys = Seq("trip_id"), dateKeyFrom = Seq("requested_at"),
       dimKeys = Map(
@@ -143,6 +144,14 @@ class MobilityE2ESpec extends SparkSpec {
     val fp = AtomicRewrite.read(spark, paths.gold("fact_payments")).collect()(0)
     assert(fp.getAs[Int]("payment_method_key") != 0, "card is in the dim")
     assert(fp.getAs[Int]("payment_date_key") == 20240301)
+
+    // dim_zone static rebuild: one conformed row per zone, norm fields
+    // carried from silver, dwh stamp applied
+    val dz = AtomicRewrite.read(spark, paths.gold("dim_zone")).collect()
+      .map(r => r.getAs[Long]("zone_id") -> r).toMap
+    assert(dz.size == 2)
+    assert(dz(30L).getAs[String]("zone_name_norm") == "Center")
+    assert(dz(30L).getAs[Timestamp]("dwh_loaded_at") == now)
   }
 
   test("batch 2: city change versions passenger across hist and SCD3") {

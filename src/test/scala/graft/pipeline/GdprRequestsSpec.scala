@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tx.{AtomicRewrite, Watermarks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Incremental GDPR request feed: only processed erasure requests past the
+  * control watermark are propagated; replay is a no-op; a FAIL run never
+  * regresses last_processed_at and the failed batch is re-scanned. */
+class GdprRequestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def requests(rows: (String, Option[Long], Option[String], Option[Long], String, String, Option[String])*): DataFrame =
+    rows.toSeq
+      .toDF("request_id", "passenger_id", "subject_type", "subject_id",
+        "request_type", "status", "processed_at")
+      .withColumn("processed_at", to_timestamp(col("processed_at")))
+
+  test("incremental scan, legacy normalization, replay no-op, FAIL keeps watermark") {
+    val root = Files.createTempDirectory("graft-gdpr-req").toString
+    val control = s"$root/control/gdpr_control"
+    AtomicRewrite.write(spark, s"$root/silver/passengers",
+      Seq((1L, "Alice"), (2L, "Bob"), (3L, "Cara")).toDF("passenger_id", "full_name"))
+
+    def policiesFor(st: String): Seq[Gdpr.Policy] = Seq(
+      Gdpr.Policy("silver/passengers", "passenger_id",
+        Map("full_name" -> (_ => lit(null).cast("string")))))
+
+    val batch1 = requests(
+      // modern shape, processed -> in scope
+      ("r1", None, Some("passenger"), Some(1L), "erasure", "processed", Some("2024-01-01 10:00:00")),
+      // legacy shape (passenger_id only) -> normalized to passenger
+      ("r2", Some(2L), None, None, "erasure", "processed", Some("2024-01-01 11:00:00")),
+      // not processed / not erasure / no processed_at -> all out of scope
+      ("r3", None, Some("passenger"), Some(3L), "erasure", "pending", None),
+      ("r4", None, Some("passenger"), Some(3L), "access", "processed", Some("2024-01-01 12:00:00")))
+
+    val n1 = GdprRequests.runIncremental(spark, control, batch1, policiesFor,
+      t => s"$root/$t", s"$root/audit", "s", ts("2024-01-02 00:00:00"))
+    assert(n1 == 2L)
+    assert(Watermarks.read(spark, control, GdprRequests.Job)
+      .contains(ts("2024-01-01 11:00:00")))
+    val names = AtomicRewrite.read(spark, s"$root/silver/passengers")
+      .select("passenger_id", "full_name").as[(Long, Option[String])].collect().toMap
+    assert(names(1L).isEmpty && names(2L).isEmpty && names(3L).contains("Cara"))
+
+    // replay: same feed, nothing past the watermark -> no-op
+    val n2 = GdprRequests.runIncremental(spark, control, batch1, policiesFor,
+      t => s"$root/$t", s"$root/audit", "s", ts("2024-01-03 00:00:00"))
+    assert(n2 == 0L)
+    assert(Watermarks.read(spark, control, GdprRequests.Job)
+      .contains(ts("2024-01-01 11:00:00")))
+
+    // FAIL mid-propagation: watermark must NOT advance past the old mark
+    val batch2 = batch1.unionByName(requests(
+      ("r5", None, Some("passenger"), Some(3L), "erasure", "processed",
+        Some("2024-01-05 09:00:00"))))
+    intercept[RuntimeException] {
+      GdprRequests.runIncremental(spark, control, batch2,
+        _ => throw new RuntimeException("boom"),
+        t => s"$root/$t", s"$root/audit", "s", ts("2024-01-06 00:00:00"))
+    }
+    assert(Watermarks.read(spark, control, GdprRequests.Job)
+      .contains(ts("2024-01-01 11:00:00")), "FAIL never regresses/advances")
+
+    // recovery: next good run re-scans and processes the failed request
+    val n3 = GdprRequests.runIncremental(spark, control, batch2, policiesFor,
+      t => s"$root/$t", s"$root/audit", "s", ts("2024-01-07 00:00:00"))
+    assert(n3 == 1L)
+    assert(Watermarks.read(spark, control, GdprRequests.Job)
+      .contains(ts("2024-01-05 09:00:00")))
+    assert(AtomicRewrite.read(spark, s"$root/silver/passengers")
+      .filter(col("passenger_id") === 3L).select("full_name")
+      .collect()(0).isNullAt(0))
+  }
+}
