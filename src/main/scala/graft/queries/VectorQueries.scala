@@ -68,13 +68,19 @@ object VectorQueries {
       val e = emb(s, dir)
       val cents = broadcast(e.filter(col("vec_id") % 50 === 1)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
+      // argmax via max_by, not a row_number window: the hash aggregate
+      // partial-combines the vec×centroid cross product map-side, so the
+      // vec_id shuffle moves one row per vector instead of one per
+      // (vector, centroid) — and needs no sort. Tie-break matches the
+      // oracle: highest cos, then lowest centroid_id.
       def assign(df: DataFrame, idCol: String): DataFrame =
         df.crossJoin(cents)
           .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
-          .withColumn("__rn", row_number().over(Window.partitionBy(idCol)
-            .orderBy(col("__c_cos").desc, col("centroid_id"))))
-          .filter(col("__rn") === 1)
-          .drop("__c_cos", "__rn", "cv")
+          .groupBy(col(idCol))
+          .agg(max_by(struct(col("embedding"), col("centroid_id")),
+            struct(col("__c_cos"), -col("centroid_id"))).as("__best"))
+          .select(col(idCol), col("__best.embedding").as("embedding"),
+            col("__best.centroid_id").as("centroid_id"))
       val cells = assign(e, "vec_id")
       val queries = assign(e.filter(col("vec_id") % 50 === 0), "vec_id")
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
