@@ -95,4 +95,16 @@ object TextOps {
     val v = instr(lit("0123456789abcdef"), hexDigit) - lit(1)
     floor(v / math.pow(2, b % 4).toInt).cast("int") % 2
   }
+
+  /** The 8-hex-char hash prefix as one 32-bit integer word — parse the
+    * string ONCE, then take all 32 SimHash bits with integer shifts
+    * ([[wordBit]]) instead of 32 substring/position string ops per token. */
+  def hashWord32(hashHex: Column): Column =
+    conv(substring(hashHex, 1, 8), 16, 10).cast("long")
+
+  /** Bit b of [[hashWord32]], identical numbering to [[hashBit]]: bit
+    * (b%4) of hex digit (b/4+1). Digit k is nibble (8-k) of the word, so
+    * the shift is 4*(8-(b/4+1)) + b%4 = 28 - 4*(b/4) + b%4. */
+  def wordBit(word: Column, b: Int): Column =
+    shiftright(word, 28 - 4 * (b / 4) + b % 4).bitwiseAND(lit(1L)).cast("int")
 }

@@ -213,14 +213,50 @@ object TextQueries {
         labels)
     }),
 
+    // Deterministic train/val/test split (80/10/10): salted sha256 bucket
+    // per doc — the reproducible assignment a training pipeline needs (no
+    // RNG; stable under reshuffle, retry and backfill). Narrow map.
+    "q53_train_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        (conv(substring(sha2(concat_ws("|", lit("split"),
+          col("doc_id").cast("string")), 256), 1, 4), 16, 10)
+          .cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))),
+
+    // Repetition ratio: share of the most frequent 3-gram in all (non-
+    // distinct) 3-grams — the standard boilerplate/template signal.
+    // Two keyed aggregations, no pairwise work: linear in corpus size.
+    "q54_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.shingles(toks, 3)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_ngram"), sum("c").as("n_ngrams"))
+        .select(col("doc_id"), col("top_ngram"), col("n_ngrams"),
+          round(col("top_ngram") / col("n_ngrams"), 6).as("repetition_ratio"))),
+
+    // Corpus vocabulary: top-100 tokens by collection frequency with doc
+    // frequency — tokenizer/stopword analysis input. The deterministic
+    // (freq DESC, token) total order makes the top-k set reproducible.
+    "q55_vocab_topk" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
-        .select(col("doc_id"), sha2(col("t"), 256).as("h")) // one sha/token
+        // one sha AND one hex→int parse per token; the 32 bit reads below
+        // are then pure integer shifts inside whole-stage codegen
+        .select(col("doc_id"), TextOps.hashWord32(sha2(col("t"), 256)).as("w"))
       val sums = tok.groupBy("doc_id").agg(
-        sum(TextOps.hashBit(col("h"), 0) * 2 - lit(1)).as("b0"),
+        sum(TextOps.wordBit(col("w"), 0) * 2 - lit(1)).as("b0"),
         (1 until 32).map(b =>
-          sum(TextOps.hashBit(col("h"), b) * 2 - lit(1)).as(s"b$b")): _*)
+          sum(TextOps.wordBit(col("w"), b) * 2 - lit(1)).as(s"b$b")): _*)
       sums.select(col("doc_id"),
         concat_ws("", (0 until 32).map(b =>
           when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("simhash"))
@@ -346,6 +382,28 @@ object TextQueries {
          |           (acc, v) -> (acc * 1000003 + v) % 2147483647))) AS min_window_hash
          |FROM t)
          |SELECT doc_id, n_windows, min_window_hash FROM w""".stripMargin,
+    "q53_train_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "q54_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |shg AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM t),
+         |c AS (SELECT doc_id, sh, count(*) AS c FROM shg GROUP BY 1, 2),
+         |a AS (SELECT doc_id, max(c) AS top_ngram, CAST(sum(c) AS BIGINT) AS n_ngrams
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, top_ngram, n_ngrams,
+         | round(top_ngram / n_ngrams, 6) AS repetition_ratio
+         |FROM a""".stripMargin,
+    "q55_vocab_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+         |SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+         |FROM tok GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
     "q37_simhash" -> {
       val sums = (0 until 32).map(b =>
         s"  sum(${simhashBitSql(b)} * 2 - 1) AS b$b").mkString(",\n")

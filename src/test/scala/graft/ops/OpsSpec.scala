@@ -118,6 +118,17 @@ class TextOpsSpec extends SparkSpec {
       .collect()(0).toSeq.map(_.asInstanceOf[Int])
     assert(bits.forall(b => b == 0 || b == 1))
   }
+
+  test("wordBit (integer shifts) equals hashBit (string ops) on all 32 bits") {
+    val df = Seq("alpha", "bravo", "charlie", "über 123").toDF("t")
+      .select(sha2(col("t"), 256).as("h"))
+      .withColumn("w", TextOps.hashWord32(col("h")))
+    (0 until 32).foreach { b =>
+      val mismatched = df.filter(
+        TextOps.wordBit(col("w"), b) =!= TextOps.hashBit(col("h"), b)).count()
+      assert(mismatched == 0, s"bit $b diverges")
+    }
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
