@@ -247,6 +247,27 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
 
+    // Benchmark decontamination: training docs sharing distinct 3-gram
+    // shingles with an eval/benchmark set (every 10th doc here). Same
+    // df-capped shingle equi-join shape as q35 — the [2,100] document-
+    // frequency cap bounds the join fan-out on stop-shingles, which is
+    // what keeps a 100 TB contamination scan from exploding.
+    "q56_decontaminate" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(toks, 3))).as("sh"))
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100).select("sh")
+      val shf = sh.join(keep, "sh")
+      val bench = shf.filter(col("doc_id") % 10 === 0)
+        .select(col("sh"), col("doc_id").as("bench_doc_id"))
+      shf.filter(col("doc_id") % 10 =!= 0)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+          countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+        .withColumn("contaminated", col("n_shared_shingles") >= 3)
+    }),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -382,6 +403,18 @@ object TextQueries {
          |           (acc, v) -> (acc * 1000003 + v) % 2147483647))) AS min_window_hash
          |FROM t)
          |SELECT doc_id, n_windows, min_window_hash FROM w""".stripMargin,
+    "q56_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+         |bench AS (SELECT sh, doc_id AS bench_doc_id FROM shf WHERE doc_id % 10 = 0),
+         |hits AS (SELECT s.doc_id, s.sh, b.bench_doc_id
+         |         FROM shf s JOIN bench b USING (sh) WHERE s.doc_id % 10 <> 0)
+         |SELECT doc_id, count(DISTINCT sh) AS n_shared_shingles,
+         |       count(DISTINCT bench_doc_id) AS n_bench_docs,
+         |       (count(DISTINCT sh) >= 3) AS contaminated
+         |FROM hits GROUP BY 1""".stripMargin,
     "q53_train_split" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
