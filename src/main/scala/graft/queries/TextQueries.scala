@@ -268,6 +268,27 @@ object TextQueries {
         .withColumn("contaminated", col("n_shared_shingles") >= 3)
     }),
 
+    // TF-IDF: per-doc top term by tf·ln(N/df) — the classic relevance/
+    // keyword-extraction weight. Two keyed aggregations + one broadcast
+    // scalar (corpus size) + a per-doc window for the argmax; linear in
+    // token count, shuffles on token and doc_id only.
+    "q58_tfidf" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfq, "token").crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("token"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_token"),
+          col("tf"), col("df"), col("tfidf"))
+    }),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -403,6 +424,17 @@ object TextQueries {
          |           (acc, v) -> (acc * 1000003 + v) % 2147483647))) AS min_window_hash
          |FROM t)
          |SELECT doc_id, n_windows, min_window_hash FROM w""".stripMargin,
+    "q58_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         |         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |       FROM tf JOIN dfq USING (token), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, token) AS rn FROM sc)
+         |SELECT doc_id, token AS top_token, tf, df, tfidf FROM r WHERE rn = 1""".stripMargin,
     "q56_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),

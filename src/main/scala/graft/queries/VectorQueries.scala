@@ -5,6 +5,7 @@ import graft.ops.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity operators over `embeddings` (array<float>, 64-dim):
   * cosine near-dup pairs, brute-force top-k ANN, and an LSH-bucketed ANN
@@ -33,6 +34,25 @@ object VectorQueries {
     * the HOF formulation the oracle mirrors. */
   private def cosN(a: Column, b: Column) =
     round(graft.functions.GraftFunctions.cosine(a, b), 6)
+
+  /** Deterministic centroid subset (every 50th vector, offset 1). */
+  private def centroids(e: DataFrame): DataFrame =
+    broadcast(e.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
+
+  /** Nearest-centroid assignment — argmax via max_by, not a row_number
+    * window: the aggregate partial-combines the vec×centroid cross product
+    * map-side, so the id shuffle moves one row per vector instead of one
+    * per (vector, centroid), and needs no global sort. Tie-break matches
+    * the oracles: highest cos, then lowest centroid_id. */
+  private def assign(df: DataFrame, cents: DataFrame, idCol: String): DataFrame =
+    df.crossJoin(cents)
+      .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("embedding"), col("centroid_id")),
+        struct(col("__c_cos"), -col("centroid_id"))).as("__best"))
+      .select(col(idCol), col("__best.embedding").as("embedding"),
+        col("__best.centroid_id").as("centroid_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs within a label partition.
@@ -66,23 +86,9 @@ object VectorQueries {
     // physically partitioned by centroid_id so a probe reads one cell.
     "q45_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = broadcast(e.filter(col("vec_id") % 50 === 1)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
-      // argmax via max_by, not a row_number window: the hash aggregate
-      // partial-combines the vec×centroid cross product map-side, so the
-      // vec_id shuffle moves one row per vector instead of one per
-      // (vector, centroid) — and needs no sort. Tie-break matches the
-      // oracle: highest cos, then lowest centroid_id.
-      def assign(df: DataFrame, idCol: String): DataFrame =
-        df.crossJoin(cents)
-          .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
-          .groupBy(col(idCol))
-          .agg(max_by(struct(col("embedding"), col("centroid_id")),
-            struct(col("__c_cos"), -col("centroid_id"))).as("__best"))
-          .select(col(idCol), col("__best.embedding").as("embedding"),
-            col("__best.centroid_id").as("centroid_id"))
-      val cells = assign(e, "vec_id")
-      val queries = assign(e.filter(col("vec_id") % 50 === 0), "vec_id")
+      val cents = centroids(e)
+      val cells = assign(e, cents, "vec_id")
+      val queries = assign(e.filter(col("vec_id") % 50 === 0), cents, "vec_id")
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("centroid_id"))
       cells.join(broadcast(queries), Seq("centroid_id"))
@@ -92,6 +98,23 @@ object VectorQueries {
         .withColumn("rank", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
         .filter(col("rank") <= 3)
+    }),
+
+    // One k-means centroid-update step over the IVF cells: new centroid =
+    // elementwise mean of the member vectors. Output is (centroid_id, dim,
+    // value) rows — no array re-assembly, so no collect_list ordering
+    // hazards — with the exact DECIMAL(38,6) sum for cross-engine parity.
+    // Scale: posexplode is a narrow 64× row multiply, then ONE keyed
+    // aggregation on (centroid, dim) — the classic distributed k-means
+    // shape (partial sums map-side, K×64 rows cross the shuffle).
+    "q59_kmeans_step" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cells = assign(e, centroids(e), "vec_id")
+      cells.select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
+        .agg(count(lit(1)).as("n_members"),
+          round((sum(col("col").cast("double").cast(DecimalType(38, 6)))
+            .cast("double") / count(lit(1))), 6).as("new_value"))
     }),
 
     // Quantized ANN: int8 vectors (8x smaller), ranking by exact integer
@@ -108,6 +131,24 @@ object VectorQueries {
         .withColumn("rank", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("qdot").desc, col("neighbor_id"))))
         .filter(col("rank") <= 3)
+    }),
+
+    // ANN quality evaluation: recall@3 of the LSH-bucketed candidates vs
+    // the brute-force ground truth — the eval harness every approximate
+    // index needs before it replaces the exact path. Pure composition of
+    // q39/q40 plans + one small keyed join, so it inherits their scale
+    // shapes (broadcast query set, bucket equi-join).
+    "q57_ann_recall" -> ((s, dir) => {
+      val truth = defs("q39_ann_topk")(s, dir)
+        .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      val approx = defs("q40_ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("hits"))
+        .select(col("query_id"), col("n_truth"), col("hits"),
+          round(col("hits") / col("n_truth"), 6).as("recall"))
     }),
 
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
@@ -184,6 +225,40 @@ object VectorQueries {
          |        ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM c)
          |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin
     },
+    "q59_kmeans_step" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |x AS (SELECT centroid_id,
+         |        generate_subscripts(embedding, 1) AS dim,
+         |        unnest(embedding::DOUBLE[]) AS val
+         |      FROM cells)
+         |SELECT centroid_id, CAST(dim AS INT) AS dim, count(*) AS n_members,
+         |       round(CAST(sum(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+         |         AS new_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
+    "q57_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qv", "e.embedding")} AS cos_sim
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM c),
+         |truth AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+         |eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id % 50 = 0),
+         |cb AS (SELECT query_id, eb.vec_id AS neighbor_id, ${cosSql("qv", "eb.embedding")} AS cos_sim
+         |       FROM qb JOIN eb USING (bucket) WHERE eb.vec_id <> qb.query_id),
+         |rb AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cb),
+         |approx AS (SELECT query_id, neighbor_id FROM rb WHERE rank <= 3)
+         |SELECT t.query_id, count(*) AS n_truth, count(a.neighbor_id) AS hits,
+         |       round(count(a.neighbor_id) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     "q40_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 50 = 0),
