@@ -396,6 +396,25 @@ object RelationalQueries {
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * 0.1).as("within_10pct"))),
 
+    // Quantile sketch opt-in beside the exact percentile (q29's pattern
+    // for HLL): the KLL-style percentile_approx sketch is the mergeable,
+    // bounded-memory path at 100 TB; the oracle pins the exact quantiles
+    // and a 5%-of-range accuracy assertion on the sketch.
+    "q62_quantile_sketch" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("ap90"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          (max(col("value")) - min(col("value"))).as("rng"))
+        .select(col("event_type"),
+          round(col("p50"), 6).as("exact_p50"),
+          round(col("p90"), 6).as("exact_p90"),
+          (abs(col("ap50") - col("p50")) <= col("rng") * 0.05).as("p50_ok"),
+          (abs(col("ap90") - col("p90")) <= col("rng") * 0.05).as("p90_ok"))),
+
     // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
     "q23_tpch_pricing" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -667,6 +686,12 @@ object RelationalQueries {
     "q29_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
+        |FROM events GROUP BY 1""".stripMargin,
+    "q62_quantile_sketch" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        | round(quantile_cont(value, 0.9), 6) AS exact_p90,
+        | true AS p50_ok, true AS p90_ok
         |FROM events GROUP BY 1""".stripMargin,
     "q23_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -117,6 +117,44 @@ object VectorQueries {
             .cast("double") / count(lit(1))), 6).as("new_value"))
     }),
 
+    // IVF with nprobe=2: queries probe their TWO nearest centroids' cells
+    // — the recall/cost knob of a real IVF index (q57 measures why
+    // nprobe=1 misses). Corpus cells keep the max_by assignment; only the
+    // small query set pays a window for its top-2 probes, and the probe
+    // set broadcasts into the cell join.
+    "q60_ann_ivf_nprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = centroids(e)
+      val cells = assign(e, cents, "vec_id")
+      val probes = e.filter(col("vec_id") % 50 === 0).crossJoin(cents)
+        .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
+        .withColumn("__rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("__c_cos").desc, col("centroid_id"))))
+        .filter(col("__rn") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("centroid_id"))
+      cells.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosN(col("qv"), col("embedding")).as("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+    }),
+
+    // Stratified deterministic downsample: 20 docs per label in salted-
+    // hash order — reproducible class-balanced sampling with no RNG.
+    // One window per label partition; at 100 TB the label cardinality
+    // bounds partition count and the sample bound caps output.
+    "q61_stratified_sample" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .withColumn("sample_rank", row_number().over(
+          Window.partitionBy("label")
+            .orderBy(sha2(concat_ws("|", lit("sample"),
+              col("vec_id").cast("string")), 256), col("vec_id"))))
+        .filter(col("sample_rank") <= 20)
+        .select(col("label"), col("vec_id"), col("sample_rank"))),
+
     // Quantized ANN: int8 vectors (8x smaller), ranking by exact integer
     // dot product — the memory-bandwidth scale path for a 100 TB corpus.
     "q49_ann_quantized" -> ((s, dir) => {
@@ -225,6 +263,34 @@ object VectorQueries {
          |        ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM c)
          |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin
     },
+    "q60_ann_ivf_nprobe" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |qasg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |         FROM embeddings e, cents c WHERE e.vec_id % 50 = 0),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+         |           FROM qasg WHERE rn <= 2),
+         |cand AS (SELECT query_id, cells.vec_id AS neighbor_id,
+         |           ${cosSql("qv", "cells.embedding")} AS cos_sim
+         |         FROM probes JOIN cells USING (centroid_id)
+         |         WHERE cells.vec_id <> probes.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q61_stratified_sample" ->
+      """WITH r AS (SELECT label, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY sha256('sample|' || CAST(vec_id AS VARCHAR)), vec_id) AS INT)
+        |    AS sample_rank
+        |  FROM embeddings)
+        |SELECT label, vec_id, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
     "q59_kmeans_step" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
          |               FROM embeddings WHERE vec_id % 50 = 1),
