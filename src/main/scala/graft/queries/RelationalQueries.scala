@@ -415,6 +415,36 @@ object RelationalQueries {
           (abs(col("ap50") - col("p50")) <= col("rng") * 0.05).as("p50_ok"),
           (abs(col("ap90") - col("p90")) <= col("rng") * 0.05).as("p90_ok"))),
 
+    // TPC-H Q18 shape: aggregate-filtered semi-join (large orders) — the
+    // HAVING-subquery pattern; the big lineitem aggregate reduces before
+    // joining, so only qualifying orderkeys cross the join.
+    "q63_tpch_large_orders" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(dsum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      T(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
+    // Cohort retention over the event stream: users grouped by first-seen
+    // date, D1/D7 return rates — the product-analytics rollup shape. Two
+    // keyed aggregations (first-seen, cohort rollup) + one user_id join.
+    "q64_retention_cohort" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val first = e.groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+      first.join(e, Seq("user_id"))
+        .groupBy("cohort_date")
+        .agg(countDistinct(col("user_id")).as("cohort_size"),
+          countDistinct(when(datediff(col("d"), col("cohort_date")) === 1,
+            col("user_id"))).as("d1_retained"),
+          countDistinct(when(datediff(col("d"), col("cohort_date")) === 7,
+            col("user_id"))).as("d7_retained"))
+    }),
+
     // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
     "q23_tpch_pricing" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -687,6 +717,24 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q63_tpch_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q64_retention_cohort" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY 1)
+        |SELECT cohort_date, count(DISTINCT e.user_id) AS cohort_size,
+        | count(DISTINCT CASE WHEN date_diff('day', cohort_date, d) = 1
+        |                     THEN e.user_id END) AS d1_retained,
+        | count(DISTINCT CASE WHEN date_diff('day', cohort_date, d) = 7
+        |                     THEN e.user_id END) AS d7_retained
+        |FROM f JOIN e USING (user_id) GROUP BY 1""".stripMargin,
     "q62_quantile_sketch" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 6) AS exact_p50,
