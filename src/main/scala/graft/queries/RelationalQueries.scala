@@ -445,6 +445,28 @@ object RelationalQueries {
             col("user_id"))).as("d7_retained"))
     }),
 
+    // Batch twin of the streaming attribution join
+    // ([[graft.streaming.EventStreams.attribution]]): each view is
+    // attributed to the user's purchases within 30 minutes. The interval
+    // condition rides on a user_id equi-join, so the planner hash-joins
+    // on user and filters the bounded time residual — never a cross
+    // product.
+    "q65_attribution" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      v.join(p, Seq("user_id"))
+        .filter(col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("view_ts"), col("purchase_ts"), col("purchase_value"))
+    }),
+
     // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
     "q23_tpch_pricing" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -717,6 +739,16 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q65_attribution" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |        value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts, purchase_value
+        |FROM v JOIN p USING (user_id)
+        |WHERE purchase_ts >= view_ts
+        |  AND purchase_ts <= view_ts + INTERVAL 30 MINUTE""".stripMargin,
     "q63_tpch_large_orders" ->
       """WITH big AS (SELECT l_orderkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty

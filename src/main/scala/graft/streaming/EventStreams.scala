@@ -56,6 +56,31 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: per user, each event of `leftType` is
+    * attributed to following `rightType` events within `withinSeconds` of
+    * event time (view→purchase attribution). Both sides are watermarked
+    * and the join condition is time-BOUNDED in both directions, so Spark
+    * can expire join state — without the bound, stream-stream join state
+    * grows forever at 100 TB/day. */
+  def attribution(events: DataFrame, leftType: String, rightType: String,
+                  withinSeconds: Long = 1800,
+                  lateness: String = "30 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id").as("left_user"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", lateness)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("right_user"),
+        col("ts").as("right_ts"), col("value").as("right_value"))
+      .withWatermark("right_ts", lateness)
+    l.join(r,
+      col("left_user") === col("right_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"interval $withinSeconds seconds"))
+      .select(col("left_user").as("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"), col("right_value"))
+  }
+
   /** Gap-based sessionization: a session closes when no event arrives for
     * `gapSeconds` of event time. Sessions are emitted on timeout, i.e.
     * when the watermark passes last-event-time + gap. */

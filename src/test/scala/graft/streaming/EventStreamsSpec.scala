@@ -70,6 +70,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution joins views to purchases within the interval, per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = attribution(in.toDF(), "view", "purchase",
+      withinSeconds = 1800, lateness = "1 minute")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1L, typ = "view"),
+        ev(2, "2024-01-01 10:10:00", user = 1L, typ = "purchase", v = 9.99),
+        // outside the 30-min interval -> not attributed
+        ev(3, "2024-01-01 11:30:00", user = 1L, typ = "purchase", v = 5.0),
+        // other user's purchase -> not attributed
+        ev(4, "2024-01-01 10:05:00", user = 2L, typ = "purchase", v = 1.0))
+      q.processAllAvailable()
+      // push both watermarks far enough to emit the joined row
+      in.addData(ev(8, "2024-01-01 13:00:00", user = 9L, typ = "view"),
+        ev(9, "2024-01-01 13:00:00", user = 9L, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("user_id", "left_id", "right_id", "right_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 1L, 2L, 9.99)))
+      assert(!rows.exists(r => r._3 == 3L || r._3 == 4L))
+    } finally q.stop()
+  }
+
   test("sessionize splits events separated by more than the gap in one batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
