@@ -55,6 +55,17 @@ object TextOps {
   def minhash(shingleCol: Column, i: Int): Column =
     array_min(transform(shingleCol, s => sha2(concat(lit(s"$i|"), s), 256)))
 
+  /** One-permutation MinHash: hash every shingle ONCE
+    * ([[hashedShingles]]), then derive signature row i as the min of the
+    * 20-bit integer at hex offset 5i — S rows cost ONE digest per shingle
+    * instead of S (the q36 hot path was 12 sha passes over the corpus). */
+  def hashedShingles(shingleCol: Column): Column =
+    transform(shingleCol, s => sha2(s, 256))
+
+  def minhashFromHashes(hashes: Column, i: Int): Column =
+    array_min(transform(hashes,
+      h => conv(substring(h, i * 5 + 1, 5), 16, 10).cast("long")))
+
   /** LSH band key: hash of `rows` consecutive minhash values. */
   def band(minhashes: Seq[Column]): Column =
     sha2(concat_ws("|", minhashes: _*), 256)

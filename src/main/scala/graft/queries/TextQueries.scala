@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.ops.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Beyond-reference text operators for training-data pipelines: stats,
@@ -122,12 +123,14 @@ object TextQueries {
     }),
 
     "q36_minhash_lsh" -> ((s, dir) => {
+      // one sha per shingle; the 12 signature rows are cheap integer
+      // extractions from the stored digests (one-permutation MinHash)
       val sg = docs(s, dir).select(col("doc_id"),
-        array_distinct(TextOps.shingles(toks, 3)).as("sg"))
-      // persisted: the 12-minhash projection is the expensive part and
-      // feeds three branches (banding + both sides of the estimate join)
+        TextOps.hashedShingles(array_distinct(TextOps.shingles(toks, 3))).as("hs"))
+      // persisted: the signature projection feeds three branches
+      // (banding + both sides of the estimate join)
       val sig = sg.select(col("doc_id") +:
-        (0 until S).map(i => TextOps.minhash(col("sg"), i).as(s"m$i")): _*)
+        (0 until S).map(i => TextOps.minhashFromHashes(col("hs"), i).as(s"m$i")): _*)
         .persist()
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
@@ -289,6 +292,24 @@ object TextQueries {
           col("tf"), col("df"), col("tfidf"))
     }),
 
+    // Training-sequence packing: docs binned into 2048-token sequences by
+    // a running total WITHIN salted pack groups. The salt keeps the cumsum
+    // window partition-local — a single global running total would
+    // serialize a 100 TB corpus through one partition; per-group packing
+    // is the standard distributed compromise (each group packs
+    // independently, groups fill executors in parallel).
+    "q66_sequence_pack" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("pack_group",
+          (conv(substring(sha2(concat_ws("|", lit("pack"),
+            col("doc_id").cast("string")), 256), 1, 4), 16, 10)
+            .cast("long") % 8).cast("int"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.partitionBy("pack_group").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("seq_id",
+          floor((col("cum_tokens") - col("n_tokens")) / lit(2048)).cast("long"))),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -312,7 +333,7 @@ object TextQueries {
   private def inList(set: Seq[String]) = set.map(w => s"'$w'").mkString(", ")
 
   private def minhashSql(i: Int) =
-    s"list_min(list_transform(sg, x -> sha256('$i|' || x)))"
+    s"list_min(list_transform(sg, x -> ('0x' || substr(sha256(x), ${i * 5 + 1}, 5))::BIGINT))"
 
   private def simhashBitSql(b: Int): String = {
     val d = b / 4 + 1
@@ -398,7 +419,8 @@ object TextQueries {
     "q36_minhash_lsh" -> {
       val sigCols = (0 until S).map(i => s"  ${minhashSql(i)} AS m$i").mkString(",\n")
       val bandSelects = (0 until Bands).map(b =>
-        s"SELECT doc_id, $b AS band_idx, sha256(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM sig")
+        s"SELECT doc_id, $b AS band_idx, " +
+          s"sha256(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS bh FROM sig")
         .mkString("\n UNION ALL ")
       val estSum = (0 until S).map(i =>
         s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -424,6 +446,16 @@ object TextQueries {
          |           (acc, v) -> (acc * 1000003 + v) % 2147483647))) AS min_window_hash
          |FROM t)
          |SELECT doc_id, n_windows, min_window_hash FROM w""".stripMargin,
+    "q66_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |  CAST(('0x' || substr(sha256('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+         |    AS INT) AS pack_group
+         |FROM documents),
+         |w AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+         |SELECT doc_id, n_tokens, pack_group, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+         |FROM w""".stripMargin,
     "q58_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
