@@ -88,6 +88,32 @@ object Media {
     }
   }
 
+  case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Int,
+                         energy: Long)
+
+  /** Audio-style windowed energy: the payload read as PCM-like 8-bit
+    * samples, fixed `windowLen` windows at `hop` stride, energy =
+    * Σ (sample−128)² per window. Same executor-side batched shape as
+    * [[frameSample]] — a real pipeline decodes compressed audio first
+    * (the documented stub); windows never leave the executor. */
+  def audioWindows(media: Dataset[MediaRow], windowLen: Int = 256,
+                   hop: Int = 128): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val p = r.payload
+      val n = p.length
+      if (n <= 0) Seq.empty[AudioWindow]
+      else (0 until math.max(n - windowLen + 1, 1) by hop).zipWithIndex.map {
+        case (st, i) =>
+          val end = math.min(st + windowLen, n)
+          var e = 0L
+          var j = st
+          while (j < end) { val v = (p(j) & 0xFF) - 128; e += v.toLong * v; j += 1 }
+          AudioWindow(r.media_id, i, end - st, e)
+      }
+    }
+  }
+
   /** Sample `frames` pseudo-frames per payload (video frame-sample shape):
     * emits offsets/length/first-byte, payload bytes stay on the executor. */
   def frameSample(media: Dataset[MediaRow], frames: Int = 4): Dataset[Frame] = {

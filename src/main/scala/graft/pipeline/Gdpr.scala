@@ -80,7 +80,8 @@ object Gdpr {
       if (AtomicRewrite.exists(spark, auditRoot))
         AtomicRewrite.read(spark, auditRoot).unionByName(audit)
       else audit
-    AtomicRewrite.write(spark, auditRoot, next)
+    // audit rows are per-(subject, table) — tiny; avoid per-partition files
+    AtomicRewrite.write(spark, auditRoot, next.coalesce(1))
     ids.unpersist()
     audit
   }

@@ -35,6 +35,14 @@ object MediaQueries {
       val media = Media.fromDocuments(Tables.load(s, dir, "documents"))
         .as[Media.MediaRow]
       Media.frameSample(media, frames = 4).toDF()
+    }),
+
+    // Audio-style windowed energy: 256-sample windows, 128 hop.
+    "q67_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      val media = Media.fromDocuments(Tables.load(s, dir, "documents"))
+        .as[Media.MediaRow]
+      Media.audioWindows(media, windowLen = 256, hop = 128).toDF()
     }))
 
   val oracles: Map[String, String] = Map(
@@ -57,5 +65,17 @@ object MediaQueries {
         | CAST(CASE WHEN ((frame_idx + 1) * n // 4) > (frame_idx * n // 4)
         |      THEN ascii(substr(text, (frame_idx * n // 4) + 1, 1))
         |      ELSE -1 END AS INT) AS frame_first_byte
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    "q67_audio_windows" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |           FROM documents WHERE length(text) > 0),
+        |w AS (SELECT media_id, text, n,
+        |        unnest(range(0, greatest(n - 255, 1), 128)) AS st
+        |      FROM d)
+        |SELECT media_id, CAST(st // 128 AS INT) AS window_idx,
+        | CAST(least(st + 256, n) - st AS INT) AS n_samples,
+        | CAST(list_sum(list_transform(range(st + 1, least(st + 256, n) + 1),
+        |   i -> CAST(ascii(substr(text, i, 1)) - 128 AS BIGINT)
+        |        * (ascii(substr(text, i, 1)) - 128))) AS BIGINT) AS energy
+        |FROM w""".stripMargin)
 }

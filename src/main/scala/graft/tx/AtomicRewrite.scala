@@ -97,6 +97,32 @@ object AtomicRewrite {
     vacuum(spark, root, keepVersions)
   }
 
+  /** OPTIMIZE analog (Delta OPTIMIZE [ZORDER BY]): rewrite the current
+    * snapshot into ~`targetBytes` files, optionally range-clustered +
+    * sorted by `clusterBy` so parquet min/max stats enable data skipping
+    * on those columns. The small-files problem is the classic operational
+    * cost of per-batch snapshot commits at scale — compaction amortizes
+    * it without changing any row. Returns the new file count. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L << 20,
+              clusterBy: Seq[String] = Nil): Int = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"graft table does not exist: $root"))
+    val dir = new Path(root, s"v=$v")
+    val f = fs(spark, dir)
+    val bytes = f.getContentSummary(dir).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val cur = read(spark, root)
+    val out =
+      if (clusterBy.isEmpty) cur.repartition(parts)
+      else cur.repartitionByRange(parts,
+        clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    write(spark, root, out)
+    val newDir = new Path(root, s"v=${v + 1}")
+    f.listStatus(newDir).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Delete snapshot dirs older than the newest `keep` versions (≙ VACUUM). */
   def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
     val f = fs(spark, new Path(root))

@@ -44,6 +44,8 @@ object Watermarks {
       java.util.Collections.singletonList(Row(job, ts.orNull, runAt, status)), schema)
     val merged = Upsert.scd1(target, source, Seq("job_name"),
       resolve = Map("last_loaded_ts" -> ((t, s) => coalesce(s, t))))
-    AtomicRewrite.write(spark, root, merged)
+    // control tables are tiny by definition: one output file, not one per
+    // shuffle partition (32 near-empty files per advance otherwise)
+    AtomicRewrite.write(spark, root, merged.coalesce(1))
   }
 }

@@ -71,6 +71,22 @@ class AtomicRewriteSpec extends SparkSpec {
     assert(AtomicRewrite.read(spark, root).as[String].collect().toSeq == Seq("committed"))
   }
 
+  test("compact rewrites many small files into few, preserving every row") {
+    val root = Files.createTempDirectory("graft-ar4").toString + "/t"
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("k", col("id") % 100).repartition(16)
+    AtomicRewrite.write(spark, root, df)
+    val before = new java.io.File(s"$root/v=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before > 4)
+    val after = AtomicRewrite.compact(spark, root, targetBytes = 1L << 30,
+      clusterBy = Seq("k"))
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val back = AtomicRewrite.read(spark, root)
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == 49995000L)
+  }
+
   test("lost _LATEST pointer recovers to the newest committed snapshot") {
     val root = Files.createTempDirectory("graft-ar3").toString + "/t"
     AtomicRewrite.write(spark, root, Seq(1).toDF("x"))
