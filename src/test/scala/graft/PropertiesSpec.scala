@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.BottomK
 import graft.multimodal.Media
-import graft.pipeline.Scd2
+import graft.pipeline.{Medallion, Scd2}
 import graft.tx.{AtomicRewrite, Watermarks}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -79,6 +79,44 @@ class PropertiesSpec extends SparkSpec {
       val currentOpen = rows.filter(_.getBoolean(3)).forall(_.isNullAt(2))
       oneCurrent && closedOrdered && currentOpen
     }, n = 8)
+  }
+
+  test("goldAggIncremental: random batch folds equal a full recompute") {
+    val batchGen = Gen.nonEmptyListOf(for {
+      key <- Gen.chooseNum(1, 3)
+      v <- Gen.chooseNum(0, 100)
+    } yield (key, v))
+    val seqGen = Gen.listOfN(3, batchGen)
+    check(Prop.forAll(seqGen) { batches =>
+      val root = Files.createTempDirectory("graft-prop-agg").toString
+      val paths = Medallion.Paths(root)
+      var nextId = 0L
+      var t = 0
+      batches.foreach { rows =>
+        t += 1
+        val df = rows.map { case (k, v) =>
+          nextId += 1
+          (nextId, k, v.toDouble, Timestamp.valueOf(f"2024-01-01 00:$t%02d:00"))
+        }.toDF("id", "k", "v", "raw_loaded_at")
+        val factRoot = paths.gold("fact")
+        val fact =
+          if (AtomicRewrite.exists(spark, factRoot))
+            AtomicRewrite.read(spark, factRoot).unionByName(df)
+          else df
+        AtomicRewrite.write(spark, factRoot, fact)
+        Medallion.goldAggIncremental(spark, paths, "agg",
+          AtomicRewrite.read(spark, factRoot), Seq("k"),
+          Seq(count(lit(1)).as("n"),
+            sum(col("v").cast("decimal(38,6)")).cast("double").as("s")))
+      }
+      val got = AtomicRewrite.read(spark, paths.gold("agg"))
+        .select("k", "n", "s").as[(Int, Long, Double)].collect().toSet
+      val want = AtomicRewrite.read(spark, paths.gold("fact"))
+        .groupBy("k").agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,6)")).cast("double").as("s"))
+        .as[(Int, Long, Double)].collect().toSet
+      got == want
+    }, n = 4)
   }
 
   test("FAIL runs (null ts) never clear the stored watermark: coalesce(s,t)") {
