@@ -194,17 +194,18 @@ object TextQueries {
         val nbrMin = edges
           .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
           .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
+        // carry the old label through the update so convergence is a
+        // count on the SAME materialized frame — one job per iteration,
+        // not an extra labels⋈next join
         val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster_id").as("__old"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
               .as("cluster_id"))
           .persist()
-        converged = next.alias("n")
-          .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.cluster_id") =!= col("o.cluster_id")).isEmpty
+        converged = next.filter(col("cluster_id") =!= col("__old")).isEmpty
         prev.foreach(_.unpersist()) // next is materialized; release old labels
         prev = Some(next)
-        labels = next
+        labels = next.drop("__old")
         iter += 1
       }
       sh.unpersist()
