@@ -467,6 +467,21 @@ object RelationalQueries {
           col("view_ts"), col("purchase_ts"), col("purchase_value"))
     }),
 
+    // Skew diagnostic: hottest join keys and their ratio vs the mean
+    // group size — the report that decides when the q43 salted path (or
+    // AQE skew join) is needed. One keyed count + one broadcast scalar.
+    "q68_skew_report" -> ((s, dir) => {
+      val counts = T(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+      val mean = counts.agg(
+        (sum(col("n")).cast("double") / count(lit(1))).as("mean_n"))
+      counts.crossJoin(broadcast(mean))
+        .select(col("key"), col("n"),
+          round(col("n") / col("mean_n"), 6).as("skew_ratio"))
+        .orderBy(col("n").desc, col("key"))
+        .limit(5)
+    }),
+
     // TPC-H Q1 shape: big scan + hash aggregate (bench headliner)
     "q23_tpch_pricing" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -739,6 +754,11 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q68_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_n FROM c)
+        |SELECT key, n, round(n / mean_n, 6) AS skew_ratio
+        |FROM c, m ORDER BY n DESC, key LIMIT 5""".stripMargin,
     "q65_attribution" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
         |           FROM events WHERE event_type = 'view'),

@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental dedup against the all-time fingerprint store: in-batch
+  * dups collapse to the lowest id, cross-batch repeats are rejected, a
+  * replayed batch is empty, and the store grows by exactly the accepted
+  * fingerprints. */
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("acceptNew rejects previously-seen text across batches and replays") {
+    val root = Files.createTempDirectory("graft-fps").toString + "/store"
+    def fp = DedupStore.textFingerprint(col("text"))
+
+    val b1 = Seq((1L, "Hello   World"), (2L, "unique one"),
+      (3L, "hello world")) // 3 normalizes to the same text as 1
+      .toDF("doc_id", "text")
+    val a1 = DedupStore.acceptNew(spark, root, b1, "doc_id", fp)
+    assert(a1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    val b2 = Seq((4L, "HELLO WORLD"), (5L, "brand new")).toDF("doc_id", "text")
+    val a2 = DedupStore.acceptNew(spark, root, b2, "doc_id", fp)
+    assert(a2.select("doc_id").as[Long].collect().toSet == Set(5L))
+
+    // full replay of batch 2 contributes nothing
+    assert(DedupStore.acceptNew(spark, root, b2, "doc_id", fp).isEmpty)
+
+    val stored = AtomicRewrite.read(spark, root)
+    assert(stored.count() == 3 && stored.distinct().count() == 3)
+    spark.catalog.clearCache()
+  }
+}
