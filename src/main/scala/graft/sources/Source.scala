@@ -32,6 +32,23 @@ case class ParquetSource(path: String) extends Source {
   override def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** Delimited/JSON file drops — the landing-zone shape a reference user
+  * migrating from CSV/JSONL exports needs. An EXPLICIT schema is required:
+  * schema inference would scan the data twice and silently drift between
+  * drops; bronze owns the contract. `readIncremental`'s watermark filter
+  * still prunes what the format allows (CSV/JSON scan whole files, so at
+  * scale pair this with date-partitioned drop directories — the `path`
+  * glob then partition-prunes before any row is parsed). */
+case class FileSource(path: String, format: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      options: Map[String, String] = Map.empty) extends Source {
+  require(Set("csv", "json").contains(format), s"unsupported format: $format")
+  override def read(spark: SparkSession): DataFrame =
+    options.foldLeft(spark.read.format(format).schema(schema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(path)
+}
+
 /** JDBC-backed source (the reference's OLTP extraction path). `pushdown`
   * optionally inlines a server-side subquery, the S2 idiom. Untestable in
   * this environment (no database), but the contract bronze jobs code
