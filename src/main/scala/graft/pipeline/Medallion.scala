@@ -165,8 +165,11 @@ object Medallion {
       return
     }
     val history = AtomicRewrite.read(spark, target)
-    val wm = history.agg(max(col("raw_loaded_at"))).head().getTimestamp(0)
-    val inc = silver.filter(col("raw_loaded_at") > lit(wm))
+    // Option-wrap: an empty hist yields a NULL max, and `col > NULL`
+    // would silently drop every incremental row forever
+    val wm = Option(history.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val inc = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
+      .getOrElse(silver)
     if (inc.isEmpty) return
     // re-open incremental rows as candidate current versions: the hist dim
     // tracks its own valid_to/is_current lifecycle via the SCD2 merge
