@@ -12,17 +12,26 @@ import org.apache.spark.sql.functions._
   * Scale: the store holds one short hash per accepted document (a few
   * bytes vs the corpus' kilobytes), so batch⋈store is a hash anti-join on
   * the fingerprint — the corpus itself is never self-joined and never
-  * re-read. The store is an [[AtomicRewrite]] snapshot, so a crashed run
-  * re-processes its batch idempotently (fingerprints are content-derived,
-  * re-accepting the same survivors is a no-op union).
+  * re-read.
+  *
+  * Crash ordering: the accepted rows are handed to `land` (the caller's
+  * durable sink) BEFORE the store commit. A crash between the two replays
+  * the batch: `land` re-lands the same survivors (it must be idempotent —
+  * any [[graft.tx.Upsert]]/[[AtomicRewrite]] sink is) and the store then
+  * commits. Committing the store first would be unrecoverable — the
+  * fingerprints would be marked seen while the documents were never
+  * landed, and every replay would return empty.
   */
 object DedupStore {
 
   /** Accept the unseen rows of `batch` (first occurrence per fingerprint
-    * inside the batch wins by ascending `idCol`), append their
-    * fingerprints to the store, return the accepted rows. */
+    * inside the batch wins by ascending `idCol`): `land` the accepted
+    * rows durably, then append their fingerprints to the store. Returns
+    * the accepted rows (pinned in cache; released by the session's
+    * clearCache between queries). */
   def acceptNew(spark: SparkSession, storeRoot: String, batch: DataFrame,
-                idCol: String, fingerprint: Column): DataFrame = {
+                idCol: String, fingerprint: Column,
+                land: DataFrame => Unit = _ => ()): DataFrame = {
     val fp = batch.withColumn("__fp", fingerprint)
     val store =
       if (AtomicRewrite.exists(spark, storeRoot))
@@ -32,13 +41,13 @@ object DedupStore {
       store.select(col("fingerprint").as("__fp")), Seq("__fp"), "left_anti")
     val accepted = graft.ops.Dedup.latestPerKey(unseen,
       Seq(col("__fp")), Seq(col(idCol).asc)).persist()
-    AtomicRewrite.write(spark, storeRoot,
-      store.unionByName(accepted.select(col("__fp").as("fingerprint"))))
-    // pin the result BEFORE releasing the join cache: after the store
-    // write commits, recomputing the anti-join would race the updated
-    // snapshot (it would see its own batch's fingerprints)
+    // pin the result BEFORE the store commit: after it, recomputing the
+    // anti-join would see its own batch's fingerprints
     val out = accepted.drop("__fp").persist()
     out.count()
+    land(out) // durable consumer first — see crash-ordering contract above
+    AtomicRewrite.write(spark, storeRoot,
+      store.unionByName(accepted.select(col("__fp").as("fingerprint"))))
     accepted.unpersist()
     out
   }

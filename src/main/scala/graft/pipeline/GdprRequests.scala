@@ -35,9 +35,16 @@ object GdprRequests {
         col("status") === "processed" &&
         col("processed_at").isNotNull &&
         since.map(ts => col("processed_at") > lit(ts)).getOrElse(lit(true)))
-      .withColumn("subject_type", coalesce(lower(col("subject_type")), lit("passenger")))
+      // the passenger_id fallback applies ONLY to legacy-shape rows
+      // (subject_type absent): a modern row typed 'driver' with a NULL
+      // subject_id must be DROPPED, not resolved against the legacy
+      // column — that would erase a passenger's id as a driver
       .withColumn("subject_id",
-        coalesce(col("subject_id"), col("passenger_id")).cast("long"))
+        when(col("subject_type").isNull,
+          coalesce(col("subject_id"), col("passenger_id")))
+          .otherwise(col("subject_id")).cast("long"))
+      .withColumn("subject_type",
+        coalesce(lower(col("subject_type")), lit("passenger")))
       .filter(col("subject_id").isNotNull)
       .select(col("request_id").cast("string").as("request_id"),
         col("processed_at").cast("timestamp").as("processed_at"),

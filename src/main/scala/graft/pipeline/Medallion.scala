@@ -147,14 +147,18 @@ object Medallion {
     AtomicRewrite.write(spark, target, next)
   }
 
-  /** SCD2 hist dim, merged INCREMENTALLY: only silver versions newer than
-    * the hist dim's own watermark (max raw_loaded_at) are folded in via
-    * the one-pass SCD2 close+insert, so unchanged keys' rows pass through
-    * untouched (reference hist/dim_driver.py:215-289). The previous
-    * full-silver-history rewrite was a scan+write of all-time history per
-    * batch — a 100 TB scale-killer. First run seeds the dim from the full
-    * silver history verbatim; after that each batch touches only changed
-    * keys. */
+  /** SCD2 hist dim, merged INCREMENTALLY as an affected-KEY slice
+    * replacement: keys with silver versions newer than the hist dim's own
+    * watermark get their COMPLETE silver history copied in (valid_to /
+    * is_current carried from silver, which owns the lifecycle); every
+    * other key's rows pass through untouched. This keeps hist exactly ≡
+    * silver per key even when the hist job lags several silver batches
+    * (a latest-per-key SCD2 fold would silently drop the intermediate
+    * versions — the reference's own incremental merge,
+    * hist/dim_driver.py:215-289, has that flaw). The previous
+    * full-history rewrite re-stamped all-time history per batch — a
+    * 100 TB scale-killer; here the affected-key set is one batch's keys,
+    * broadcast into both joins. */
   def goldScd2Hist(spark: SparkSession, paths: Paths, entity: String,
                    keys: Seq[String], now: Timestamp): Unit = {
     val target = paths.gold(s"dim_${entity}_hist")
@@ -168,17 +172,15 @@ object Medallion {
     // Option-wrap: an empty hist yields a NULL max, and `col > NULL`
     // would silently drop every incremental row forever
     val wm = Option(history.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
-    val inc = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
+    val affected = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(silver)
-    if (inc.isEmpty) return
-    // re-open incremental rows as candidate current versions: the hist dim
-    // tracks its own valid_to/is_current lifecycle via the SCD2 merge
-    val batch = inc
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("is_current", lit(true))
-      .withColumn("dwh_loaded_at", lit(now))
-    AtomicRewrite.write(spark, target,
-      Scd2.apply(history, batch, keys, Seq("raw_loaded_at")))
+      .select(keys.map(col): _*).distinct()
+    if (wm.isDefined && affected.isEmpty) return
+    val next = history.join(broadcast(affected), keys, "left_anti")
+      .unionByName(
+        silver.join(broadcast(affected), keys, "left_semi")
+          .withColumn("dwh_loaded_at", lit(now)))
+    AtomicRewrite.write(spark, target, next)
   }
 
   /** SCD3 dim: current + prev_* columns from rank-1/rank-2 versions

@@ -57,10 +57,13 @@ object Runner {
     Medallion.goldFact(spark, paths, "fact_orders", "orders",
       keys = Seq("o_orderkey"), dateKeyFrom = Seq("o_orderdate"),
       dimKeys = Map("o_custkey" -> ("customer", "c_custkey")), now = now)
-    // bucketed gold fact: pre-shuffled ONCE on the aggregation grain at
-    // write time, so the daily rollup (and any later date_key equi-join
-    // over the fact) runs with zero exchanges — at 100 TB the cluster
-    // never moves the fact again (BucketedSpec proves the plan shape)
+    // bucketed gold fact: shuffled on the aggregation grain at WRITE time
+    // so every later date_key rollup/equi-join runs with zero exchanges
+    // (RunnerSpec proves the plan). Honest cost note: this rewrites the
+    // bucketed copy each run — same magnitude as the snapshot fact write
+    // itself under the Delta-less architecture; at real scale you would
+    // refresh the bucketed copy on compaction cadence rather than per
+    // batch, and feed incremental runs from the plain snapshot
     graft.sources.Bucketed.write(
       graft.tx.AtomicRewrite.read(spark, paths.gold("fact_orders")),
       bucketedFactTable(root), "date_key", buckets = 8)

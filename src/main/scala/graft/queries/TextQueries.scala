@@ -210,11 +210,13 @@ object TextQueries {
       }
       sh.unpersist()
       edges.unpersist()
-      // final labels cache must not outlive the query either — pin the
-      // small result frame instead and drop the iteration cache
+      // final labels cache must not outlive the query either — release
+      // the PERSISTED frame (`prev`, the last `next`): unpersisting the
+      // derived `labels` projection would be a no-op, since unpersist
+      // only matches the exact cached plan
       materializeAndRelease(
         labels.withColumn("is_duplicate", col("cluster_id") =!= col("doc_id")),
-        labels)
+        prev.toSeq: _*)
     }),
 
     // Deterministic train/val/test split (80/10/10): salted sha256 bucket

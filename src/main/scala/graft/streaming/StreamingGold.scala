@@ -34,9 +34,16 @@ object StreamingGold {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val factRoot = paths.gold(factName)
+          // latest-per-key FIRST: a micro-batch can carry several updates
+          // to one key, and Upsert.scd1's full-outer join would emit one
+          // output row per source duplicate — permanently duplicating the
+          // key in the fact (same dedup every other fact path does)
+          val latest = graft.ops.Dedup.latestPerKey(batch,
+            keys.map(org.apache.spark.sql.functions.col),
+            Seq(org.apache.spark.sql.functions.col("raw_loaded_at").desc))
           val fact =
-            if (!AtomicRewrite.exists(spark, factRoot)) batch
-            else Upsert.scd1(AtomicRewrite.read(spark, factRoot), batch, keys,
+            if (!AtomicRewrite.exists(spark, factRoot)) latest
+            else Upsert.scd1(AtomicRewrite.read(spark, factRoot), latest, keys,
               updateWhen = (t, s) => s("raw_loaded_at") > t("raw_loaded_at"))
           AtomicRewrite.write(spark, factRoot, fact)
           Medallion.goldAggIncremental(spark, paths, aggName,

@@ -34,4 +34,19 @@ class DedupStoreSpec extends SparkSpec {
     assert(stored.count() == 3 && stored.distinct().count() == 3)
     spark.catalog.clearCache()
   }
+
+  test("a crash in the downstream land leaves the store unmarked — replay recovers") {
+    val root = Files.createTempDirectory("graft-fps2").toString + "/store"
+    def fp = DedupStore.textFingerprint(col("text"))
+    val batch = Seq((1L, "only doc")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      DedupStore.acceptNew(spark, root, batch, "doc_id", fp,
+        land = _ => throw new RuntimeException("downstream sink died"))
+    }
+    // fingerprints were NOT committed before the land -> replay accepts
+    val replay = DedupStore.acceptNew(spark, root, batch, "doc_id", fp)
+    assert(replay.count() == 1, "crashed batch must be re-acceptable")
+    assert(AtomicRewrite.read(spark, root).count() == 1)
+    spark.catalog.clearCache()
+  }
 }

@@ -39,7 +39,11 @@ class GdprRequestsSpec extends SparkSpec {
       ("r2", Some(2L), None, None, "erasure", "processed", Some("2024-01-01 11:00:00")),
       // not processed / not erasure / no processed_at -> all out of scope
       ("r3", None, Some("passenger"), Some(3L), "erasure", "pending", None),
-      ("r4", None, Some("passenger"), Some(3L), "access", "processed", Some("2024-01-01 12:00:00")))
+      ("r4", None, Some("passenger"), Some(3L), "access", "processed", Some("2024-01-01 12:00:00")),
+      // MALFORMED modern row: typed 'driver' with NULL subject_id but a
+      // passenger_id present — must be DROPPED, never resolved against
+      // the legacy column (that would erase passenger 3 as a driver)
+      ("r5x", Some(3L), Some("driver"), None, "erasure", "processed", Some("2024-01-01 10:30:00")))
 
     val n1 = GdprRequests.runIncremental(spark, control, batch1, policiesFor,
       t => s"$root/$t", s"$root/audit", "s", ts("2024-01-02 00:00:00"))

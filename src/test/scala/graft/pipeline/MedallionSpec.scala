@@ -150,6 +150,43 @@ class MedallionSpec extends SparkSpec {
     assert(left.count() == 3 && left.filter(col("is_current")).count() == 3)
   }
 
+  test("hist dim lagging several silver batches keeps every intermediate version") {
+    val r2 = Files.createTempDirectory("graft-hist-lag").toString
+    val p2 = Medallion.Paths(r2)
+    def silverRows(rows: (Long, String, String, Option[String], Boolean)*) =
+      rows.toSeq.toDF("id", "v", "valid_from", "valid_to", "is_current")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("valid_to", to_timestamp(col("valid_to")))
+        .withColumn("scd_hash", sha2(col("v"), 256))
+
+    // batch 1: two keys, one version each -> hist seeded
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "a1", "2024-01-01 00:00:00", None, true),
+      (2L, "b1", "2024-01-01 00:00:00", None, true)))
+    Medallion.goldScd2Hist(spark, p2, "e", Seq("id"), ts("2024-01-01 10:00:00"))
+
+    // TWO more silver batches land before the hist job runs again:
+    // key 1 goes a1 -> a2 -> a3 (a2 is an intermediate closed version)
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "a1", "2024-01-01 00:00:00", Some("2024-01-02 00:00:00"), false),
+      (1L, "a2", "2024-01-02 00:00:00", Some("2024-01-03 00:00:00"), false),
+      (1L, "a3", "2024-01-03 00:00:00", None, true),
+      (2L, "b1", "2024-01-01 00:00:00", None, true)))
+    Medallion.goldScd2Hist(spark, p2, "e", Seq("id"), ts("2024-01-03 10:00:00"))
+
+    val hist = AtomicRewrite.read(spark, p2.gold("dim_e_hist"))
+    val k1 = hist.filter(col("id") === 1L).orderBy("valid_from").collect()
+    assert(k1.length == 3, "intermediate version a2 must survive the lagged merge")
+    assert(k1.map(_.getAs[String]("v")).toSeq == Seq("a1", "a2", "a3"))
+    assert(k1.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+    assert(k1(0).getAs[Timestamp]("valid_to") == ts("2024-01-02 00:00:00"))
+    // untouched key 2 passes through with its batch-1 dwh stamp
+    val k2 = hist.filter(col("id") === 2L).collect()
+    assert(k2.length == 1 &&
+      k2(0).getAs[Timestamp]("dwh_loaded_at") == ts("2024-01-01 10:00:00"))
+  }
+
   test("retention never deletes rows with a NULL timestamp") {
     val r2 = Files.createTempDirectory("graft-ret-null").toString + "/t"
     val t = Seq((1L, Some("2020-01-01 00:00:00")), (2L, None), (3L, Some("2025-01-01 00:00:00")))

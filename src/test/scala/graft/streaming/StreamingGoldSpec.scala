@@ -60,6 +60,20 @@ class StreamingGoldSpec extends SparkSpec {
       val agg3 = AtomicRewrite.read(spark, paths.gold("agg_sales"))
         .select("date_key", "n").as[(Int, Long)].collect().toMap
       assert(agg3 == Map(20240101 -> 2L, 20240102 -> 2L))
+
+      // one micro-batch carrying TWO updates to one key: only the latest
+      // lands — no duplicate key rows, no double counting
+      in.addData(Sale(5, 20240103, 1.0, ts("2024-01-03 08:00:00")),
+        Sale(5, 20240103, 2.5, ts("2024-01-03 09:00:00")))
+      q.processAllAvailable()
+      val s5 = AtomicRewrite.read(spark, paths.gold("fact_sales"))
+        .filter(col("sale_id") === 5L)
+      assert(s5.count() == 1)
+      assert(s5.select("amount").as[Double].head() == 2.5)
+      val agg4 = AtomicRewrite.read(spark, paths.gold("agg_sales"))
+        .filter(col("date_key") === 20240103)
+        .select("n", "total").as[(Long, Double)].head()
+      assert(agg4 == ((1L, 2.5)))
     } finally q.stop()
   }
 }
