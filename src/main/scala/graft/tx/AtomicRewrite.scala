@@ -97,6 +97,33 @@ object AtomicRewrite {
     vacuum(spark, root, keepVersions)
   }
 
+  /** Time travel (Delta `versionAsOf`): read a specific retained snapshot
+    * version. Only versions the vacuum policy kept are readable. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val p = new Path(root, s"v=$version")
+    if (!fs(spark, p).exists(p))
+      throw new IllegalStateException(
+        s"version $version of $root does not exist (vacuumed or never written)")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Change-data-feed analog (Delta CDF): row-level delta between two
+    * retained snapshot versions as full-row anti-joins —
+    * `_change_type ∈ {insert, delete}` (an update appears as its delete +
+    * insert pair, which is what a full-snapshot store can know without
+    * key semantics). Downstream incremental consumers read the diff
+    * instead of re-scanning the snapshot. Scale: two hash anti-joins on
+    * all columns — the same cost class as the snapshot write that
+    * produced the versions. */
+  def diff(spark: SparkSession, root: String,
+           fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readVersion(spark, root, fromVersion)
+    val to = readVersion(spark, root, toVersion)
+    import org.apache.spark.sql.functions.lit
+    to.exceptAll(from).withColumn("_change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+  }
+
   /** OPTIMIZE analog (Delta OPTIMIZE [ZORDER BY]): rewrite the current
     * snapshot into ~`targetBytes` files, optionally range-clustered +
     * sorted by `clusterBy` so parquet min/max stats enable data skipping

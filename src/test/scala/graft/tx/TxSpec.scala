@@ -71,6 +71,24 @@ class AtomicRewriteSpec extends SparkSpec {
     assert(AtomicRewrite.read(spark, root).as[String].collect().toSeq == Seq("committed"))
   }
 
+  test("time travel + change feed between retained versions") {
+    val root = Files.createTempDirectory("graft-ar5").toString + "/t"
+    AtomicRewrite.write(spark, root, Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      keepVersions = 3)
+    AtomicRewrite.write(spark, root,
+      Seq((1, "a"), (2, "b2"), (3, "c")).toDF("id", "v"), keepVersions = 3)
+    // versionAsOf
+    assert(AtomicRewrite.readVersion(spark, root, 0)
+      .as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    // CDF: update shows as delete+insert, unchanged rows absent
+    val d = AtomicRewrite.diff(spark, root, 0, 1)
+      .as[(Int, String, String)].collect().toSet
+    assert(d == Set((2, "b2", "insert"), (3, "c", "insert"), (2, "b", "delete")))
+    intercept[IllegalStateException] {
+      AtomicRewrite.readVersion(spark, root, 9)
+    }
+  }
+
   test("compact rewrites many small files into few, preserving every row") {
     val root = Files.createTempDirectory("graft-ar4").toString + "/t"
     val df = spark.range(0, 10000).toDF("id")
