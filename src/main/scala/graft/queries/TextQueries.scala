@@ -313,6 +313,21 @@ object TextQueries {
         .withColumn("seq_id",
           floor((col("cum_tokens") - col("n_tokens")) / lit(2048)).cast("long"))),
 
+    // RAG/pretraining chunking: overlapping 32-token windows at stride 24
+    // per doc, each chunk content-addressed by a sha256 over its joined
+    // tokens (dedup/caching key downstream). Narrow map — one generated
+    // array per doc, chunks never leave the executor unjoined.
+    "q69_chunking" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), greatest(size(col("t")) - lit(31), lit(1)), lit(24)),
+          i => struct(
+            size(slice(col("t"), i, lit(32))).as("n_tokens"),
+            sha2(array_join(slice(col("t"), i, lit(32)), " "), 256).as("chunk_hash")))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          col("col.n_tokens").as("n_tokens"),
+          col("col.chunk_hash").as("chunk_hash"))),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -449,6 +464,15 @@ object TextQueries {
          |           (acc, v) -> (acc * 1000003 + v) % 2147483647))) AS min_window_hash
          |FROM t)
          |SELECT doc_id, n_windows, min_window_hash FROM w""".stripMargin,
+    "q69_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(range(1, greatest(len(toks) - 31, 1) + 1, 24)) AS st
+         |      FROM t)
+         |SELECT doc_id, CAST((st - 1) / 24 AS INT) AS chunk_idx,
+         | CAST(len(toks[st:st+31]) AS INT) AS n_tokens,
+         | sha256(array_to_string(toks[st:st+31], ' ')) AS chunk_hash
+         |FROM c""".stripMargin,
     "q66_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
          |  CAST(('0x' || substr(sha256('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
