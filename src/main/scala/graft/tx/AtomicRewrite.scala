@@ -12,19 +12,36 @@ import java.util.UUID
   * environment has no Delta jars (SURVEY.md §4), so managed tables live as
   *
   * {{{
-  *   <root>/v=<N>/ ...parquet files...
+  *   <root>/v=<N>/ ...parquet files (hive partition dirs if partitioned)...
+  *   <root>/v=<N>/_PARTS     // partition-aware commits only: "<ver>\t<dir>"
+  *   <root>/v=<N>/_COMMITTED // written after the pointer swap (recovery key)
   *   <root>/_LATEST          // single line: N
   * }}}
   *
-  * A rewrite stages the full new snapshot into `v=<N+1>` and then atomically
-  * replaces the `_LATEST` pointer (HDFS/posix rename of a one-line file).
-  * Readers resolve the pointer first, so they never observe a half-written
-  * snapshot. Single-writer-per-table is assumed — faithful to the reference,
-  * where each table is owned by exactly one job.
+  * A full rewrite stages the complete new snapshot into `v=<N+1>` and then
+  * atomically replaces the `_LATEST` pointer (HDFS/posix rename of a
+  * one-line file). Readers resolve the pointer first, so they never observe
+  * a half-written snapshot. Single-writer-per-table is assumed — faithful
+  * to the reference, where each table is owned by exactly one job.
   *
-  * VACUUM ≙ deleting version dirs older than the pointer (keepVersions).
+  * '''Partition-aware commits''' ([[writePartitions]]) are the analog of
+  * Delta MERGE's file-level pruning: a version that only touched some hive
+  * partitions stages ONLY those partition dirs and records a `_PARTS`
+  * manifest mapping every live partition dir to the version whose files
+  * hold it. Untouched partitions are carried into the new version ''by
+  * reference'' — zero bytes rewritten. This is the property that keeps an
+  * incremental merge O(batch), not O(table), at 100 TB: the reference gets
+  * it from Delta's log (src/silver/trips_bronze_to_silver.py:347-432,
+  * where MERGE touches only matched files); we get it from the manifest.
+  *
+  * VACUUM ≙ deleting version dirs older than the pointer (keepVersions)
+  * that are not referenced by any retained version's manifest.
   */
 object AtomicRewrite {
+
+  private val ManifestFile = "_PARTS"
+  private val CommittedMarker = "_COMMITTED"
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,45 +64,116 @@ object AtomicRewrite {
       Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
     } else {
       // crash recovery: if the pointer was lost mid-swap, fall back to the
-      // newest fully-committed snapshot dir (_SUCCESS present — a staged
-      // but uncommitted v=N has none until the parquet job commits; the
-      // single-writer assumption means no concurrent stage is in flight
-      // when recovery runs)
+      // newest snapshot dir carrying the _COMMITTED marker, which is
+      // written strictly AFTER the pointer swap — so a staged v=N whose
+      // swap never happened is never picked up. (A crash between the swap
+      // and the marker write plus a later pointer loss — two independent
+      // failures — recovers to N-1; replay is idempotent, so that is
+      // benign data-staleness, not corruption.)
       val rootPath = new Path(root)
       if (!f.exists(rootPath)) None
       else f.listStatus(rootPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .filter(v => f.exists(new Path(root, s"v=$v/_SUCCESS")))
+        .filter(v => f.exists(new Path(root, s"v=$v/$CommittedMarker")))
         .sorted.lastOption
     }
   }
 
-  /** Read the latest committed snapshot. */
+  /** Read the latest committed snapshot (manifest-resolved if the table
+    * uses partition-aware commits). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"graft table does not exist: $root"))
-    spark.read.parquet(s"$root/v=$v")
+    readVersion(spark, root, v)
   }
 
   /** Commit `df` as the next full snapshot of the table. */
   def write(spark: SparkSession, root: String, df: DataFrame,
             partitionBy: Seq[String] = Nil, keepVersions: Int = 2): Unit = {
-    val rootPath = new Path(root)
-    val f = fs(spark, rootPath)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(target.toString)
-    // Atomic pointer swap: write sidecar then rename OVER the live
-    // _LATEST in one FS op (FileContext + Rename.OVERWRITE). A prior
-    // delete-then-rename had a window where readers saw no pointer and a
-    // crash lost it permanently; currentVersion's max-v recovery now also
-    // backstops that, but the swap itself should never expose the window.
+    commitPointer(spark, root, next)
+    vacuum(spark, root, keepVersions)
+  }
+
+  /** Commit a PARTITION-LEVEL rewrite: `df` holds the complete new contents
+    * of the partitions being replaced; every other live partition is
+    * carried into the new version by manifest reference, its files never
+    * touched. `replaced` (distinct partition-value rows, columns =
+    * `partitionBy`) names the partitions being replaced — any of them
+    * absent from `df` is thereby deleted; when omitted, the replaced set
+    * defaults to exactly the partitions `df` contains.
+    *
+    * The previous version must be hive-partitioned by the same columns
+    * (either an earlier [[writePartitions]] commit or a [[write]] with the
+    * same `partitionBy`). Timestamp-typed partition columns are not
+    * supported (dir-name round-trip is zone-dependent); use dates or ints.
+    *
+    * Scale: the commit writes O(affected partitions) bytes while the table
+    * holds O(all history) — the difference between a merge that stays
+    * incremental at 100 TB and one that rewrites the world per batch.
+    */
+  def writePartitions(spark: SparkSession, root: String, df: DataFrame,
+                      partitionBy: Seq[String],
+                      replaced: Option[DataFrame] = None,
+                      keepVersions: Int = 2): Unit = {
+    require(partitionBy.nonEmpty, "writePartitions needs partition columns")
+    val f = fs(spark, new Path(root))
+    val cur = currentVersion(spark, root)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    val target = new Path(root, s"v=$next")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(target.toString)
+    val newParts = listPartitionDirs(f, target, partitionBy.length)
+    val prev: Map[String, Long] = cur match {
+      case None => Map.empty
+      case Some(v) =>
+        manifest(f, root, v).getOrElse {
+          val parts = listPartitionDirs(f, new Path(root, s"v=$v"), partitionBy.length)
+          if (parts.isEmpty && containsDataFiles(f, new Path(root, s"v=$v")))
+            throw new IllegalStateException(
+              s"$root v=$v is not hive-partitioned by $partitionBy; " +
+                "partition-aware commit would drop its rows")
+          parts.map(_ -> v).toMap
+        }
+    }
+    val replacedDirs: Set[String] = replaced match {
+      case None => newParts.toSet
+      case Some(r) =>
+        val schema = r.schema
+        val dirs = r.select(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().collect().map { row =>
+            partitionBy.zipWithIndex.map { case (c, i) =>
+              s"$c=${encodePartValue(row.get(i), schema(c).dataType)}"
+            }.mkString("/")
+          }.toSet
+        val stray = newParts.filterNot(dirs)
+        require(stray.isEmpty,
+          s"written partitions $stray not in the declared replaced set $dirs " +
+            "(partition-value path encoding mismatch?)")
+        dirs
+    }
+    val merged = (prev -- replacedDirs) ++ newParts.map(_ -> next)
+    writeText(f, new Path(target, ManifestFile),
+      merged.toSeq.sorted.map { case (d, v) => s"$v\t$d" }.mkString("\n"))
+    commitPointer(spark, root, next)
+    vacuum(spark, root, keepVersions)
+  }
+
+  /** Atomic pointer swap: write sidecar then rename OVER the live
+    * _LATEST in one FS op (FileContext + Rename.OVERWRITE), then drop the
+    * _COMMITTED recovery marker into the version dir. The swap is the
+    * commit point; the marker exists only so pointer-loss recovery can
+    * tell committed versions from staged-but-never-swapped ones. */
+  private def commitPointer(spark: SparkSession, root: String, next: Long): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
     val tmp = new Path(root, s"._LATEST.${UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    writeText(f, tmp, next.toString)
     try {
       val fc = FileContext.getFileContext(rootPath.toUri,
         spark.sparkContext.hadoopConfiguration)
@@ -94,17 +182,79 @@ object AtomicRewrite {
       case e: Exception =>
         throw new IllegalStateException(s"failed to commit pointer for $root", e)
     }
-    vacuum(spark, root, keepVersions)
+    writeText(f, new Path(root, s"v=$next/$CommittedMarker"), "")
   }
 
+  private def writeText(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** The `_PARTS` manifest of a version: partition dir → owning version.
+    * None when the version is a plain full snapshot. */
+  private def manifest(f: FileSystem, root: String, v: Long): Option[Map[String, Long]] = {
+    val p = new Path(root, s"v=$v/$ManifestFile")
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, StandardCharsets.UTF_8).split("\n")
+        .filter(_.nonEmpty).map { line =>
+          val Array(ver, dir) = line.split("\t", 2)
+          dir -> ver.toLong
+        }.toMap)
+    }
+  }
+
+  /** Relative `col=value[/col=value...]` dirs exactly `depth` levels deep. */
+  private def listPartitionDirs(f: FileSystem, dir: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq("")
+      else if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, d - 1)
+          .map(rel => if (rel.isEmpty) s.getPath.getName else s"${s.getPath.getName}/$rel"))
+    walk(dir, depth)
+  }
+
+  private def containsDataFiles(f: FileSystem, dir: Path): Boolean =
+    f.exists(dir) && {
+      val it = f.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+
+  /** Mirror of Spark's partition-path value encoding for the types we
+    * partition by (ints, strings, dates). Spark-escaping of the odd chars
+    * in string values is delegated to the catalyst util. */
+  private def encodePartValue(v: Any, dt: org.apache.spark.sql.types.DataType): String =
+    if (v == null) HiveDefaultPartition
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v.toString)
+
   /** Time travel (Delta `versionAsOf`): read a specific retained snapshot
-    * version. Only versions the vacuum policy kept are readable. */
+    * version, resolving its partition manifest if present. Only versions
+    * the vacuum policy kept are readable. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val p = new Path(root, s"v=$version")
-    if (!fs(spark, p).exists(p))
+    val f = fs(spark, p)
+    if (!f.exists(p))
       throw new IllegalStateException(
         s"version $version of $root does not exist (vacuumed or never written)")
-    spark.read.parquet(p.toString)
+    manifest(f, root, version) match {
+      case None => spark.read.parquet(p.toString)
+      case Some(m) =>
+        require(m.nonEmpty, s"$root v=$version has an empty partition manifest")
+        m.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
+          val base = s"$root/v=$ver"
+          spark.read.option("basePath", base)
+            .parquet(parts.keys.toSeq.sorted.map(d => s"$base/$d"): _*)
+        }.reduce(_.unionByName(_))
+    }
   }
 
   /** Change-data-feed analog (Delta CDF): row-level delta between two
@@ -113,31 +263,58 @@ object AtomicRewrite {
     * insert pair, which is what a full-snapshot store can know without
     * key semantics). Downstream incremental consumers read the diff
     * instead of re-scanning the snapshot. Scale: two hash anti-joins on
-    * all columns — the same cost class as the snapshot write that
-    * produced the versions. */
+    * all columns — and for partition-manifest versions only the dirs whose
+    * owning version differs can contain changes, so the compare prunes to
+    * exactly the partitions the later commits touched. */
   def diff(spark: SparkSession, root: String,
            fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = readVersion(spark, root, fromVersion)
-    val to = readVersion(spark, root, toVersion)
     import org.apache.spark.sql.functions.lit
+    val f = fs(spark, new Path(root))
+    val (from, to) = (manifest(f, root, fromVersion), manifest(f, root, toVersion)) match {
+      case (Some(a), Some(b)) =>
+        // manifest-level pruning: a partition dir owned by the SAME version
+        // on both sides is byte-identical — drop it from both reads
+        val same = a.keySet.intersect(b.keySet).filter(d => a(d) == b(d))
+        (readParts(spark, root, a -- same, fromVersion),
+          readParts(spark, root, b -- same, toVersion))
+      case _ =>
+        (readVersion(spark, root, fromVersion), readVersion(spark, root, toVersion))
+    }
     to.exceptAll(from).withColumn("_change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
 
+  private def readParts(spark: SparkSession, root: String,
+                        m: Map[String, Long], version: Long): DataFrame =
+    if (m.isEmpty) readVersion(spark, root, version).limit(0)
+    else m.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
+      val base = s"$root/v=$ver"
+      spark.read.option("basePath", base)
+        .parquet(parts.keys.toSeq.sorted.map(d => s"$base/$d"): _*)
+    }.reduce(_.unionByName(_))
+
   /** OPTIMIZE analog (Delta OPTIMIZE [ZORDER BY]): rewrite the current
     * snapshot into ~`targetBytes` files, optionally range-clustered +
     * sorted by `clusterBy` so parquet min/max stats enable data skipping
-    * on those columns. The small-files problem is the classic operational
-    * cost of per-batch snapshot commits at scale — compaction amortizes
-    * it without changing any row. Returns the new file count. */
+    * on those columns. For a partitioned table pass `partitionBy` — the
+    * compacted snapshot keeps the hive layout AND collapses the partition
+    * manifest (every partition re-owned by the new version), releasing the
+    * old version dirs for vacuum. The small-files problem is the classic
+    * operational cost of per-batch commits at scale — compaction amortizes
+    * it without changing any row. Returns the new data-file count. */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L << 20,
-              clusterBy: Seq[String] = Nil): Int = {
+              clusterBy: Seq[String] = Nil,
+              partitionBy: Seq[String] = Nil): Int = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"graft table does not exist: $root"))
     val dir = new Path(root, s"v=$v")
     val f = fs(spark, dir)
-    val bytes = f.getContentSummary(dir).getLength
+    if (manifest(f, root, v).isDefined)
+      require(partitionBy.nonEmpty,
+        s"$root is partition-committed; compact needs its partition columns " +
+          "or the layout would be silently flattened")
+    val bytes = liveBytes(f, root, v)
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val cur = read(spark, root)
     val out =
@@ -145,12 +322,29 @@ object AtomicRewrite {
       else cur.repartitionByRange(parts,
         clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    write(spark, root, out)
+    write(spark, root, out, partitionBy)
     val newDir = new Path(root, s"v=${v + 1}")
-    f.listStatus(newDir).count(s => s.getPath.getName.endsWith(".parquet"))
+    val it = f.listFiles(newDir, true) // recursive: partitioned layouts nest
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
-  /** Delete snapshot dirs older than the newest `keep` versions (≙ VACUUM). */
+  /** Bytes of the data files the current version actually references
+    * (manifest-aware — a partition-committed version's own dir holds only
+    * the partitions it rewrote). */
+  private def liveBytes(f: FileSystem, root: String, v: Long): Long =
+    manifest(f, root, v) match {
+      case None => f.getContentSummary(new Path(root, s"v=$v")).getLength
+      case Some(m) =>
+        m.map { case (d, ver) =>
+          f.getContentSummary(new Path(root, s"v=$ver/$d")).getLength
+        }.sum
+    }
+
+  /** Delete snapshot dirs older than the newest `keep` versions (≙ VACUUM)
+    * — except dirs still referenced by a retained version's partition
+    * manifest, whose files are live by reference. */
   def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
     val f = fs(spark, new Path(root))
     currentVersion(spark, root).foreach { latest =>
@@ -158,7 +352,10 @@ object AtomicRewrite {
       val versions = f.listStatus(new Path(root)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .map(s => s.getPath.getName.stripPrefix("v=").toLong)
-      versions.filter(_ < cutoff).foreach { v =>
+      val referenced = versions.filter(_ >= cutoff)
+        .flatMap(v => manifest(f, root, v).map(_.values.toSeq).getOrElse(Nil))
+        .toSet
+      versions.filter(v => v < cutoff && !referenced.contains(v)).foreach { v =>
         f.delete(new Path(root, s"v=$v"), true)
       }
     }

@@ -105,6 +105,78 @@ class AtomicRewriteSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) == 49995000L)
   }
 
+  test("partition commit rewrites only touched partitions; untouched files carried by reference") {
+    val root = Files.createTempDirectory("graft-arp").toString + "/t"
+    val v0 = Seq((1, 10, "a"), (2, 10, "b"), (3, 20, "c")).toDF("id", "pk", "v")
+    AtomicRewrite.writePartitions(spark, root, v0, Seq("pk"))
+    val untouched = new java.io.File(s"$root/v=0/pk=20")
+    val filesBefore = untouched.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(filesBefore.nonEmpty)
+
+    // replace partition pk=10 only
+    val batch = Seq((1, 10, "a2"), (4, 10, "d")).toDF("id", "pk", "v")
+    AtomicRewrite.writePartitions(spark, root, batch, Seq("pk"), keepVersions = 1)
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+    // v=1 holds ONLY the rewritten partition; pk=20 was never staged there
+    assert(!new java.io.File(s"$root/v=1/pk=20").exists())
+    // pk=20's files still live — untouched, same names and mtimes — in v=0,
+    // which vacuum must retain (keepVersions=1) because v=1 references it
+    val filesAfter = untouched.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(filesAfter == filesBefore, "untouched partition files were rewritten")
+    val back = AtomicRewrite.read(spark, root)
+      .select("id", "pk", "v").as[(Int, Int, String)].collect().toSet
+    assert(back == Set((1, 10, "a2"), (4, 10, "d"), (3, 20, "c")))
+    // time travel still resolves the pre-merge state
+    assert(AtomicRewrite.readVersion(spark, root, 0)
+      .select("id", "pk", "v").as[(Int, Int, String)].collect().toSet ==
+      Set((1, 10, "a"), (2, 10, "b"), (3, 20, "c")))
+    // CDF between the versions sees only the touched partition's rows
+    val d = AtomicRewrite.diff(spark, root, 0, 1)
+      .select("id", "pk", "v", "_change_type")
+      .as[(Int, Int, String, String)].collect().toSet
+    assert(d == Set((1, 10, "a2", "insert"), (4, 10, "d", "insert"),
+      (1, 10, "a", "delete"), (2, 10, "b", "delete")))
+  }
+
+  test("partition commit with explicit replaced set deletes emptied partitions") {
+    val root = Files.createTempDirectory("graft-arp2").toString + "/t"
+    AtomicRewrite.writePartitions(spark, root,
+      Seq((1, 10), (2, 20)).toDF("id", "pk"), Seq("pk"))
+    // row 1 moves from pk=10 to pk=30: the commit declares both partitions
+    // replaced but only writes pk=30 — pk=10 must vanish, not resurrect
+    AtomicRewrite.writePartitions(spark, root,
+      Seq((1, 30)).toDF("id", "pk"), Seq("pk"),
+      replaced = Some(Seq(10, 30).toDF("pk")))
+    val back = AtomicRewrite.read(spark, root)
+      .select("id", "pk").as[(Int, Int)].collect().toSet
+    assert(back == Set((1, 30), (2, 20)))
+  }
+
+  test("compacting a partition-committed table collapses references and keeps the layout") {
+    val root = Files.createTempDirectory("graft-arp3").toString + "/t"
+    AtomicRewrite.writePartitions(spark, root,
+      Seq((1, 10), (2, 20)).toDF("id", "pk"), Seq("pk"))
+    AtomicRewrite.writePartitions(spark, root,
+      Seq((3, 10)).toDF("id", "pk"), Seq("pk"), keepVersions = 2)
+    // flattening a partitioned table is an error, not silent data loss
+    intercept[IllegalArgumentException] {
+      AtomicRewrite.compact(spark, root)
+    }
+    val n = AtomicRewrite.compact(spark, root, partitionBy = Seq("pk"))
+    assert(n >= 2) // at least one data file per partition dir, counted recursively
+    assert(new java.io.File(s"$root/v=2/pk=10").exists())
+    assert(new java.io.File(s"$root/v=2/pk=20").exists())
+    val back = AtomicRewrite.read(spark, root)
+      .select("id", "pk").as[(Int, Int)].collect().toSet
+    assert(back == Set((3, 10), (2, 20)))
+    // the compacted snapshot owns everything → old dirs vacuum away
+    AtomicRewrite.vacuum(spark, root, keep = 1)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("v=2"))
+  }
+
   test("lost _LATEST pointer recovers to the newest committed snapshot") {
     val root = Files.createTempDirectory("graft-ar3").toString + "/t"
     AtomicRewrite.write(spark, root, Seq(1).toDF("x"))
