@@ -46,6 +46,21 @@ object Medallion {
     val control = s"$root/control/etl_control"
   }
 
+  /** The reference's job-failure contract (trips_oltp_to_bronze.py:169-176):
+    * every job body runs inside try/except; an exception records
+    * `FAIL:<ExceptionType>` with a NULL watermark — which the control
+    * table's never-regress merge turns into "status updated, watermark
+    * kept" — and then rethrows. A replay after the fix overwrites the FAIL
+    * row with OK and resumes from the unregressed watermark. */
+  def failSafe[T](spark: SparkSession, paths: Paths, job: String,
+                  now: Timestamp)(body: => T): T =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        Watermarks.advance(spark, paths.control, job, None,
+          s"FAIL:${e.getClass.getSimpleName}", now)
+        throw e
+    }
+
   // ---- bronze -----------------------------------------------------------
 
   /** Incremental extraction through a pluggable [[graft.sources.Source]]
@@ -55,9 +70,11 @@ object Medallion {
                  source: graft.sources.Source, wmCol: String, batchId: String,
                  now: Timestamp): Long = {
     val job = s"bronze_$entity"
-    val wm = Watermarks.read(spark, paths.control, job)
-    bronzeAppend(spark, paths, entity, job,
-      source.readIncremental(spark, wmCol, wm), wmCol, batchId, now)
+    failSafe(spark, paths, job, now) {
+      val wm = Watermarks.read(spark, paths.control, job)
+      bronzeAppend(spark, paths, entity, job,
+        source.readIncremental(spark, wmCol, wm), wmCol, batchId, now)
+    }
   }
 
   /** Incremental source → bronze append with lineage columns. Returns rows
@@ -66,9 +83,11 @@ object Medallion {
                  source: DataFrame, wmCol: String, batchId: String,
                  now: Timestamp): Long = {
     val job = s"bronze_$entity"
-    val wm = Watermarks.read(spark, paths.control, job)
-    val inc = wm.map(ts => source.filter(col(wmCol) > lit(ts))).getOrElse(source)
-    bronzeAppend(spark, paths, entity, job, inc, wmCol, batchId, now)
+    failSafe(spark, paths, job, now) {
+      val wm = Watermarks.read(spark, paths.control, job)
+      val inc = wm.map(ts => source.filter(col(wmCol) > lit(ts))).getOrElse(source)
+      bronzeAppend(spark, paths, entity, job, inc, wmCol, batchId, now)
+    }
   }
 
   private def bronzeAppend(spark: SparkSession, paths: Paths, entity: String,
@@ -101,6 +120,7 @@ object Medallion {
   def silverScd2(spark: SparkSession, paths: Paths, conf: SilverConf,
                  now: Timestamp): Long = {
     val job = s"silver_${conf.entity}"
+    failSafe(spark, paths, job, now) {
     val wm = Watermarks.read(spark, paths.control, job)
     val bronze = spark.read.parquet(paths.bronze(conf.entity))
     val inc0 = wm.map(ts => bronze
@@ -110,22 +130,24 @@ object Medallion {
     val stats = inc0.agg(count(lit(1)), max(col("raw_loaded_at"))).head()
     if (stats.getLong(0) == 0L) {
       Watermarks.advance(spark, paths.control, job, None, "OK:empty", now)
-      return 0L
+      0L
+    } else {
+      val cleaned = conf.clean(inc0)
+      val flagged = conf.flags.foldLeft(cleaned) { case (df, (name, expr)) =>
+        df.withColumn(name, expr)
+      }
+      val prepared = Scd2.prepare(flagged, conf.businessCols, "raw_loaded_at")
+      val target = paths.silver(conf.entity)
+      val history =
+        if (AtomicRewrite.exists(spark, target)) AtomicRewrite.read(spark, target)
+        else prepared.limit(0)
+      val next = Scd2.apply(history, prepared, conf.keys, conf.orderCols)
+      AtomicRewrite.write(spark, target, next)
+      Watermarks.advance(spark, paths.control, job,
+        Option(stats.getTimestamp(1)), "OK", now)
+      stats.getLong(0)
     }
-    val cleaned = conf.clean(inc0)
-    val flagged = conf.flags.foldLeft(cleaned) { case (df, (name, expr)) =>
-      df.withColumn(name, expr)
     }
-    val prepared = Scd2.prepare(flagged, conf.businessCols, "raw_loaded_at")
-    val target = paths.silver(conf.entity)
-    val history =
-      if (AtomicRewrite.exists(spark, target)) AtomicRewrite.read(spark, target)
-      else prepared.limit(0)
-    val next = Scd2.apply(history, prepared, conf.keys, conf.orderCols)
-    AtomicRewrite.write(spark, target, next)
-    Watermarks.advance(spark, paths.control, job,
-      Option(stats.getTimestamp(1)), "OK", now)
-    stats.getLong(0)
   }
 
   // ---- gold dims --------------------------------------------------------
@@ -212,31 +234,80 @@ object Medallion {
 
   // ---- facts & aggregates ----------------------------------------------
 
-  /** Fact build: current silver rows → date keys + dim-key validation to 0,
-    * M4 upsert on the business key. `dimKeys` maps fact FK column →
-    * (dim table entity, dim key column). */
+  /** Fact build: new-since-watermark silver current rows → date keys +
+    * dim-key validation to 0, M4 upsert on the business key. `dimKeys` maps
+    * fact FK column → (dim table entity, dim key column).
+    *
+    * With `partitionBy` (normally `date_key`) the upsert commits at
+    * PARTITION granularity via [[AtomicRewrite.writePartitions]]: only
+    * partitions holding new rows — plus any partition a matched key is
+    * moving out of — are merged and rewritten; the rest of the fact's
+    * history carries across the commit by manifest reference. That is the
+    * O(batch)-not-O(table) property every incremental merge needs at
+    * 100 TB (the reference gets it from Delta's file pruning). The
+    * incremental cut uses the fact's own max(raw_loaded_at), so a lagging
+    * fact job catches up over multiple silver batches in one run. */
   def goldFact(spark: SparkSession, paths: Paths, factName: String,
                silverEntity: String, keys: Seq[String],
                dateKeyFrom: Seq[String],
-               dimKeys: Map[String, (String, String)], now: Timestamp): Unit = {
-    val cur = AtomicRewrite.read(spark, paths.silver(silverEntity))
+               dimKeys: Map[String, (String, String)], now: Timestamp,
+               partitionBy: Seq[String] = Nil): Unit =
+      failSafe(spark, paths, s"gold_$factName", now) {
+    val target = paths.gold(factName)
+    val exists = AtomicRewrite.exists(spark, target)
+    val silverCur = AtomicRewrite.read(spark, paths.silver(silverEntity))
       .filter(col("is_current"))
       .drop("valid_from", "valid_to", "is_current")
-      .withColumn("date_key", DateKeys.dateKey(dateKeyFrom.map(col)))
-    val validated = dimKeys.foldLeft(cur) { case (df, (fk, (dimEntity, dimKey))) =>
-      val dim = AtomicRewrite.read(spark, paths.gold(s"dim_${dimEntity}_snapshot"))
-        .select(col(dimKey).as(s"__dim_$fk")).distinct()
-      df.join(broadcast(dim), col(fk) === col(s"__dim_$fk"), "left")
-        .withColumn(s"${fk}_key",
-          coalesce(col(s"__dim_$fk"), lit(0L)))
-        .drop(s"__dim_$fk")
-    }.withColumn("dwh_loaded_at", lit(now))
-    val target = paths.gold(factName)
-    val next =
-      if (!AtomicRewrite.exists(spark, target)) validated
-      else Upsert.scd1(AtomicRewrite.read(spark, target), validated, keys,
-        updateWhen = (t, s) => s("raw_loaded_at") > t("raw_loaded_at"))
-    AtomicRewrite.write(spark, target, next)
+    val wm: Option[Timestamp] =
+      if (!exists) None
+      else Option(AtomicRewrite.read(spark, target)
+        .agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val inc = wm.map(ts => silverCur.filter(col("raw_loaded_at") > lit(ts)))
+      .getOrElse(silverCur)
+    if (exists && inc.isEmpty) {
+      Watermarks.advance(spark, paths.control, s"gold_$factName", None, "OK:empty", now)
+    } else {
+      val cur = inc.withColumn("date_key", DateKeys.dateKey(dateKeyFrom.map(col)))
+      val validated = dimKeys.foldLeft(cur) { case (df, (fk, (dimEntity, dimKey))) =>
+        val dim = AtomicRewrite.read(spark, paths.gold(s"dim_${dimEntity}_snapshot"))
+          .select(col(dimKey).as(s"__dim_$fk")).distinct()
+        df.join(broadcast(dim), col(fk) === col(s"__dim_$fk"), "left")
+          .withColumn(s"${fk}_key",
+            coalesce(col(s"__dim_$fk"), lit(0L)))
+          .drop(s"__dim_$fk")
+      }.withColumn("dwh_loaded_at", lit(now))
+      val guard = (t: Upsert.ColRef, s: Upsert.ColRef) =>
+        s("raw_loaded_at") > t("raw_loaded_at")
+      if (!exists) {
+        if (partitionBy.isEmpty) AtomicRewrite.write(spark, target, validated)
+        else AtomicRewrite.writePartitions(spark, target, validated, partitionBy)
+      } else if (partitionBy.isEmpty) {
+        AtomicRewrite.write(spark, target,
+          Upsert.scd1(AtomicRewrite.read(spark, target), validated, keys, guard))
+      } else {
+        val full = AtomicRewrite.read(spark, target)
+        // affected partitions = where new rows land ∪ where matched keys
+        // currently live (an update may move a row across partitions; the
+        // vacated partition must be rewritten without it). The set is one
+        // batch's partition values — tiny by design — so it collects and
+        // re-broadcasts as a literal frame, which also severs the
+        // target-derived lineage before the semi-join back on the target.
+        val srcKeys = validated.select(keys.map(col): _*).distinct()
+        val affectedRows = validated.select(partitionBy.map(col): _*)
+          .unionByName(full.join(broadcast(srcKeys), keys, "left_semi")
+            .select(partitionBy.map(col): _*))
+          .distinct().collect()
+        val affected = spark.createDataFrame(
+          java.util.Arrays.asList(affectedRows: _*),
+          org.apache.spark.sql.types.StructType(
+            partitionBy.map(c => full.schema(c))))
+        val slice = full.join(broadcast(affected), partitionBy, "left_semi")
+        AtomicRewrite.writePartitions(spark, target,
+          Upsert.scd1(slice, validated, keys, guard), partitionBy,
+          replaced = Some(affected))
+      }
+      Watermarks.advance(spark, paths.control, s"gold_$factName", None, "OK", now)
+    }
   }
 
   /** Incremental aggregate with affected-partition recompute: only
@@ -260,7 +331,11 @@ object Medallion {
     * are excluded (reference dropna on trip_date). */
   def goldAggIncremental(spark: SparkSession, paths: Paths, aggName: String,
                          source: DataFrame, keyCols: Seq[String],
-                         aggs: Seq[Column]): Unit = {
+                         aggs: Seq[Column],
+                         partitionBy: Seq[String] = Nil,
+                         decorate: DataFrame => DataFrame = identity): Unit = {
+    require(partitionBy.forall(keyCols.contains),
+      "agg partition columns must be grain columns")
     val target = paths.gold(aggName)
     val exists = AtomicRewrite.exists(spark, target)
     val base = source.na.drop("any", keyCols)
@@ -270,22 +345,42 @@ object Medallion {
         .agg(max(col("max_fact_raw_loaded_at"))).head().getTimestamp(0))
     val newRows = wm.map(ts => base.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(base)
-    if (wm.isDefined && newRows.isEmpty) return
-    val slice0 =
-      if (wm.isEmpty) base // first run: full aggregate, no self-join needed
-      else {
-        val affected = newRows.select(keyCols.map(col): _*).distinct()
-        base.join(broadcast(affected), keyCols)
+    if (wm.isDefined && newRows.isEmpty) ()
+    else {
+      val slice0 =
+        if (wm.isEmpty) base // first run: full aggregate, no self-join needed
+        else {
+          val affected = newRows.select(keyCols.map(col): _*).distinct()
+          base.join(broadcast(affected), keyCols)
+        }
+      // decorate (J5): calendar/dim attributes joined onto the rebuilt
+      // grain slice BEFORE the merge, so the stored aggregate carries them
+      // (reference: agg_trips_daily.py:146-157 — agg ⋈ dim_date)
+      val slice = decorate(slice0
+        .groupBy(keyCols.map(col): _*)
+        .agg(aggs.head, aggs.tail :+
+          max(col("raw_loaded_at")).as("max_fact_raw_loaded_at"): _*))
+      val guard = (t: Upsert.ColRef, s: Upsert.ColRef) =>
+        s("max_fact_raw_loaded_at") > t("max_fact_raw_loaded_at")
+      if (!exists) {
+        if (partitionBy.isEmpty) AtomicRewrite.write(spark, target, slice)
+        else AtomicRewrite.writePartitions(spark, target, slice, partitionBy)
+      } else if (partitionBy.isEmpty) {
+        AtomicRewrite.write(spark, target,
+          Upsert.scd1(AtomicRewrite.read(spark, target), slice, keyCols, guard))
+      } else {
+        // partition-level merge: the rebuilt slice covers complete grain
+        // partitions (partition cols ⊆ grain cols), so only those
+        // partitions are rewritten; all-time history rides the manifest
+        val parts = slice.select(partitionBy.map(col): _*).distinct().persist()
+        parts.count()
+        val targetSlice = AtomicRewrite.read(spark, target)
+          .join(broadcast(parts), partitionBy, "left_semi")
+        AtomicRewrite.writePartitions(spark, target,
+          Upsert.scd1(targetSlice, slice, keyCols, guard), partitionBy,
+          replaced = Some(parts))
+        parts.unpersist()
       }
-    val slice = slice0
-      .groupBy(keyCols.map(col): _*)
-      .agg(aggs.head, aggs.tail :+
-        max(col("raw_loaded_at")).as("max_fact_raw_loaded_at"): _*)
-    val next =
-      if (!exists) slice
-      else Upsert.scd1(AtomicRewrite.read(spark, target), slice, keyCols,
-        updateWhen = (t, s) =>
-          s("max_fact_raw_loaded_at") > t("max_fact_raw_loaded_at"))
-    AtomicRewrite.write(spark, target, next)
+    }
   }
 }

@@ -21,7 +21,8 @@ object PipelineQueries {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       Runner.runAll(s, dir, root)
-        .select(col("date_key"), col("orders_total"), col("sum_price"))
+        .select(col("date_key"), col("orders_total"), col("sum_price"),
+          col("is_weekend"), col("day_name"))
     }),
 
     // fact_payments through the real pipeline path (bronze → silver SCD2 →
@@ -46,8 +47,10 @@ object PipelineQueries {
     "q26_pipeline_daily" ->
       """SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
         | count(*) AS orders_total,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY 1""".stripMargin,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        | CAST(strftime(o_orderdate, '%w') AS INT) IN (0, 6) AS is_weekend,
+        | dayname(o_orderdate) AS day_name
+        |FROM orders GROUP BY 1, 4, 5""".stripMargin,
     "q52_fact_payments" ->
       """SELECT o_orderkey AS payment_id,
         | lower(trim(o_orderpriority)) AS method,

@@ -317,11 +317,16 @@ object AtomicRewrite {
     val bytes = liveBytes(f, root, v)
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val cur = read(spark, root)
+    import org.apache.spark.sql.functions.col
     val out =
-      if (clusterBy.isEmpty) cur.repartition(parts)
-      else cur.repartitionByRange(parts,
-        clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      if (partitionBy.nonEmpty)
+        // co-locate each hive partition's rows in one task (one output file
+        // per partition dir, not tasks × partitions), cluster-sort inside
+        cur.repartition(parts, partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+      else if (clusterBy.isEmpty) cur.repartition(parts)
+      else cur.repartitionByRange(parts, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     write(spark, root, out, partitionBy)
     val newDir = new Path(root, s"v=${v + 1}")
     val it = f.listFiles(newDir, true) // recursive: partitioned layouts nest

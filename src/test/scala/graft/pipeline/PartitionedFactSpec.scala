@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tx.{AtomicRewrite, Watermarks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The 100×-scale contract of the partition-committed fact path: an
+  * incremental batch rewrites ONLY the date partitions it touches (plus
+  * any partition a matched key vacates), all-time history rides the
+  * manifest, and the CDF audit sees exactly the commit's row deltas.
+  * Also the reference's job-failure contract: a mid-silver exception
+  * records FAIL:<ExcType> with the watermark unregressed, and a replay
+  * heals. */
+class PartitionedFactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def orders(rows: (Long, Double, String, String)*): DataFrame =
+    rows.toSeq.toDF("oid", "price", "odate", "updated_at")
+      .withColumn("odate", to_timestamp(col("odate")))
+      .withColumn("updated_at", to_timestamp(col("updated_at")))
+
+  private val conf = Medallion.SilverConf(
+    entity = "orders", keys = Seq("oid"), businessCols = Seq("price", "odate"))
+
+  test("incremental fact batches rewrite only touched date partitions; moves vacate") {
+    val root = Files.createTempDirectory("graft-pfact").toString
+    val paths = Medallion.Paths(root)
+    def runBatch(now: Timestamp, rows: (Long, Double, String, String)*): Unit = {
+      Medallion.bronzeLoad(spark, paths, "orders", orders(rows: _*), "updated_at",
+        s"b$now", now)
+      Medallion.silverScd2(spark, paths, conf, now)
+      Medallion.goldFact(spark, paths, "fact_orders", "orders",
+        keys = Seq("oid"), dateKeyFrom = Seq("odate"), dimKeys = Map.empty,
+        now = now, partitionBy = Seq("date_key"))
+    }
+    val factRoot = paths.gold("fact_orders")
+
+    runBatch(ts("2024-01-03 10:00:00"),
+      (1L, 10.0, "2024-01-01 05:00:00", "2024-01-01 05:00:00"),
+      (2L, 20.0, "2024-01-01 06:00:00", "2024-01-01 06:00:00"),
+      (3L, 30.0, "2024-01-02 05:00:00", "2024-01-02 05:00:00"))
+    val day1 = new java.io.File(s"$factRoot/v=0/date_key=20240101")
+    assert(day1.exists())
+    val day1Files = day1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // batch 2: a new order on day 2 — day 1's partition must NOT be staged
+    // again; its files stay byte-untouched in v=0
+    runBatch(ts("2024-01-03 11:00:00"),
+      (4L, 40.0, "2024-01-02 07:00:00", "2024-01-02 07:00:00"))
+    assert(AtomicRewrite.currentVersion(spark, factRoot).contains(1L))
+    assert(!new java.io.File(s"$factRoot/v=1/date_key=20240101").exists())
+    assert(day1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == day1Files,
+      "untouched day-1 partition was rewritten")
+    val fact1 = AtomicRewrite.read(spark, factRoot)
+    assert(fact1.count() == 4)
+
+    // CDF audit for the batch-2 commit: exactly the day-2 merge's deltas
+    Runner.recordFactChanges(spark, paths, "fact_orders")
+    val audit = AtomicRewrite.read(spark, paths.gold("fact_orders_changes"))
+      .filter(col("fact_version") === 1)
+      .select("_change_type", "n").as[(String, Long)].collect().toMap
+    assert(audit == Map("insert" -> 1L)) // order 4 inserted, nothing deleted
+
+    // batch 3: order 3's date is corrected to day 1 — the vacated day-2
+    // partition is rewritten without it, day 1 gains it
+    runBatch(ts("2024-01-03 12:00:00"),
+      (3L, 30.0, "2024-01-01 07:00:00", "2024-01-03 00:00:00"))
+    val fact2 = AtomicRewrite.read(spark, factRoot)
+    val byDay = fact2.groupBy("date_key").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(byDay == Map(20240101 -> 3L, 20240102 -> 1L))
+    assert(fact2.filter(col("oid") === 3L).select("date_key")
+      .as[Int].head() == 20240101)
+    assert(fact2.count() == 4, "moved row must not survive in its old partition")
+  }
+
+  test("mid-silver failure records FAIL:<ExcType>, keeps watermark; replay heals") {
+    val root = Files.createTempDirectory("graft-fail").toString
+    val paths = Medallion.Paths(root)
+    val t1 = ts("2024-01-01 10:00:00")
+    Medallion.bronzeLoad(spark, paths, "orders",
+      orders((1L, 10.0, "2024-01-01 05:00:00", "2024-01-01 05:00:00")),
+      "updated_at", "b1", t1)
+    Medallion.silverScd2(spark, paths, conf, t1)
+    val wm1 = Watermarks.read(spark, paths.control, "silver_orders")
+    assert(wm1.contains(t1))
+
+    // batch 2 lands in bronze, then the silver job blows up mid-transform
+    val t2 = ts("2024-01-02 10:00:00")
+    Medallion.bronzeLoad(spark, paths, "orders",
+      orders((2L, 20.0, "2024-01-02 05:00:00", "2024-01-02 05:00:00")),
+      "updated_at", "b2", t2)
+    val boom = conf.copy(clean = _ => throw new IllegalStateException("boom"))
+    intercept[IllegalStateException] {
+      Medallion.silverScd2(spark, paths, boom, t2)
+    }
+    val ctl = AtomicRewrite.read(spark, paths.control)
+      .filter(col("job_name") === "silver_orders").head()
+    assert(ctl.getAs[String]("last_status") == "FAIL:IllegalStateException")
+    assert(Watermarks.read(spark, paths.control, "silver_orders").contains(t1),
+      "FAIL run must not regress the watermark")
+
+    // replay with the fixed job: resumes from the kept watermark, lands
+    // batch 2, and overwrites the FAIL status
+    Medallion.silverScd2(spark, paths, conf, t2)
+    val silver = AtomicRewrite.read(spark, paths.silver("orders"))
+    assert(silver.count() == 2)
+    val ctl2 = AtomicRewrite.read(spark, paths.control)
+      .filter(col("job_name") === "silver_orders").head()
+    assert(ctl2.getAs[String]("last_status") == "OK")
+    assert(Watermarks.read(spark, paths.control, "silver_orders").contains(t2))
+  }
+}
