@@ -251,7 +251,8 @@ object Medallion {
                silverEntity: String, keys: Seq[String],
                dateKeyFrom: Seq[String],
                dimKeys: Map[String, (String, String)], now: Timestamp,
-               partitionBy: Seq[String] = Nil): Unit =
+               partitionBy: Seq[String] = Nil,
+               derive: Seq[(String, Column)] = Nil): Unit =
       failSafe(spark, paths, s"gold_$factName", now) {
     val target = paths.gold(factName)
     val exists = AtomicRewrite.exists(spark, target)
@@ -267,7 +268,13 @@ object Medallion {
     if (exists && inc.isEmpty) {
       Watermarks.advance(spark, paths.control, s"gold_$factName", None, "OK:empty", now)
     } else {
-      val cur = inc.withColumn("date_key", DateKeys.dateKey(dateKeyFrom.map(col)))
+      // derived columns (e.g. a month_key partition grain: daily partitions
+      // are right when each day is GBs; a coarser stored grain keeps the
+      // partition count sane when days are small)
+      val cur = derive.foldLeft(
+        inc.withColumn("date_key", DateKeys.dateKey(dateKeyFrom.map(col)))) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
       val validated = dimKeys.foldLeft(cur) { case (df, (fk, (dimEntity, dimKey))) =>
         val dim = AtomicRewrite.read(spark, paths.gold(s"dim_${dimEntity}_snapshot"))
           .select(col(dimKey).as(s"__dim_$fk")).distinct()

@@ -126,7 +126,12 @@ object AtomicRewrite {
     val cur = currentVersion(spark, root)
     val next = cur.map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+    // co-locate each hive partition's rows in one task before the write:
+    // without this every task writes a sliver into every partition dir it
+    // touches — tasks × partitions tiny files, the classic partitioned-
+    // write explosion (one shuffle per commit is the standard price)
+    df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
       .parquet(target.toString)
     val newParts = listPartitionDirs(f, target, partitionBy.length)
     val prev: Map[String, Long] = cur match {
