@@ -28,11 +28,17 @@ object DedupStore {
     * inside the batch wins by ascending `idCol`): `land` the accepted
     * rows durably, then append their fingerprints to the store. Returns
     * the accepted rows (pinned in cache; released by the session's
-    * clearCache between queries). */
+    * clearCache between queries).
+    *
+    * Rows whose fingerprint evaluates to NULL are REJECTED up front: a
+    * document with nothing to fingerprint has no dedup identity, and a
+    * NULL key would also never match the anti-join — letting one slip
+    * through per batch forever while the store silently filled with NULL
+    * rows. */
   def acceptNew(spark: SparkSession, storeRoot: String, batch: DataFrame,
                 idCol: String, fingerprint: Column,
                 land: DataFrame => Unit = _ => ()): DataFrame = {
-    val fp = batch.withColumn("__fp", fingerprint)
+    val fp = batch.withColumn("__fp", fingerprint).filter(col("__fp").isNotNull)
     val store =
       if (AtomicRewrite.exists(spark, storeRoot))
         AtomicRewrite.read(spark, storeRoot)

@@ -335,7 +335,18 @@ object Medallion {
     * all-time history, so it broadcasts into the source scan; the rebuild
     * reads only matching rows and the merge shuffles on the grain key —
     * all-time history is never re-aggregated. Rows with a NULL grain key
-    * are excluded (reference dropna on trip_date). */
+    * are excluded (reference dropna on trip_date).
+    *
+    * CONSTRAINT (shared with the reference's agg design): grain values
+    * must be immutable per source key. The affected set is derived from
+    * rows NEWER than the watermark, so if an SCD1 update MOVES a key to a
+    * different grain value (e.g. a corrected date_key), the departed
+    * grain is not in the affected set and keeps the old row's
+    * contribution until something else touches it. Facts whose grain can
+    * be corrected should schedule a periodic affected-free rebuild or
+    * recompute the specific grain; the daily runner's fact path handles
+    * the analogous move at the PARTITION level (vacated partitions are
+    * rewritten), but the aggregate itself inherits this caveat. */
   def goldAggIncremental(spark: SparkSession, paths: Paths, aggName: String,
                          source: DataFrame, keyCols: Seq[String],
                          aggs: Seq[Column],

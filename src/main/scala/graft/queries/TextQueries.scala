@@ -186,37 +186,59 @@ object TextQueries {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
-      var labels = d.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      var prev: Option[DataFrame] = None
-      var converged = false
+      // Delta iteration (signal/collect): labels live only on edge
+      // vertices — an isolated doc is trivially its own cluster and never
+      // needs to join anything — and each round sends messages only FROM
+      // the frontier that changed last round. min-labels decrease
+      // monotonically, so a vertex whose label did not change has nothing
+      // new to say; post-LSH components have tiny diameter, so the
+      // frontier collapses after round one and late iterations join a
+      // handful of rows against the edge list instead of re-materializing
+      // every label. This is the 100 TB shape: work per round is
+      // O(frontier ⋈ edges), not O(all vertices).
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")).persist()
+      labels.count()
+      var changed = labels // round 0: everyone speaks once
+      val retained = scala.collection.mutable.Buffer[DataFrame](labels)
+      var frontier = -1L
       var iter = 0
-      while (!converged && iter < 10) {
+      while (frontier != 0L && iter < 50) {
         val nbrMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
+          .join(changed.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
           .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
-        // carry the old label through the update so convergence is a
-        // count on the SAME materialized frame — one job per iteration,
-        // not an extra labels⋈next join
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cluster_id").as("__old"),
-            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-              .as("cluster_id"))
+        val updates = nbrMin.join(labels, Seq("doc_id"))
+          .filter(col("nmin") < col("cluster_id"))
+          .select(col("doc_id"), col("nmin").as("cluster_id"))
           .persist()
-        converged = next.filter(col("cluster_id") =!= col("__old")).isEmpty
-        prev.foreach(_.unpersist()) // next is materialized; release old labels
-        prev = Some(next)
-        labels = next.drop("__old")
+        frontier = updates.count()
+        if (frontier > 0L) {
+          val next = labels
+            .join(updates.select(col("doc_id"), col("cluster_id").as("__new")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+            .persist()
+          next.count()
+          labels = next
+          retained += next
+        }
+        changed = updates
+        retained += updates
         iter += 1
+        // operational trace the scheduler/driver log picks up
+        println(s"q48 delta-CC iter=$iter frontier=$frontier")
       }
       sh.unpersist()
       edges.unpersist()
-      // final labels cache must not outlive the query either — release
-      // the PERSISTED frame (`prev`, the last `next`): unpersisting the
-      // derived `labels` projection would be a no-op, since unpersist
-      // only matches the exact cached plan
-      materializeAndRelease(
-        labels.withColumn("is_duplicate", col("cluster_id") =!= col("doc_id")),
-        prev.toSeq: _*)
+      // re-attach the isolated docs, then release every persisted frame
+      // (unpersisting derived projections would be a silent no-op)
+      val out = d.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_duplicate", col("cluster_id") =!= col("doc_id"))
+      materializeAndRelease(out, retained.toSeq: _*)
     }),
 
     // Deterministic train/val/test split (80/10/10): salted sha256 bucket

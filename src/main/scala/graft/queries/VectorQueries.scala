@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale shape: cosine math is a narrow map (no UDF, all codegen'd
   * higher-order functions). The pairwise queries bound their candidate sets
-  * — by label partition (q38) or sign-bit LSH bucket (q40) — which is the
+  * — by IVF cell (q38) or sign-bit LSH bucket (q40) — which is the
   * 100 TB path: pre-partition the corpus by bucket and the self-join becomes
   * a co-partitioned join instead of a cross product. Brute-force q39 is the
   * small-query-set baseline: |Q| × corpus scan with a broadcast query set.
@@ -55,11 +55,19 @@ object VectorQueries {
         col("__best.centroid_id").as("centroid_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Embedding-cosine near-duplicate pairs within a label partition.
+    // Embedding-cosine near-duplicate pairs with IVF-cell candidate
+    // generation: the corpus is bucketed by nearest centroid (the same
+    // broadcast-argmax assignment q45/q59 use) and pairs form only WITHIN
+    // a cell — a co-partitioned equi-join, never a per-label or global
+    // quadratic. At 100 TB the corpus pre-partitions by centroid_id and
+    // each cell's pair block is independent work; a hot label no longer
+    // means a hot self-join.
     "q38_cosine_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
-      e.alias("a").join(e.alias("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      val cells = assign(e, centroids(e), "vec_id")
+      cells.alias("a").join(cells.alias("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           cosN(col("a.embedding"), col("b.embedding")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
@@ -217,9 +225,17 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_neardup" ->
-      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
-         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |FROM cells a JOIN cells b
+         |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
          |SELECT * FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "q39_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),

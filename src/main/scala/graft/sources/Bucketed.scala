@@ -18,12 +18,18 @@ object Bucketed {
     * stale catalog entry AND warehouse directory first: the in-memory
     * catalog dies with the session but the warehouse dir persists, and
     * saveAsTable refuses a location it didn't create
-    * (LOCATION_ALREADY_EXISTS). */
+    * (LOCATION_ALREADY_EXISTS). The location comes from the session
+    * catalog (table metadata, or the catalog's default path for a table
+    * not yet registered) — never from string-concatenating the warehouse
+    * dir, which breaks on nonstandard layouts. Unqualified names only:
+    * a db-qualified name would resolve outside the current database. */
   def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains("."),
+      s"Bucketed.write needs an unqualified table name, got: $table")
     val spark = df.sparkSession
+    val loc = new Path(
+      org.apache.spark.sql.graftshim.GraftShim.tableLocation(spark, table))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")

@@ -35,6 +35,22 @@ class DedupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("NULL-fingerprint rows are rejected and never pollute the store") {
+    val root = Files.createTempDirectory("graft-fps3").toString + "/store"
+    def fp = DedupStore.textFingerprint(col("text"))
+    val b1 = Seq((1L, Some("real doc")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val a1 = DedupStore.acceptNew(spark, root, b1, "doc_id", fp)
+    assert(a1.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // a second NULL-text batch is also rejected — no once-per-batch leak —
+    // and the store holds only real fingerprints
+    val b2 = Seq((3L, None: Option[String])).toDF("doc_id", "text")
+    assert(DedupStore.acceptNew(spark, root, b2, "doc_id", fp).isEmpty)
+    val stored = AtomicRewrite.read(spark, root)
+    assert(stored.count() == 1 && stored.filter(col("fingerprint").isNull).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("a crash in the downstream land leaves the store unmarked — replay recovers") {
     val root = Files.createTempDirectory("graft-fps2").toString + "/store"
     def fp = DedupStore.textFingerprint(col("text"))
