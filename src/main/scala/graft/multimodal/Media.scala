@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * one partition streams through in fixed-size batches, so a real decoder
   * would amortize model/codec setup per batch, not per row).
   *
-  * The actual decode step is a clearly-marked deterministic STUB —
-  * image/audio codecs are not available in this container — but everything
-  * Spark-side is real: schemas, encoders, partition batching, frame
-  * sampling, resize arithmetic. Swap [[Media.decodeStub]] for a codec call
-  * and the pipeline is production-shaped.
+  * IMAGE decode is REAL: payloads round-trip through the JDK's PNG codec
+  * (`javax.imageio`, see [[Media.decodeImageStats]]). Audio/video decode
+  * remains a clearly-marked deterministic STUB ([[Media.decodeStub]]) —
+  * those codecs are not in this container — but everything Spark-side is
+  * real: schemas, encoders, partition batching, frame sampling, resize
+  * arithmetic. Swap the stub for a codec call and the pipeline is
+  * production-shaped.
   *
   * Scale: payload processing is embarrassingly parallel (narrow map over
   * the scan); keep `spark.sql.files.maxPartitionBytes` sized so one
@@ -44,6 +46,67 @@ object Media {
         (col("n_chars") % 512 + 64).cast("int").as("width"),
         (col("n_chars") % 256 + 64).cast("int").as("height"),
         (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
+
+  // ---- real image decode (javax.imageio, zero extra dependencies) ------
+
+  /** Deterministic 8-bit gray value for pixel (x, y) of image `id` — the
+    * pure function both the PNG generator and the DuckDB oracle compute. */
+  def pixelValue(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode the deterministic `w`×`h` gray image for `id` as real PNG
+    * bytes (lossless, so a decode round-trip recovers every pixel). */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixelValue(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class ImageStats(media_id: Long, img_w: Int, img_h: Int,
+                        px_sum: Long, px_min: Int, px_max: Int, corner: Int)
+
+  /** REAL decode path for `kind = "image"`: each payload is parsed by the
+    * JDK's PNG codec (`javax.imageio.ImageIO.read`) and reduced to pixel
+    * statistics — the codec runs on the executor inside the same batched
+    * `mapPartitions` shape as [[extractFeatures]], payloads never reach
+    * the driver. This replaces [[decodeStub]] for images; audio/video
+    * kinds keep the documented stub (no codecs for them in the JDK). */
+  def decodeImageStats(media: Dataset[MediaRow],
+                       batchSize: Int = 64): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup point (ImageIO reader reuse, model load, ...)
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sum, mn, mx) = (0L, 256, -1)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.media_id, w, h, sum, mn, mx, raster.getSample(0, 0, 0))
+        }
+      }
+    }
+  }
 
   /** STUB decoder (???): a real implementation would decode the payload
     * with an image/audio codec and emit an embedding. This deterministic

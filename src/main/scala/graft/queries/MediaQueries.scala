@@ -37,6 +37,20 @@ object MediaQueries {
       Media.frameSample(media, frames = 4).toDF()
     }),
 
+    // REAL image decode: a deterministic 16×16 gray PNG is generated per
+    // doc, decoded back through the JDK's actual PNG codec on the
+    // executors, and reduced to pixel stats. The oracle replays the pixel
+    // formula directly — if the codec round-trip dropped or shifted one
+    // pixel, the hashes would disagree.
+    "q70_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => Media.MediaRow(id, "image", Media.encodePng(id, 16, 16),
+          Media.MediaMeta("image/png", 16, 16, 0L)))
+      Media.decodeImageStats(media).toDF()
+    }),
+
     // Audio-style windowed energy: 256-sample windows, 128 hop.
     "q67_audio_windows" -> ((s, dir) => {
       import s.implicits._
@@ -66,6 +80,17 @@ object MediaQueries {
         |      THEN ascii(substr(text, (frame_idx * n // 4) + 1, 1))
         |      ELSE -1 END AS INT) AS frame_first_byte
         |FROM f""".stripMargin,
+    "q70_image_decode" ->
+      """WITH px AS (SELECT doc_id AS media_id,
+        |  list_transform(range(0, 256),
+        |    i -> (doc_id * 31 + (i % 16) * 7 + (i // 16) * 13) % 256) AS ps
+        |FROM documents)
+        |SELECT media_id, CAST(16 AS INT) AS img_w, CAST(16 AS INT) AS img_h,
+        | CAST(list_sum(ps) AS BIGINT) AS px_sum,
+        | CAST(list_min(ps) AS INT) AS px_min,
+        | CAST(list_max(ps) AS INT) AS px_max,
+        | CAST(media_id * 31 % 256 AS INT) AS corner
+        |FROM px""".stripMargin,
     "q67_audio_windows" ->
       """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n
         |           FROM documents WHERE length(text) > 0),

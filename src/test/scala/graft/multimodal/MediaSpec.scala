@@ -9,6 +9,28 @@ class MediaSpec extends SparkSpec {
   private def row(id: Long, p: Array[Byte]) =
     Media.MediaRow(id, "image", p, Media.MediaMeta("fake/raw", 100, 50, 1000L))
 
+  test("PNG encode -> real ImageIO decode round-trips every pixel") {
+    // direct codec round-trip, no Spark: lossless gray PNG
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Media.encodePng(7L, 16, 16)))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(img.getRaster.getSample(x, y, 0) == Media.pixelValue(7L, x, y),
+        s"pixel ($x,$y) lost in the codec round-trip")
+
+    // distributed path: stats computed from DECODED pixels match the formula
+    val media = Seq(3L, 4L).toDS()
+      .map(id => Media.MediaRow(id, "image", Media.encodePng(id, 16, 16),
+        Media.MediaMeta("image/png", 16, 16, 0L)))
+    val stats = Media.decodeImageStats(media).collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(3L, 4L)) {
+      val px = for (y <- 0 until 16; x <- 0 until 16) yield Media.pixelValue(id, x, y)
+      val s = stats(id)
+      assert(s.px_sum == px.map(_.toLong).sum && s.px_min == px.min &&
+        s.px_max == px.max && s.corner == Media.pixelValue(id, 0, 0))
+    }
+  }
+
   test("decodeStub is deterministic and normalized") {
     val a = Media.decodeStub(payload, 8)
     val b = Media.decodeStub(payload, 8)
