@@ -183,62 +183,40 @@ object TextQueries {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .filter(round(col("common") / (col("na") + col("nb") - col("common")), 6) >= 0.5)
         .select("doc_a", "doc_b")
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      // Delta iteration (signal/collect): labels live only on edge
-      // vertices — an isolated doc is trivially its own cluster and never
-      // needs to join anything — and each round sends messages only FROM
-      // the frontier that changed last round. min-labels decrease
-      // monotonically, so a vertex whose label did not change has nothing
-      // new to say; post-LSH components have tiny diameter, so the
-      // frontier collapses after round one and late iterations join a
-      // handful of rows against the edge list instead of re-materializing
-      // every label. This is the 100 TB shape: work per round is
-      // O(frontier ⋈ edges), not O(all vertices).
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")).persist()
-      labels.count()
-      var changed = labels // round 0: everyone speaks once
-      val retained = scala.collection.mutable.Buffer[DataFrame](labels)
-      var frontier = -1L
-      var iter = 0
-      while (frontier != 0L && iter < 50) {
-        val nbrMin = edges
-          .join(changed.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
-          .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
-        val updates = nbrMin.join(labels, Seq("doc_id"))
-          .filter(col("nmin") < col("cluster_id"))
-          .select(col("doc_id"), col("nmin").as("cluster_id"))
-          .persist()
-        frontier = updates.count()
-        if (frontier > 0L) {
-          val next = labels
-            .join(updates.select(col("doc_id"), col("cluster_id").as("__new")),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
-            .persist()
-          next.count()
-          labels = next
-          retained += next
-        }
-        changed = updates
-        retained += updates
-        iter += 1
-        // operational trace the scheduler/driver log picks up
-        println(s"q48 delta-CC iter=$iter frontier=$frontier")
-      }
+      // Delta-iteration min-label propagation over edge vertices only —
+      // see [[graft.ops.Graph.connectedComponents]] for the scale shape
+      // (per-round work is O(frontier ⋈ edges), not O(all docs)).
+      val labels = graft.ops.Graph.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        trace = m => println(s"q48 $m"))
       sh.unpersist()
-      edges.unpersist()
       // re-attach the isolated docs, then release every persisted frame
       // (unpersisting derived projections would be a silent no-op)
       val out = d.select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
+        .join(labels.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
         .withColumn("is_duplicate", col("cluster_id") =!= col("doc_id"))
-      materializeAndRelease(out, retained.toSeq: _*)
+      materializeAndRelease(out, labels)
+    }),
+
+    // Canonical-document selection — the step after clustering in every
+    // dedup pipeline: per near-dup cluster keep ONE document (longest
+    // text, ties to the lowest doc_id) and count what gets dropped. One
+    // keyed aggregation over the q48 labels (max_by partial-combines
+    // map-side); only multi-member clusters emit.
+    "q71_canonical_docs" -> ((s, dir) => {
+      val labels = defs("q48_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val stats = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      labels.join(stats, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("canonical_doc_id"),
+          max(col("n_chars")).cast("long").as("canonical_chars"))
+        .filter(col("n_members") >= 2)
     }),
 
     // Deterministic train/val/test split (80/10/10): salted sha256 bucket
@@ -381,7 +359,42 @@ object TextQueries {
     s"(CAST(floor((position(substr(sha256(t), $d, 1) IN '0123456789abcdef') - 1) / $p) AS INT) % 2)"
   }
 
+  /** Shared CTE chain: trigram-Jaccard pair graph → recursive-walk
+    * connected components (`cc(doc_id, cluster_id)`) — the oracle twin of
+    * the q48 delta iteration, reused by q71's canonical selection. */
+  private lazy val CcCteSql =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+       |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+       |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b
+       |          FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+       |          WHERE round(common / (sa.n + sb.n - common), 6) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(doc, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.doc),
+       |cc AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q71_canonical_docs" ->
+      s"""$CcCteSql,
+         |j AS (SELECT cc.cluster_id, cc.doc_id, d.n_chars
+         |      FROM cc JOIN documents d USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cluster_id) AS nm,
+         |        max(n_chars) OVER (PARTITION BY cluster_id) AS mx
+         |      FROM j)
+         |SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+         |       doc_id AS canonical_doc_id, CAST(mx AS BIGINT) AS canonical_chars
+         |FROM r WHERE rn = 1 AND nm >= 2""".stripMargin,
     "q30_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -437,23 +450,7 @@ object TextQueries {
          |      FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
          |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin,
     "q48_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
-         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
-         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b
-         |          FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
-         |          WHERE round(common / (sa.n + sb.n - common), 6) >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |walk(doc, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.doc),
-         |cc AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY 1)
+      s"""$CcCteSql
          |SELECT doc_id, cluster_id, (cluster_id <> doc_id) AS is_duplicate
          |FROM cc""".stripMargin,
     "q36_minhash_lsh" -> {

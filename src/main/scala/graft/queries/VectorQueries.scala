@@ -73,6 +73,28 @@ object VectorQueries {
         .filter(col("cos_sim") >= 0.3)
     }),
 
+    // Semantic dedup keep-list — the embedding-space twin of q71: q38's
+    // IVF-cell near-dup pairs collapse into components via the same
+    // delta-iteration CC operator, and per component only the lowest
+    // vec_id survives. The output is the keep/drop decision a training
+    // pipeline applies before sampling; all the heavy lifting is the
+    // bucketed pair join + O(frontier) label rounds.
+    "q72_semantic_dedup" -> ((s, dir) => {
+      val pairs = defs("q38_cosine_neardup")(s, dir)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val labels = graft.ops.Graph.connectedComponents(pairs)
+      val out = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+        .join(labels.select(col("id").as("vec_id"), col("component")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep", col("cluster_id") === col("vec_id"))
+        .persist()
+      out.count()
+      labels.unpersist()
+      out
+    }),
+
     // Brute-force cosine top-k: every 50th vector queries the full corpus.
     "q39_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -237,6 +259,26 @@ object VectorQueries {
          |FROM cells a JOIN cells b
          |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
          |SELECT * FROM p WHERE cos_sim >= 0.3""".stripMargin,
+    "q72_semantic_dedup" ->
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |      FROM cells a JOIN cells b
+         |        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |      WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |          UNION ALL SELECT vec_b, vec_a FROM p),
+         |walk(v, lab) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.v),
+         |cc AS (SELECT v AS vec_id, min(lab) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT vec_id, cluster_id, (cluster_id = vec_id) AS keep FROM cc""".stripMargin,
     "q39_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          |c AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qv", "e.embedding")} AS cos_sim
