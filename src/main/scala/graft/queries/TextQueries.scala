@@ -235,6 +235,36 @@ object TextQueries {
     // Repetition ratio: share of the most frequent 3-gram in all (non-
     // distinct) 3-grams — the standard boilerplate/template signal.
     // Two keyed aggregations, no pairwise work: linear in corpus size.
+    // Token-entropy quality score: H = ln N − Σ c·ln c / N over the
+    // doc's token frequencies — the information-diversity filter (word-
+    // soup and boilerplate score low). Shape: explode → two keyed aggs,
+    // partial-combined map-side; the per-doc token space never leaves
+    // its partition group.
+    "q73_token_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("c")).cast("long").as("n_tokens"),
+          round(log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("entropy"))),
+
+    // Domain-mixture weights: per-language corpus shares and the
+    // sqrt-damped variant — the static data-mixing knob a training run
+    // consumes. The per-domain rollup is a keyed agg over the corpus;
+    // the normalizing window runs over one row per DOMAIN (inherently
+    // few), never over documents.
+    "q74_mixture_weights" -> ((s, dir) => {
+      val g = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(toks)).cast("long").as("n_tokens"))
+      val all = Window.partitionBy()
+      g.select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / sum(col("n_tokens")).over(all), 6).as("tok_share"),
+        round(sqrt(col("n_tokens")) / sum(sqrt(col("n_tokens"))).over(all), 6)
+          .as("sqrt_weight"))
+    }),
+
     "q54_repetition" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), explode(TextOps.shingles(toks, 3)).as("sh"))
@@ -395,6 +425,21 @@ object TextQueries {
          |SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
          |       doc_id AS canonical_doc_id, CAST(mx AS BIGINT) AS canonical_chars
          |FROM r WHERE rn = 1 AND nm >= 2""".stripMargin,
+    "q73_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         |       CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+         |FROM c GROUP BY 1""".stripMargin,
+    "q74_mixture_weights" ->
+      s"""WITH t AS (SELECT lang, len($ToksSql) AS nt FROM documents),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1)
+         |SELECT lang, n_docs, n_tokens,
+         |       round(n_tokens / sum(n_tokens) OVER (), 6) AS tok_share,
+         |       round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS sqrt_weight
+         |FROM g""".stripMargin,
     "q30_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
