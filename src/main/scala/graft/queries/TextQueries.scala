@@ -304,6 +304,22 @@ object TextQueries {
         .withColumn("contaminated", col("n_shared_shingles") >= 3)
     }),
 
+    // The pre-training release gate: contamination rate per train/val/
+    // test split — q53's deterministic split joined with q56's eval-
+    // overlap flags, rolled up per split. Three rows out; the cost is the
+    // two upstream plans it composes.
+    "q75_contamination_report" -> ((s, dir) => {
+      val splits = defs("q53_train_split")(s, dir).select(col("doc_id"), col("split"))
+      val contam = defs("q56_decontaminate")(s, dir)
+        .select(col("doc_id"), col("contaminated"))
+      splits.join(contam, Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          round(col("n_contaminated") / col("n_docs"), 6))
+    }),
+
     // TF-IDF: per-doc top term by tf·ln(N/df) — the classic relevance/
     // keyword-extraction weight. Two keyed aggregations + one broadcast
     // scalar (corpus size) + a per-doc window for the argmax; linear in
@@ -425,6 +441,27 @@ object TextQueries {
          |SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
          |       doc_id AS canonical_doc_id, CAST(mx AS BIGINT) AS canonical_chars
          |FROM r WHERE rn = 1 AND nm >= 2""".stripMargin,
+    "q75_contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+         |bench AS (SELECT sh, doc_id AS bench_doc_id FROM shf WHERE doc_id % 10 = 0),
+         |hits AS (SELECT s.doc_id, s.sh FROM shf s JOIN bench b USING (sh)
+         |         WHERE s.doc_id % 10 <> 0),
+         |c AS (SELECT doc_id, (count(DISTINCT sh) >= 3) AS contaminated
+         |      FROM hits GROUP BY 1),
+         |b AS (SELECT doc_id,
+         |  ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |    AS bucket FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+         |        WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(contaminated, false) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(sum(CASE WHEN coalesce(contaminated, false) THEN 1 ELSE 0 END)
+         |    / count(*), 6) AS contamination_rate
+         |FROM s LEFT JOIN c USING (doc_id) GROUP BY 1""".stripMargin,
     "q73_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
          |c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
