@@ -116,7 +116,16 @@ object Medallion {
 
   /** Incremental bronze → silver SCD2. Partition-prunes bronze on
     * `load_date` before the exact `raw_loaded_at` filter (reference's
-    * two-filter idiom), then single-pass SCD2 merge. */
+    * two-filter idiom), then single-pass SCD2 merge.
+    *
+    * The silver table is hive-partitioned on a derived `archive_month`:
+    * 0 for current rows (the hot partition), else yyyyMM of `valid_to`
+    * for closed history. A batch merges against the CURRENT partition
+    * only and commits: the rewritten hot partition + the month
+    * partition(s) its closed-out versions archive into; every other
+    * month of closed history carries across the commit by manifest
+    * reference. Per-batch silver cost is O(current + batch) — the last
+    * of the M1–M5 merges to shed the O(all-time-history) rewrite. */
   def silverScd2(spark: SparkSession, paths: Paths, conf: SilverConf,
                  now: Timestamp): Long = {
     val job = s"silver_${conf.entity}"
@@ -137,12 +146,47 @@ object Medallion {
         df.withColumn(name, expr)
       }
       val prepared = Scd2.prepare(flagged, conf.businessCols, "raw_loaded_at")
+        .withColumn("archive_month", lit(0))
       val target = paths.silver(conf.entity)
-      val history =
-        if (AtomicRewrite.exists(spark, target)) AtomicRewrite.read(spark, target)
-        else prepared.limit(0)
-      val next = Scd2.apply(history, prepared, conf.keys, conf.orderCols)
-      AtomicRewrite.write(spark, target, next)
+      val stamp = (df: DataFrame) => df.withColumn("archive_month",
+        when(col("is_current"), lit(0))
+          .otherwise(date_format(col("valid_to"), "yyyyMM").cast("int")))
+      val exists = AtomicRewrite.exists(spark, target)
+      val legacy = exists &&
+        !AtomicRewrite.read(spark, target).columns.contains("archive_month")
+      if (!exists || legacy) {
+        // bootstrap (or one-time migration of a pre-layout table): full
+        // merge, full hive-partitioned snapshot
+        val history =
+          if (exists) AtomicRewrite.read(spark, target)
+            .withColumn("archive_month", lit(0)) // dropped below; aligns schema
+          else prepared.limit(0)
+        val next = stamp(Scd2.apply(history, prepared, conf.keys, conf.orderCols))
+        AtomicRewrite.write(spark, target, next, Seq("archive_month"))
+      } else {
+        val history = AtomicRewrite.read(spark, target)
+        val current = history.filter(col("archive_month") === 0) // pruned scan
+        val merged = stamp(
+          Scd2.apply(current, prepared, conf.keys, conf.orderCols)).persist()
+        // months gaining newly-closed rows: their existing closed rows must
+        // ride along in the rewrite (a partition commit replaces whole dirs)
+        val closedMonths = merged.filter(col("archive_month") =!= 0)
+          .select("archive_month").distinct().collect().map(_.getInt(0)).toSeq
+        val existing =
+          if (closedMonths.isEmpty) merged.limit(0)
+          else history.filter(col("archive_month")
+            .isin(closedMonths.map(Int.box): _*)) // pruned scan
+        val replaced = spark.createDataFrame(
+          java.util.Arrays.asList(closedMonths.map(m =>
+            org.apache.spark.sql.Row(m)) :+ org.apache.spark.sql.Row(0): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("archive_month",
+              org.apache.spark.sql.types.IntegerType))))
+        AtomicRewrite.writePartitions(spark, target,
+          merged.unionByName(existing), Seq("archive_month"),
+          replaced = Some(replaced))
+        merged.unpersist()
+      }
       Watermarks.advance(spark, paths.control, job,
         Option(stats.getTimestamp(1)), "OK", now)
       stats.getLong(0)
@@ -152,13 +196,22 @@ object Medallion {
 
   // ---- gold dims --------------------------------------------------------
 
+  /** Current silver rows, partition-pruned: when the table carries the
+    * `archive_month` layout the scan reads ONLY the hot partition (0)
+    * instead of filtering `is_current` across all-time history. */
+  def silverCurrent(spark: SparkSession, paths: Paths, entity: String): DataFrame = {
+    val silver = AtomicRewrite.read(spark, paths.silver(entity))
+    if (silver.columns.contains("archive_month"))
+      silver.filter(col("archive_month") === 0 && col("is_current"))
+    else silver.filter(col("is_current"))
+  }
+
   /** SCD1 snapshot dim: current silver rows upserted on key, guarded by
     * newer-ts AND changed-hash (reference M4 snapshot variant). */
   def goldScd1Snapshot(spark: SparkSession, paths: Paths, entity: String,
                        keys: Seq[String], now: Timestamp): Unit = {
-    val cur = AtomicRewrite.read(spark, paths.silver(entity))
-      .filter(col("is_current"))
-      .drop("valid_from", "valid_to", "is_current")
+    val cur = silverCurrent(spark, paths, entity)
+      .drop("valid_from", "valid_to", "is_current", "archive_month")
       .withColumn("dwh_loaded_at", lit(now))
     val target = paths.gold(s"dim_${entity}_snapshot")
     val next =
@@ -215,6 +268,7 @@ object Medallion {
     val prev = Dedup.nthPerKey(hist, Seq(col(key)), order, 2)
       .select(col(key) +: trackCols.map(c => col(c).as(s"prev_$c")): _*)
     val next = cur.join(prev, Seq(key), "left")
+      .drop("archive_month")
       .withColumn("dwh_loaded_at", lit(now))
     AtomicRewrite.write(spark, paths.gold(s"dim_${entity}_scd3"), next)
   }
@@ -256,9 +310,8 @@ object Medallion {
       failSafe(spark, paths, s"gold_$factName", now) {
     val target = paths.gold(factName)
     val exists = AtomicRewrite.exists(spark, target)
-    val silverCur = AtomicRewrite.read(spark, paths.silver(silverEntity))
-      .filter(col("is_current"))
-      .drop("valid_from", "valid_to", "is_current")
+    val silverCur = silverCurrent(spark, paths, silverEntity)
+      .drop("valid_from", "valid_to", "is_current", "archive_month")
     val wm: Option[Timestamp] =
       if (!exists) None
       else Option(AtomicRewrite.read(spark, target)

@@ -44,7 +44,17 @@ object Scd2 {
   def apply(history: DataFrame, batch: DataFrame, keys: Seq[String],
             orderCols: Seq[String]): DataFrame = {
     val cols = history.columns.toSeq
-    val latest = Dedup.latestPerKey(batch.select(cols.map(col): _*),
+    // archive_month (the silver partition grain: 0 = current, else yyyyMM
+    // of valid_to) is maintained HERE so every SCD2 writer — batch or
+    // streaming — keeps it consistent: the batch is aligned in, and the
+    // merged output restamped (a closed row carries its pre-close value
+    // through the join otherwise)
+    val hasArchive = cols.contains("archive_month")
+    val aligned =
+      if (hasArchive && !batch.columns.contains("archive_month"))
+        batch.withColumn("archive_month", lit(0))
+      else batch
+    val latest = Dedup.latestPerKey(aligned.select(cols.map(col): _*),
       keys.map(col), orderCols.map(c => col(c).desc))
 
     val cur = history.filter(col("is_current")).alias("t")
@@ -72,7 +82,12 @@ object Scd2 {
     val inserted = joined.filter(sPresent && (!tPresent || changed)).select(
       cols.map(c => col(s"s.$c").as(c)): _*)
 
-    hist.unionByName(closed).unionByName(kept).unionByName(inserted)
+    val out = hist.unionByName(closed).unionByName(kept).unionByName(inserted)
+    if (hasArchive)
+      out.withColumn("archive_month",
+        when(col("is_current"), lit(0))
+          .otherwise(date_format(col("valid_to"), "yyyyMM").cast("int")))
+    else out
   }
 
   /** Rebuild SCD2 history from a full change log in one shot (used by the

@@ -88,16 +88,43 @@ object AtomicRewrite {
     readVersion(spark, root, v)
   }
 
-  /** Commit `df` as the next full snapshot of the table. */
+  /** Commit `df` as the next full snapshot of the table.
+    *
+    * A table whose current version was partition-committed remembers its
+    * partition columns (manifest header); a full rewrite through this
+    * method KEEPS that hive layout (and re-records it) even when the
+    * caller passes no `partitionBy` — so layout-oblivious writers (GDPR
+    * scrubs, retention trims, migrations) cannot silently flatten a
+    * partitioned table. */
   def write(spark: SparkSession, root: String, df: DataFrame,
             partitionBy: Seq[String] = Nil, keepVersions: Int = 2): Unit = {
+    val effective =
+      if (partitionBy.nonEmpty) partitionBy
+      else partitionColsOf(spark, root).filter(_.forall(df.columns.contains))
+        .getOrElse(Nil)
+    val f = fs(spark, new Path(root))
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(target.toString)
+    if (effective.isEmpty) {
+      df.write.mode(SaveMode.Overwrite).parquet(target.toString)
+    } else {
+      partitionAligned(df, effective)
+        .write.mode(SaveMode.Overwrite).partitionBy(effective: _*)
+        .parquet(target.toString)
+      // full snapshot: the manifest lists ONLY this version (no carry) —
+      // written so later partition-level commits know the layout
+      val newParts = listPartitionDirs(f, target, effective.length)
+      writeManifest(f, target, effective, newParts.map(_ -> next).toMap)
+    }
     commitPointer(spark, root, next)
     vacuum(spark, root, keepVersions)
+  }
+
+  /** Partition columns of the current version, if it carries a manifest
+    * header (i.e. the table is partition-committed). */
+  def partitionColsOf(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val f = fs(spark, new Path(root))
+    currentVersion(spark, root).flatMap(v => manifestCols(f, root, v))
   }
 
   /** Commit a PARTITION-LEVEL rewrite: `df` holds the complete new contents
@@ -126,11 +153,7 @@ object AtomicRewrite {
     val cur = currentVersion(spark, root)
     val next = cur.map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
-    // co-locate each hive partition's rows in one task before the write:
-    // without this every task writes a sliver into every partition dir it
-    // touches — tasks × partitions tiny files, the classic partitioned-
-    // write explosion (one shuffle per commit is the standard price)
-    df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    partitionAligned(df, partitionBy)
       .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
       .parquet(target.toString)
     val newParts = listPartitionDirs(f, target, partitionBy.length)
@@ -163,11 +186,17 @@ object AtomicRewrite {
         dirs
     }
     val merged = (prev -- replacedDirs) ++ newParts.map(_ -> next)
-    writeText(f, new Path(target, ManifestFile),
-      merged.toSeq.sorted.map { case (d, v) => s"$v\t$d" }.mkString("\n"))
+    writeManifest(f, target, partitionBy, merged)
     commitPointer(spark, root, next)
     vacuum(spark, root, keepVersions)
   }
+
+  private def writeManifest(f: FileSystem, versionDir: Path,
+                            partitionBy: Seq[String],
+                            entries: Map[String, Long]): Unit =
+    writeText(f, new Path(versionDir, ManifestFile),
+      (s"#cols=${partitionBy.mkString(",")}" +:
+        entries.toSeq.sorted.map { case (d, v) => s"$v\t$d" }).mkString("\n"))
 
   /** Atomic pointer swap: write sidecar then rename OVER the live
     * _LATEST in one FS op (FileContext + Rename.OVERWRITE), then drop the
@@ -190,6 +219,19 @@ object AtomicRewrite {
     writeText(f, new Path(root, s"v=$next/$CommittedMarker"), "")
   }
 
+  /** Shuffle rows toward their hive partition before a partitioned write.
+    * Unshuffled, every task writes a sliver into every partition dir it
+    * touches — tasks × partitions tiny files, the classic explosion. A
+    * pure hash-on-partition-cols repartition fixes that but collapses a
+    * skewed (or single-valued) partition onto ONE task; the added salt
+    * keeps up to 8 writers per partition dir — bounded files, preserved
+    * parallelism. One shuffle per commit is the standard price. */
+  private def partitionAligned(df: DataFrame, partitionBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id}
+    df.repartition(
+      (partitionBy.map(col) :+ pmod(spark_partition_id(), lit(8))): _*)
+  }
+
   private def writeText(f: FileSystem, p: Path, s: String): Unit = {
     val out = f.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -197,7 +239,18 @@ object AtomicRewrite {
 
   /** The `_PARTS` manifest of a version: partition dir → owning version.
     * None when the version is a plain full snapshot. */
-  private def manifest(f: FileSystem, root: String, v: Long): Option[Map[String, Long]] = {
+  private def manifest(f: FileSystem, root: String, v: Long): Option[Map[String, Long]] =
+    manifestLines(f, root, v).map(_.filterNot(_.startsWith("#")).map { line =>
+      val Array(ver, dir) = line.split("\t", 2)
+      dir -> ver.toLong
+    }.toMap)
+
+  /** Partition columns recorded in a version's manifest header. */
+  private def manifestCols(f: FileSystem, root: String, v: Long): Option[Seq[String]] =
+    manifestLines(f, root, v).flatMap(_.find(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(",").toSeq.filter(_.nonEmpty)))
+
+  private def manifestLines(f: FileSystem, root: String, v: Long): Option[Seq[String]] = {
     val p = new Path(root, s"v=$v/$ManifestFile")
     if (!f.exists(p)) None
     else {
@@ -205,11 +258,8 @@ object AtomicRewrite {
       val buf = new Array[Byte](len)
       val in = f.open(p)
       try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, StandardCharsets.UTF_8).split("\n")
-        .filter(_.nonEmpty).map { line =>
-          val Array(ver, dir) = line.split("\t", 2)
-          dir -> ver.toLong
-        }.toMap)
+      Some(new String(buf, StandardCharsets.UTF_8).split("\n").toSeq
+        .filter(_.nonEmpty))
     }
   }
 

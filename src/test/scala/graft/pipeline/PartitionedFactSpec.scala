@@ -82,6 +82,47 @@ class PartitionedFactSpec extends SparkSpec {
     assert(fact2.count() == 4, "moved row must not survive in its old partition")
   }
 
+  test("silver SCD2 archives closed months by reference; old months never restaged") {
+    val root = Files.createTempDirectory("graft-psilver").toString
+    val paths = Medallion.Paths(root)
+    val silverRoot = paths.silver("orders")
+    def runSilver(now: Timestamp, rows: (Long, Double, String, String)*): Unit = {
+      Medallion.bronzeLoad(spark, paths, "orders", orders(rows: _*), "updated_at",
+        s"b$now", now)
+      Medallion.silverScd2(spark, paths, conf, now)
+    }
+    // Jan: both keys current
+    runSilver(ts("2024-01-10 10:00:00"),
+      (1L, 10.0, "2024-01-01 05:00:00", "2024-01-01 05:00:00"),
+      (2L, 20.0, "2024-01-01 06:00:00", "2024-01-01 06:00:00"))
+    // Feb: key 1 changes → its Jan version closes into archive_month=202402
+    runSilver(ts("2024-02-15 10:00:00"),
+      (1L, 11.0, "2024-01-01 05:00:00", "2024-02-15 05:00:00"))
+    val feb = new java.io.File(s"$silverRoot/v=1/archive_month=202402")
+    assert(feb.exists(), "newly closed rows must land in their archive month")
+    val febFiles = feb.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    // Mar: key 2 changes → closes into 202403; February's partition must
+    // ride the manifest, not be restaged
+    runSilver(ts("2024-03-20 10:00:00"),
+      (2L, 21.0, "2024-01-01 06:00:00", "2024-03-20 05:00:00"))
+    assert(!new java.io.File(s"$silverRoot/v=2/archive_month=202402").exists(),
+      "untouched archive month was restaged")
+    assert(feb.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == febFiles,
+      "untouched archive month files were rewritten")
+    val silver = AtomicRewrite.read(spark, silverRoot)
+    assert(silver.count() == 4)
+    assert(silver.filter(col("is_current")).count() == 2)
+    val am = silver.filter(!col("is_current"))
+      .select("oid", "archive_month").as[(Long, Int)].collect().toMap
+    assert(am == Map(1L -> 202402, 2L -> 202403))
+    // current rows live in (and only in) the hot partition
+    assert(silver.filter(col("archive_month") === 0)
+      .select("oid", "price").as[(Long, Double)].collect().toSet ==
+      Set(1L -> 11.0, 2L -> 21.0))
+  }
+
   test("mid-silver failure records FAIL:<ExcType>, keeps watermark; replay heals") {
     val root = Files.createTempDirectory("graft-fail").toString
     val paths = Medallion.Paths(root)
