@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental near-dup store: in-batch near-dups collapse to the lowest
+  * id, cross-batch near-dups are rejected against the all-time signature
+  * store, replays contribute nothing, NULL texts are rejected, and the
+  * land-before-commit crash ordering recovers. */
+class NearDupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val nearBase =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+  private val other =
+    "one two three four five six seven eight nine ten eleven twelve"
+  private val otherNear =
+    "one two three four five six seven eight nine ten eleven thirteen"
+
+  test("in-batch collapse, cross-batch rejection, replay no-op, NULL rejection") {
+    val root = Files.createTempDirectory("graft-nds").toString + "/store"
+
+    // batch 1: 2 is a near-dup of 1; 3 is unrelated; 4 has NULL text
+    val b1 = Seq((1L, Some(base)), (2L, Some(nearBase)), (3L, Some(other)),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val a1 = NearDupStore.acceptNew(spark, root, b1, "doc_id", "text")
+    assert(a1.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(AtomicRewrite.read(spark, root).count() == 2)
+
+    // batch 2: 10 near-dups the stored 3; 11 is new
+    val b2 = Seq((10L, Some(otherNear)), (11L, Some("completely different text " +
+      "with many fresh words nobody wrote before today"))).toDF("doc_id", "text")
+    val a2 = NearDupStore.acceptNew(spark, root, b2, "doc_id", "text")
+    assert(a2.select("doc_id").as[Long].collect().toSet == Set(11L))
+
+    // replay of batch 2: 11 is now its own stored near-dup (est = 1.0)
+    val a3 = NearDupStore.acceptNew(spark, root, b2, "doc_id", "text")
+    assert(a3.isEmpty)
+    assert(AtomicRewrite.read(spark, root).count() == 3)
+    spark.catalog.clearCache()
+  }
+
+  test("a crash in land leaves the store unmarked — replay recovers") {
+    val root = Files.createTempDirectory("graft-nds2").toString + "/store"
+    val batch = Seq((1L, Some(base))).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      NearDupStore.acceptNew(spark, root, batch, "doc_id", "text",
+        land = _ => throw new RuntimeException("sink died"))
+    }
+    val replay = NearDupStore.acceptNew(spark, root, batch, "doc_id", "text")
+    assert(replay.count() == 1)
+    assert(AtomicRewrite.read(spark, root).count() == 1)
+    spark.catalog.clearCache()
+  }
+}
