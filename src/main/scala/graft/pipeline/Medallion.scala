@@ -442,15 +442,20 @@ object Medallion {
       } else {
         // partition-level merge: the rebuilt slice covers complete grain
         // partitions (partition cols ⊆ grain cols), so only those
-        // partitions are rewritten; all-time history rides the manifest
-        val parts = slice.select(partitionBy.map(col): _*).distinct().persist()
-        parts.count()
+        // partitions are rewritten; all-time history rides the manifest.
+        // The partition-value set is one batch's — tiny — and collects
+        // into a literal frame, severing the slice-derived lineage before
+        // it joins back against the merge target (ambiguous-self-join).
+        val partRows = slice.select(partitionBy.map(col): _*).distinct().collect()
+        val parts = spark.createDataFrame(
+          java.util.Arrays.asList(partRows: _*),
+          org.apache.spark.sql.types.StructType(
+            partitionBy.map(c => slice.schema(c))))
         val targetSlice = AtomicRewrite.read(spark, target)
           .join(broadcast(parts), partitionBy, "left_semi")
         AtomicRewrite.writePartitions(spark, target,
           Upsert.scd1(targetSlice, slice, keyCols, guard), partitionBy,
           replaced = Some(parts))
-        parts.unpersist()
       }
     }
   }

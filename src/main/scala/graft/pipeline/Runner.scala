@@ -20,13 +20,21 @@ object Runner {
   /** Run every stage into `root` and return agg_orders_daily. */
   def runAll(spark: SparkSession, sfDir: String, root: String,
              now: Timestamp = FixedNow, batchId: String = "batch-0"): DataFrame = {
+    val customer = Tables.load(spark, sfDir, "customer")
+      .withColumn("updated_at", to_timestamp(lit("2020-01-01 00:00:00")))
+    runBatch(spark, root, customer, Tables.load(spark, sfDir, "orders"),
+      now, batchId)
+  }
+
+  /** One pipeline batch from explicit sources (runAll = batch over the sf
+    * tables; incremental harnesses feed later batches through the same
+    * path). */
+  def runBatch(spark: SparkSession, root: String, customer: DataFrame,
+               orders: DataFrame, now: Timestamp, batchId: String): DataFrame = {
     val paths = Medallion.Paths(root)
 
     // --- bronze: customer is a static dim source (synthetic updated_at);
     //     orders uses its event time.
-    val customer = Tables.load(spark, sfDir, "customer")
-      .withColumn("updated_at", to_timestamp(lit("2020-01-01 00:00:00")))
-    val orders = Tables.load(spark, sfDir, "orders")
     Medallion.bronzeLoad(spark, paths, "customer", customer, "updated_at", batchId, now)
     Medallion.bronzeLoad(spark, paths, "orders", orders, "o_orderdate", batchId, now)
 

@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.pipeline.Runner
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Write-amplification benchmark for the partition-committed pipeline:
+  * batch 0 full-loads the sf orders star, batch 1 lands one extra day of
+  * synthetic orders through the SAME path, and the report compares the
+  * bytes each commit staged. The partition-commit contract says batch 1
+  * stages O(touched partitions): one silver hot partition + one archive
+  * month, one fact month — while all-time history rides the manifests.
+  * Prints one JSON line. */
+object IncBench {
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession, p: String): Long = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.SparkSessionFactory.fromEnv("graft-incbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incbench"
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true)
+
+    val customer = Tables.load(spark, sfDir, "customer")
+      .withColumn("updated_at", to_timestamp(lit("2020-01-01 00:00:00")))
+    val orders = Tables.load(spark, sfDir, "orders")
+
+    val t0 = System.nanoTime()
+    Runner.runBatch(spark, root, customer, orders, Runner.FixedNow, "b0")
+    val fullSec = (System.nanoTime() - t0) / 1e9
+
+    // batch 1: 500 synthetic orders one day past the corpus max
+    val maxDate = orders.agg(max(col("o_orderdate"))).head().get(0)
+    val inc = orders.orderBy("o_orderkey").limit(500)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("o_orderdate",
+        (lit(maxDate).cast("timestamp") + expr("INTERVAL 1 DAY")))
+    val t1 = System.nanoTime()
+    Runner.runBatch(spark, root, customer, inc,
+      Timestamp.valueOf("2024-01-02 00:00:00"), "b1")
+    val incSec = (System.nanoTime() - t1) / 1e9
+
+    // fact: incremental commit = the touched month only. silver:
+    // incremental commit = the hot current partition + the new archive
+    // month — O(current+batch) by design (closed history rides the
+    // manifest; the all-time-history rewrite is what was eliminated).
+    val factFull = dirBytes(spark, s"$root/gold/fact_orders/v=0")
+    val factInc = dirBytes(spark, s"$root/gold/fact_orders/v=1")
+    val silverFull = dirBytes(spark, s"$root/silver/orders/v=0")
+    val silverInc = dirBytes(spark, s"$root/silver/orders/v=1")
+    val agg = graft.tx.AtomicRewrite.read(spark, s"$root/gold/agg_orders_daily")
+    val rows = agg.agg(sum(col("orders_total"))).head().getLong(0)
+    println(s"""{"metric":"inc_write_amplification","full_sec":$fullSec,""" +
+      s""""inc_sec":$incSec,"fact_full_bytes":$factFull,""" +
+      s""""fact_inc_bytes":$factInc,""" +
+      s""""fact_ratio":${factFull.toDouble / math.max(factInc, 1)},""" +
+      s""""silver_full_bytes":$silverFull,"silver_inc_bytes":$silverInc,""" +
+      s""""silver_ratio":${silverFull.toDouble / math.max(silverInc, 1)},""" +
+      s""""agg_rows_total":$rows,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
