@@ -123,6 +123,73 @@ class PartitionedFactSpec extends SparkSpec {
       Set(1L -> 11.0, 2L -> 21.0))
   }
 
+  test("partitioned incremental aggregate rebuilds only touched months") {
+    val root = Files.createTempDirectory("graft-pagg").toString
+    val paths = Medallion.Paths(root)
+    val aggRoot = paths.gold("agg")
+    def src(rows: (Int, Int, Double, String)*) =
+      rows.toSeq.toDF("date_key", "month_key", "price", "raw_loaded_at")
+        .withColumn("raw_loaded_at", to_timestamp(col("raw_loaded_at")))
+    def runAgg(source: org.apache.spark.sql.DataFrame): Unit =
+      Medallion.goldAggIncremental(spark, paths, "agg", source,
+        Seq("date_key", "month_key"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price")),
+        partitionBy = Seq("month_key"))
+
+    val b1 = src(
+      (20240101, 202401, 10.0, "2024-01-01 10:00:00"),
+      (20240102, 202401, 20.0, "2024-01-02 10:00:00"),
+      (20240201, 202402, 30.0, "2024-02-01 10:00:00"))
+    runAgg(b1)
+    val jan = new java.io.File(s"$aggRoot/v=0/month_key=202401")
+    val janFiles = jan.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // a later fact row lands in February only — January's aggregate
+    // partition must ride the manifest untouched
+    runAgg(b1.unionByName(src(
+      (20240201, 202402, 5.0, "2024-02-02 10:00:00"))))
+    assert(AtomicRewrite.currentVersion(spark, aggRoot).contains(1L))
+    assert(!new java.io.File(s"$aggRoot/v=1/month_key=202401").exists())
+    assert(jan.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == janFiles)
+    val out = AtomicRewrite.read(spark, aggRoot)
+      .select("date_key", "n", "sum_price").as[(Int, Long, Double)]
+      .collect().toSet
+    assert(out == Set((20240101, 1L, 10.0), (20240102, 1L, 20.0),
+      (20240201, 2L, 35.0)))
+  }
+
+  test("runner cadence: fact compacts every 4 versions and re-buckets") {
+    val root = Files.createTempDirectory("graft-cadence").toString
+    def batch(day: Int, oid: Long) = {
+      val d = f"2024-01-$day%02d"
+      Seq((oid, 1L, "O", 10.0 * day, "3-medium", s"$d 08:00:00"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority", "o_orderdate")
+        .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+    }
+    val customer = Seq((1L, "alice", 1L, "A", 10.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("updated_at", to_timestamp(lit("2020-01-01 00:00:00")))
+    for (day <- 1 to 5)
+      Runner.runBatch(spark, root, customer, batch(day, 100L + day),
+        ts(f"2024-01-$day%02d 10:00:00"), s"b$day")
+    val factRoot = Medallion.Paths(root).gold("fact_orders")
+    // 5 batches -> v0..v4; the 5th hit factV=4 and compacted into v5
+    assert(AtomicRewrite.currentVersion(spark, factRoot).contains(5L))
+    val fact = AtomicRewrite.read(spark, factRoot)
+    assert(fact.count() == 5)
+    // compaction collapsed all manifest references into the new version
+    assert(new java.io.File(s"$factRoot/v=5/month_key=202401").exists())
+    // the bucketed copy was refreshed post-compaction and agrees
+    val bucketed = graft.sources.Bucketed.read(spark, Runner.bucketedFactTable(root))
+    assert(bucketed.count() == 5)
+    assert(AtomicRewrite.read(spark, Medallion.Paths(root).gold("agg_orders_daily"))
+      .agg(sum(col("orders_total"))).head().getLong(0) == 5L)
+  }
+
   test("mid-silver failure records FAIL:<ExcType>, keeps watermark; replay heals") {
     val root = Files.createTempDirectory("graft-fail").toString
     val paths = Medallion.Paths(root)
