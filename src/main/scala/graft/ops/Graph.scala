@@ -77,6 +77,12 @@ object Graph {
       trace(s"delta-CC iter=$iter frontier=$frontier")
     }
     edges.unpersist()
+    // silent under-merging would split components and let near-dups
+    // through every downstream dedup decision — fail loudly instead
+    if (frontier != 0L)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(frontier=$frontier) — component diameter exceeds maxIter")
     labels
   }
 }

@@ -52,8 +52,17 @@ object DedupStore {
     val out = accepted.drop("__fp").persist()
     out.count()
     land(out) // durable consumer first — see crash-ordering contract above
-    AtomicRewrite.write(spark, storeRoot,
-      store.unionByName(accepted.select(col("__fp").as("fingerprint"))))
+    // append-only store commit: each batch's fingerprints land in their
+    // own batch_seq partition and every earlier partition rides the
+    // manifest by reference — O(batch) bytes per commit, never O(store).
+    // Compact on cadence (AtomicRewrite.compact(partitionBy=batch_seq))
+    // when partition count matters.
+    val seq = AtomicRewrite.currentVersion(spark, storeRoot).map(_ + 1).getOrElse(0L)
+    if (seq == 0L || !accepted.isEmpty) // nothing accepted → no store churn
+      AtomicRewrite.writePartitions(spark, storeRoot,
+        accepted.select(col("__fp").as("fingerprint"))
+          .withColumn("batch_seq", lit(seq).cast("int")),
+        Seq("batch_seq"))
     accepted.unpersist()
     out
   }

@@ -56,8 +56,12 @@ object Medallion {
                   now: Timestamp)(body: => T): T =
     try body catch {
       case scala.util.control.NonFatal(e) =>
-        Watermarks.advance(spark, paths.control, job, None,
+        // best-effort: if recording the FAIL itself fails (e.g. the
+        // control table's filesystem is the root cause), the ORIGINAL
+        // exception must still be the one that propagates
+        try Watermarks.advance(spark, paths.control, job, None,
           s"FAIL:${e.getClass.getSimpleName}", now)
+        catch { case scala.util.control.NonFatal(e2) => e.addSuppressed(e2) }
         throw e
     }
 
@@ -312,13 +316,14 @@ object Medallion {
     val exists = AtomicRewrite.exists(spark, target)
     val silverCur = silverCurrent(spark, paths, silverEntity)
       .drop("valid_from", "valid_to", "is_current", "archive_month")
-    val wm: Option[Timestamp] =
-      if (!exists) None
-      else Option(AtomicRewrite.read(spark, target)
-        .agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    // incremental cut from the fact's OWN control-table watermark (the
+    // bronze/silver mechanism) — deriving it from max(raw_loaded_at)
+    // over the fact would add an O(table) scan to an O(batch) commit
+    val wm = Watermarks.read(spark, paths.control, s"gold_$factName")
     val inc = wm.map(ts => silverCur.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(silverCur)
-    if (exists && inc.isEmpty) {
+    val stats = inc.agg(count(lit(1)), max(col("raw_loaded_at"))).head()
+    if (exists && stats.getLong(0) == 0L) {
       Watermarks.advance(spark, paths.control, s"gold_$factName", None, "OK:empty", now)
     } else {
       // derived columns (e.g. a month_key partition grain: daily partitions
@@ -366,7 +371,8 @@ object Medallion {
           Upsert.scd1(slice, validated, keys, guard), partitionBy,
           replaced = Some(affected))
       }
-      Watermarks.advance(spark, paths.control, s"gold_$factName", None, "OK", now)
+      Watermarks.advance(spark, paths.control, s"gold_$factName",
+        Option(stats.getTimestamp(1)), "OK", now)
     }
   }
 

@@ -113,10 +113,15 @@ object NearDupStore {
       Seq(idCol), "left_semi").persist()
     out.count()
     land(out) // durable consumer BEFORE the store commit — crash replays
-    val newSigs = accepted.select((col("doc_id") +: sigCols.map(col)): _*)
-    AtomicRewrite.write(spark, storeRoot,
-      (if (exists) AtomicRewrite.read(spark, storeRoot).unionByName(newSigs)
-       else newSigs))
+    // append-only store commit (see DedupStore): new signatures land in
+    // their own batch_seq partition, all earlier ones ride the manifest —
+    // O(batch) bytes per commit even with an all-time store behind it
+    val seq = AtomicRewrite.currentVersion(spark, storeRoot).map(_ + 1).getOrElse(0L)
+    if (seq == 0L || !acceptedIds.isEmpty) // nothing accepted → no store churn
+      AtomicRewrite.writePartitions(spark, storeRoot,
+        accepted.select((col("doc_id") +: sigCols.map(col)): _*)
+          .withColumn("batch_seq", lit(seq).cast("int")),
+        Seq("batch_seq"))
     sig.unpersist()
     acceptedIds.unpersist()
     out

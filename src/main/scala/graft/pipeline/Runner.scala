@@ -139,15 +139,20 @@ object Runner {
                         factName: String): Long = {
     val factRoot = paths.gold(factName)
     val factV = graft.tx.AtomicRewrite.currentVersion(spark, factRoot).getOrElse(0L)
-    if (factV > 0) {
+    val auditRoot = paths.gold(s"${factName}_changes")
+    val auditExists = graft.tx.AtomicRewrite.exists(spark, auditRoot)
+    // skip when this fact version is already audited (no-op batches leave
+    // the version unchanged — re-diffing and re-committing would burn an
+    // audit version per idle batch for byte-identical content)
+    val recorded = auditExists &&
+      !graft.tx.AtomicRewrite.read(spark, auditRoot)
+        .filter(col("fact_version") === factV).isEmpty
+    if (factV > 0 && !recorded) {
       val changes = graft.tx.AtomicRewrite.diff(spark, factRoot, factV - 1, factV)
         .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
         .withColumn("fact_version", lit(factV))
-      val auditRoot = paths.gold(s"${factName}_changes")
       val prior =
-        if (graft.tx.AtomicRewrite.exists(spark, auditRoot))
-          graft.tx.AtomicRewrite.read(spark, auditRoot)
-            .filter(col("fact_version") =!= factV)
+        if (auditExists) graft.tx.AtomicRewrite.read(spark, auditRoot)
         else changes.limit(0)
       graft.tx.AtomicRewrite.write(spark, auditRoot,
         prior.unionByName(changes).coalesce(1))

@@ -72,11 +72,21 @@ object AtomicRewrite {
       // benign data-staleness, not corruption.)
       val rootPath = new Path(root)
       if (!f.exists(rootPath)) None
-      else f.listStatus(rootPath).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .filter(v => f.exists(new Path(root, s"v=$v/$CommittedMarker")))
-        .sorted.lastOption
+      else {
+        val versions = f.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+        versions.filter(v => f.exists(new Path(root, s"v=$v/$CommittedMarker")))
+          .lastOption
+          // legacy fallback: tables written before the _COMMITTED marker
+          // existed only have parquet's _SUCCESS — recover to the newest
+          // of those rather than declaring the table gone (this re-opens
+          // the staged-but-unswapped window ONLY for pre-marker dirs,
+          // where replay idempotence already made it benign)
+          .orElse(versions
+            .filter(v => f.exists(new Path(root, s"v=$v/_SUCCESS")))
+            .lastOption)
+      }
     }
   }
 
@@ -97,7 +107,8 @@ object AtomicRewrite {
     * scrubs, retention trims, migrations) cannot silently flatten a
     * partitioned table. */
   def write(spark: SparkSession, root: String, df: DataFrame,
-            partitionBy: Seq[String] = Nil, keepVersions: Int = 2): Unit = {
+            partitionBy: Seq[String] = Nil, keepVersions: Int = 2,
+            sortBy: Seq[String] = Nil): Unit = {
     val effective =
       if (partitionBy.nonEmpty) partitionBy
       else partitionColsOf(spark, root).filter(_.forall(df.columns.contains))
@@ -108,13 +119,23 @@ object AtomicRewrite {
     if (effective.isEmpty) {
       df.write.mode(SaveMode.Overwrite).parquet(target.toString)
     } else {
-      partitionAligned(df, effective)
+      partitionAligned(df, effective, sortBy)
         .write.mode(SaveMode.Overwrite).partitionBy(effective: _*)
         .parquet(target.toString)
-      // full snapshot: the manifest lists ONLY this version (no carry) —
-      // written so later partition-level commits know the layout
       val newParts = listPartitionDirs(f, target, effective.length)
-      writeManifest(f, target, effective, newParts.map(_ -> next).toMap)
+      if (newParts.isEmpty) {
+        // zero rows: a partitioned write leaves no partition dirs and
+        // nothing readable. Restage as a plain empty snapshot — the
+        // schema-bearing empty parquet keeps the table readable (the
+        // layout re-establishes on the next non-empty commit, which
+        // synthesizes from dirs / finds none to carry)
+        f.delete(target, true)
+        df.write.mode(SaveMode.Overwrite).parquet(target.toString)
+      } else {
+        // full snapshot: the manifest lists ONLY this version (no carry)
+        // — written so later partition-level commits know the layout
+        writeManifest(f, target, effective, newParts.map(_ -> next).toMap)
+      }
     }
     commitPointer(spark, root, next)
     vacuum(spark, root, keepVersions)
@@ -151,6 +172,12 @@ object AtomicRewrite {
     require(partitionBy.nonEmpty, "writePartitions needs partition columns")
     val f = fs(spark, new Path(root))
     val cur = currentVersion(spark, root)
+    // a partition commit against a table recorded with a DIFFERENT layout
+    // would merge incompatible dir shapes into one manifest and leave the
+    // table unreadable — refuse before staging anything
+    cur.flatMap(v => manifestCols(f, root, v)).foreach(recorded =>
+      require(recorded == partitionBy,
+        s"$root is partition-committed by $recorded, not $partitionBy"))
     val next = cur.map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
     partitionAligned(df, partitionBy)
@@ -162,7 +189,10 @@ object AtomicRewrite {
       case Some(v) =>
         manifest(f, root, v).getOrElse {
           val parts = listPartitionDirs(f, new Path(root, s"v=$v"), partitionBy.length)
-          if (parts.isEmpty && containsDataFiles(f, new Path(root, s"v=$v")))
+          if (parts.isEmpty && containsDataFiles(f, new Path(root, s"v=$v"))
+              && !readVersion(spark, root, v).isEmpty)
+            // a plain EMPTY snapshot (just a schema-bearing file) has
+            // nothing to carry; a plain NON-empty one would lose its rows
             throw new IllegalStateException(
               s"$root v=$v is not hive-partitioned by $partitionBy; " +
                 "partition-aware commit would drop its rows")
@@ -186,7 +216,14 @@ object AtomicRewrite {
         dirs
     }
     val merged = (prev -- replacedDirs) ++ newParts.map(_ -> next)
-    writeManifest(f, target, partitionBy, merged)
+    if (merged.isEmpty) {
+      // the commit emptied the table: restage as a plain empty snapshot
+      // (an entry-less manifest would be unreadable)
+      f.delete(target, true)
+      df.write.mode(SaveMode.Overwrite).parquet(target.toString)
+    } else {
+      writeManifest(f, target, partitionBy, merged)
+    }
     commitPointer(spark, root, next)
     vacuum(spark, root, keepVersions)
   }
@@ -226,10 +263,15 @@ object AtomicRewrite {
     * skewed (or single-valued) partition onto ONE task; the added salt
     * keeps up to 8 writers per partition dir — bounded files, preserved
     * parallelism. One shuffle per commit is the standard price. */
-  private def partitionAligned(df: DataFrame, partitionBy: Seq[String]): DataFrame = {
+  private def partitionAligned(df: DataFrame, partitionBy: Seq[String],
+                               sortBy: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id}
-    df.repartition(
+    val aligned = df.repartition(
       (partitionBy.map(col) :+ pmod(spark_partition_id(), lit(8))): _*)
+    // cluster-sort must happen AFTER the aligning exchange or the order
+    // is destroyed by the shuffle
+    if (sortBy.isEmpty) aligned
+    else aligned.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
   }
 
   private def writeText(f: FileSystem, p: Path, s: String): Unit = {
@@ -373,16 +415,15 @@ object AtomicRewrite {
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val cur = read(spark, root)
     import org.apache.spark.sql.functions.col
+    // partitioned: write()'s aligning shuffle (8-way salted) + post-shuffle
+    // cluster sort does the whole job — repartitioning here too would
+    // shuffle the table twice and then be destroyed by the second exchange
     val out =
-      if (partitionBy.nonEmpty)
-        // co-locate each hive partition's rows in one task (one output file
-        // per partition dir, not tasks × partitions), cluster-sort inside
-        cur.repartition(parts, partitionBy.map(col): _*)
-          .sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+      if (partitionBy.nonEmpty) cur
       else if (clusterBy.isEmpty) cur.repartition(parts)
       else cur.repartitionByRange(parts, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    write(spark, root, out, partitionBy)
+    write(spark, root, out, partitionBy, sortBy = clusterBy)
     val newDir = new Path(root, s"v=${v + 1}")
     val it = f.listFiles(newDir, true) // recursive: partitioned layouts nest
     var n = 0
