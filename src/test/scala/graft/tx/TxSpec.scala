@@ -154,6 +154,27 @@ class AtomicRewriteSpec extends SparkSpec {
     assert(back == Set((1, 30), (2, 20)))
   }
 
+  test("layout mismatch is refused; emptying a partitioned table stays readable") {
+    val root = Files.createTempDirectory("graft-arp4").toString + "/t"
+    AtomicRewrite.writePartitions(spark, root,
+      Seq((1, 10), (2, 20)).toDF("id", "pk"), Seq("pk"))
+    // committing with a different partition layout must fail fast
+    intercept[IllegalArgumentException] {
+      AtomicRewrite.writePartitions(spark, root,
+        Seq((3, 30)).toDF("pk", "id"), Seq("id"))
+    }
+    // a full rewrite that filters out every row leaves a readable empty
+    // table (plain empty snapshot, not an entry-less manifest) …
+    AtomicRewrite.write(spark, root,
+      AtomicRewrite.read(spark, root).filter(col("id") < 0))
+    assert(AtomicRewrite.read(spark, root).isEmpty)
+    // … and the next partition-level commit re-establishes the layout
+    AtomicRewrite.writePartitions(spark, root,
+      Seq((5, 50)).toDF("id", "pk"), Seq("pk"))
+    assert(AtomicRewrite.read(spark, root)
+      .select("id", "pk").as[(Int, Int)].collect().toSet == Set((5, 50)))
+  }
+
   test("compacting a partition-committed table collapses references and keeps the layout") {
     val root = Files.createTempDirectory("graft-arp3").toString + "/t"
     AtomicRewrite.writePartitions(spark, root,
