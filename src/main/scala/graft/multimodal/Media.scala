@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * would amortize model/codec setup per batch, not per row).
   *
   * IMAGE decode is REAL: payloads round-trip through the JDK's PNG codec
-  * (`javax.imageio`, see [[Media.decodeImageStats]]). Audio/video decode
-  * remains a clearly-marked deterministic STUB ([[Media.decodeStub]]) —
-  * those codecs are not in this container — but everything Spark-side is
-  * real: schemas, encoders, partition batching, frame sampling, resize
-  * arithmetic. Swap the stub for a codec call and the pipeline is
-  * production-shaped.
+  * (`javax.imageio`, see [[Media.decodeImageStats]]). AUDIO decode is
+  * REAL too: WAV containers parsed by the JDK's `javax.sound.sampled`
+  * codec ([[Media.decodeAudioStats]]). Only VIDEO decode remains a
+  * clearly-marked deterministic STUB ([[Media.decodeStub]]) — the JDK
+  * ships no video codec — but everything Spark-side is real: schemas,
+  * encoders, partition batching, frame sampling, resize arithmetic. Swap
+  * the stub for a codec call and the pipeline is production-shaped.
   *
   * Scale: payload processing is embarrassingly parallel (narrow map over
   * the scan); keep `spark.sql.files.maxPartitionBytes` sized so one
@@ -108,9 +109,83 @@ object Media {
     }
   }
 
+  // ---- real audio decode (javax.sound.sampled, zero extra deps) --------
+
+  /** Deterministic 16-bit PCM sample `i` of clip `id` — the pure function
+    * both the WAV generator and the DuckDB oracle compute. Range is the
+    * full signed-16 span [-32768, 32767]. */
+  def sampleValue(id: Long, i: Int): Int =
+    ((id * 131 + i.toLong * 17) % 65536 - 32768).toInt
+
+  /** Encode the deterministic `n`-sample clip for `id` as a real WAV file
+    * (PCM 16-bit signed little-endian mono @ 8 kHz) via the JDK's
+    * `javax.sound.sampled` writer — lossless, so a decode round-trip
+    * recovers every sample. */
+  def encodeWav(id: Long, n: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleValue(id, i)
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioStats(media_id: Long, n_samples: Int, sample_rate: Int,
+                        amp_sum: Long, amp_min: Int, amp_max: Int,
+                        first_sample: Int)
+
+  /** REAL decode path for `kind = "audio"`: each payload is parsed by the
+    * JDK's WAV codec (`AudioSystem.getAudioInputStream` reads the RIFF
+    * header and yields the PCM frames) and reduced to amplitude
+    * statistics — executor-side, batched like [[decodeImageStats]],
+    * payloads never reach the driver. Handles either endianness as the
+    * container declares it. */
+  def decodeAudioStats(media: Dataset[MediaRow],
+                       batchSize: Int = 64): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup point (codec/resampler reuse at production scale)
+        batch.iterator.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"expected 16-bit mono PCM, got $fmt")
+          val bytes = try ais.readAllBytes() finally ais.close()
+          val n = bytes.length / 2
+          var (sum, mn, mx, first) = (0L, Int.MaxValue, Int.MinValue, 0)
+          var i = 0
+          while (i < n) {
+            val v =
+              if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xFF)
+              else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+            if (i == 0) first = v
+            sum += math.abs(v.toLong); if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          AudioStats(r.media_id, n, fmt.getSampleRate.toInt, sum,
+            if (n == 0) 0 else mn, if (n == 0) 0 else mx, first)
+        }
+      }
+    }
+  }
+
   /** STUB decoder (???): a real implementation would decode the payload
-    * with an image/audio codec and emit an embedding. This deterministic
-    * fake emits `dim` byte-histogram buckets so the plumbing is testable. */
+    * with a video codec and emit an embedding (image/audio now have REAL
+    * JDK decoders above — no video codec ships with the JDK). This
+    * deterministic fake emits `dim` byte-histogram buckets so the
+    * plumbing is testable. */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val counts = new Array[Int](dim)
     payload.foreach(b => counts((b & 0xFF) % dim) += 1)

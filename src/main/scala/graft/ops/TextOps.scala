@@ -94,6 +94,30 @@ object TextOps {
       sequence(lit(1), greatest(size(tokenValues) - lit(k - 1), lit(1))),
       i => windowHash(slice(tokenValues, i, lit(k)))))
 
+  /** PII patterns (email, international-style phone, dotted-quad IP) for
+    * redaction before a corpus ships to training. Deliberately restricted
+    * to constructs Java regex (Spark) and RE2 (DuckDB) evaluate
+    * identically: no backreferences, no lookaround, leftmost-first
+    * equivalent. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val PiiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Matches of `pattern` in `text` (codegen regex scan, no UDF). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** All three PII classes replaced by typed placeholder tokens. Emails
+    * first (their local/domain parts would otherwise feed the phone/IP
+    * scans), then phones, then IPs — the placeholders themselves contain
+    * no digits, so later passes cannot re-match earlier redactions. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiPhone, "<PHONE>"),
+      PiiIp, "<IP>")
+
   /** SimHash bit b (0-based, little-endian within hex nibbles) of one
     * token's sha256: bit (b%4) of hex digit (b/4+1) of the hash prefix. */
   def tokenBit(tok: Column, b: Int): Column = hashBit(sha2(tok, 256), b)

@@ -51,6 +51,21 @@ object MediaQueries {
       Media.decodeImageStats(media).toDF()
     }),
 
+    // REAL audio decode: a deterministic 16-bit PCM WAV clip is generated
+    // per doc (256 + doc_id % 256 samples), parsed back through the JDK's
+    // actual WAV codec on the executors, and reduced to amplitude stats.
+    // The oracle replays the sample formula directly — a one-byte header
+    // misparse or endianness slip would flip every hash.
+    "q76_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => Media.MediaRow(id, "audio",
+          Media.encodeWav(id, 256 + (id % 256).toInt),
+          Media.MediaMeta("audio/wav", 0, 0, 0L)))
+      Media.decodeAudioStats(media).toDF()
+    }),
+
     // Audio-style windowed energy: 256-sample windows, 128 hop.
     "q67_audio_windows" -> ((s, dir) => {
       import s.implicits._
@@ -91,6 +106,18 @@ object MediaQueries {
         | CAST(list_max(ps) AS INT) AS px_max,
         | CAST(media_id * 31 % 256 AS INT) AS corner
         |FROM px""".stripMargin,
+    "q76_audio_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 256 + doc_id % 256 AS n,
+        |  list_transform(range(0, 256 + doc_id % 256),
+        |    i -> (doc_id * 131 + i * 17) % 65536 - 32768) AS vs
+        |FROM documents)
+        |SELECT media_id, CAST(n AS INT) AS n_samples,
+        | CAST(8000 AS INT) AS sample_rate,
+        | CAST(list_sum(list_transform(vs, v -> abs(v))) AS BIGINT) AS amp_sum,
+        | CAST(list_min(vs) AS INT) AS amp_min,
+        | CAST(list_max(vs) AS INT) AS amp_max,
+        | CAST(media_id * 131 % 65536 - 32768 AS INT) AS first_sample
+        |FROM s""".stripMargin,
     "q67_audio_windows" ->
       """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n
         |           FROM documents WHERE length(text) > 0),

@@ -374,6 +374,43 @@ object TextQueries {
           col("col.n_tokens").as("n_tokens"),
           col("col.chunk_hash").as("chunk_hash"))),
 
+    // PII detection + redaction: deterministic synthetic PII (an email, a
+    // phone, an IP derived from doc_id) is appended to each doc, then
+    // counted and redacted via the shared TextOps patterns. Narrow map at
+    // scan speed — regex scans inside whole-stage codegen, no UDFs, no
+    // shuffle; the redaction-before-training gate on a 100 TB corpus is
+    // exactly this shape. The oracle replays the injection, the counts,
+    // and the sha256 of the redacted text — one character of divergence
+    // between the engines' regex semantics would flip every hash.
+    "q77_pii_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" tel +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7")).as("text"))
+        .select(col("doc_id"),
+          TextOps.piiCount(col("text"), TextOps.PiiEmail).as("n_emails"),
+          TextOps.piiCount(col("text"), TextOps.PiiPhone).as("n_phones"),
+          TextOps.piiCount(col("text"), TextOps.PiiIp).as("n_ips"),
+          sha2(TextOps.redactPii(col("text")), 256).as("redacted_sha"))),
+
+    // Quality-proportional deterministic sampling: accept a doc iff its
+    // salted-hash uniform < quality weight — the reproducible way to take
+    // a quality-weighted subcorpus with no RNG state and no coordination
+    // (pure map: any executor layout, retry, or re-run yields the same
+    // set, the property a 1000-executor sampling job actually needs).
+    "q78_weighted_sample" -> ((s, dir) => {
+      val w = least(lit(1.0), size(toks) / lit(100.0))
+      val u = conv(substring(sha2(concat_ws("|", lit("wsample"),
+        col("doc_id").cast("string")), 256), 1, 6), 16, 10)
+        .cast("double") / lit(16777216.0)
+      docs(s, dir).select(col("doc_id"),
+        round(w, 6).as("weight"), round(u, 6).as("u"),
+        (u < w).as("accepted"))
+    }),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -616,6 +653,34 @@ object TextQueries {
         | CASE WHEN bucket < 80 THEN 'train'
         |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q77_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(text,
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | sha256(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'))
+        |   AS redacted_sha
+        |FROM t""".stripMargin,
+    "q78_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, len($ToksSql) AS n FROM documents),
+         |s AS (SELECT doc_id, least(1.0, n / 100.0) AS w,
+         |  ('0x' || substr(sha256('wsample|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+         |    / 16777216.0 AS u
+         |FROM t)
+         |SELECT doc_id, round(w, 6) AS weight, round(u, 6) AS u,
+         | u < w AS accepted
+         |FROM s""".stripMargin,
     "q54_repetition" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |shg AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM t),

@@ -31,6 +31,37 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode -> real javax.sound decode round-trips every sample") {
+    // direct codec round-trip, no Spark: header + PCM frames survive
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Media.encodeWav(7L, 300)))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      fmt.getSampleRate == 8000f)
+    val bytes = ais.readAllBytes()
+    assert(bytes.length == 600)
+    for (i <- 0 until 300) {
+      val v =
+        if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xFF)
+        else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+      assert(v == Media.sampleValue(7L, i), s"sample $i lost in the codec round-trip")
+    }
+
+    // distributed path: stats computed from DECODED samples match the formula
+    val media = Seq(3L, 4L).toDS()
+      .map(id => Media.MediaRow(id, "audio", Media.encodeWav(id, 300),
+        Media.MediaMeta("audio/wav", 0, 0, 0L)))
+    val stats = Media.decodeAudioStats(media).collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(3L, 4L)) {
+      val vs = (0 until 300).map(Media.sampleValue(id, _))
+      val s = stats(id)
+      assert(s.n_samples == 300 && s.sample_rate == 8000 &&
+        s.amp_sum == vs.map(v => math.abs(v.toLong)).sum &&
+        s.amp_min == vs.min && s.amp_max == vs.max &&
+        s.first_sample == Media.sampleValue(id, 0))
+    }
+  }
+
   test("decodeStub is deterministic and normalized") {
     val a = Media.decodeStub(payload, 8)
     val b = Media.decodeStub(payload, 8)

@@ -119,6 +119,24 @@ class TextOpsSpec extends SparkSpec {
     assert(bits.forall(b => b == 0 || b == 1))
   }
 
+  test("redactPii replaces emails, phones, IPs; counts match") {
+    val text = "mail bob.smith+x@corp.example.org or +44-20-79 " +
+      "tel +1-555-0042 from 192.168.1.200 done"
+    val df = Seq(text).toDF("text")
+    val red = df.select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(red == "mail <EMAIL> or +44-20-79 tel <PHONE> from <IP> done")
+    val counts = df.select(
+      TextOps.piiCount(col("text"), TextOps.PiiEmail),
+      TextOps.piiCount(col("text"), TextOps.PiiPhone),
+      TextOps.piiCount(col("text"), TextOps.PiiIp))
+      .as[(Long, Long, Long)].head()
+    assert(counts == ((1L, 1L, 1L))) // +44-20-79 has no 3-and-4-digit groups
+    // clean text passes through untouched
+    val clean = Seq("no pii here at all").toDF("text")
+      .select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(clean == "no pii here at all")
+  }
+
   test("wordBit (integer shifts) equals hashBit (string ops) on all 32 bits") {
     val df = Seq("alpha", "bravo", "charlie", "über 123").toDF("t")
       .select(sha2(col("t"), 256).as("h"))
