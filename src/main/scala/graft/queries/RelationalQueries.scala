@@ -415,6 +415,37 @@ object RelationalQueries {
           (abs(col("ap50") - col("p50")) <= col("rng") * 0.05).as("p50_ok"),
           (abs(col("ap90") - col("p90")) <= col("rng") * 0.05).as("p90_ok"))),
 
+    // Count-min heavy hitters (q28/q29/q62's pattern for the CMS): a
+    // fixed 4×1024 counter grid per group — constant bytes per group per
+    // partition at any corpus size — point-estimated for three probe
+    // users beside their exact counts. The oracle pins the exact counts
+    // and the sketch's two guarantees: never undercounts (always true by
+    // construction), overshoot bounded by the collision mass 8N/width.
+    "q79_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val (depth, width) = (4, 1024)
+      val cms = graft.functions.CountMin.countMin(depth, width)
+      val targets = Seq("7", "42", "99")
+      val sk = T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(cms(col("user_id").cast("string")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      val exact = T(s, dir, "events")
+        .filter(col("user_id").cast("string").isin(targets: _*))
+        .groupBy(col("event_type"), col("user_id").cast("string").as("uid"))
+        .agg(count(lit(1)).as("exact_count"))
+      // groups × probes rows (tiny); the estimate runs as a typed map on
+      // the executors — the sketch array never reaches the driver
+      sk.join(exact, "event_type")
+        .as[(String, Seq[Long], Long, String, Long)]
+        .map { case (et, sketch, n, uid, ex) =>
+          val est = graft.functions.CountMin.estimate(sketch, uid, depth, width)
+          (et, uid, ex, est >= ex, est <= ex + 8L * n / width)
+        }
+        .toDF("event_type", "user_id", "exact_count",
+          "est_ge_exact", "est_within_eps")
+    }),
+
     // TPC-H Q18 shape: aggregate-filtered semi-join (large orders) — the
     // HAVING-subquery pattern; the big lineitem aggregate reduces before
     // joining, so only qualifying orderkeys cross the join.
@@ -754,6 +785,12 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q79_cms_heavy_hitters" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        | count(*) AS exact_count,
+        | true AS est_ge_exact, true AS est_within_eps
+        |FROM events WHERE CAST(user_id AS VARCHAR) IN ('7', '42', '99')
+        |GROUP BY 1, 2""".stripMargin,
     "q68_skew_report" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
         |m AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_n FROM c)
