@@ -23,6 +23,10 @@ object SparkSessionFactory {
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     graft.functions.GraftFunctions.registerTo(s)
+    // top-k-per-key strategy + the row_number≤k rewrite: every session
+    // plans the rank-filter idiom through the heap operator (the whole
+    // oracle suite runs — and is hash-verified — under this rule)
+    graft.plans.TopKPerKey.install(s)
     s
   }
 

@@ -45,8 +45,12 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = expr2(DotProductF.apply)(a, b)
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the top-k-per-key
+  * planner strategy and its window-rank rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.register(ext)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
+  }
 }

@@ -446,6 +446,19 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // Whole-operator custom plan node: top-3 orders per priority through
+    // graft's TopKPerKey (logical node → planner strategy → two-phase
+    // heap physical operator). vs the row_number window: no per-group
+    // sort, and the map-side partial caps the exchange at keys×k rows
+    // per partition — the 100 TB path for every "top N per key" ask. The
+    // ordering is total (price desc, key asc), so the oracle's window
+    // formulation returns the identical row set.
+    "q80_topk_per_key" -> ((s, dir) =>
+      graft.plans.TopKPerKey.perKey(
+        T(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)),
+
     // TPC-H Q18 shape: aggregate-filtered semi-join (large orders) — the
     // HAVING-subquery pattern; the big lineitem aggregate reduces before
     // joining, so only qualifying orderkeys cross the join.
@@ -785,6 +798,13 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q80_topk_per_key" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q79_cms_heavy_hitters" ->
       """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
         | count(*) AS exact_count,

@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = (1 to 1000)
+    .map(i => (s"g${i % 7}", i.toLong, (i * 37 % 1000).toDouble))
+    .toDF("grp", "id", "score").repartition(9)
+
+  private def windowTop3 = {
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+  }
+
+  test("perKey equals the row_number window result on a total order") {
+    val got = TopKPerKey.perKey(sample, Seq("grp"),
+      Seq(col("score").desc, col("id")), 3)
+    assert(got.count() == 21) // 7 groups x 3
+    assert(got.exceptAll(windowTop3).isEmpty && windowTop3.exceptAll(got).isEmpty)
+  }
+
+  test("plan is two-phase heap: partial + final, no sort, no window") {
+    val got = TopKPerKey.perKey(sample, Seq("grp"),
+      Seq(col("score").desc, col("id")), 3)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window") && !plan.contains("Sort ["), plan)
+    assert(plan.contains("Exchange"), plan) // co-location by key
+  }
+
+  test("optimizer rule rewrites the rank-filter idiom to the heap operator") {
+    TopKPerKey.install(spark)
+    windowTop3.collect()
+    val plan = windowTop3.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), plan)
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window ["), plan)
+    // and the rewritten plan still returns the right rows
+    val viaHeap = windowTop3.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = sample.collect()
+      .groupBy(_.getString(0)).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+          .map(r => (g, r.getLong(1))).toSeq
+      }.toSet
+    assert(viaHeap == expected)
+  }
+
+  test("rule does NOT fire when the rank column escapes the projection") {
+    TopKPerKey.install(spark)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val keepRn = sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("grp"), col("rn")) // rank survives -> must stay a window
+    keepRn.collect()
+    val plan = keepRn.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey ["), plan)
+    assert(keepRn.groupBy("grp").agg(max("rn")).collect()
+      .forall(_.getInt(1) == 3))
+  }
+
+  test("partial-phase cap passes overflow keys through; result still exact") {
+    // force the cap far below the key count via a tiny k over many keys
+    val many = (1 to 500).map(i => (s"k$i", i.toLong)).toDF("grp", "id")
+      .repartition(3)
+    val got = TopKPerKey.perKey(many, Seq("grp"), Seq(col("id")), 1)
+    assert(got.count() == 500) // every key kept exactly its single row
+  }
+
+  test("empty keys = global top-k") {
+    val got = TopKPerKey.perKey(sample, Nil, Seq(col("score").desc, col("id")), 5)
+    val exact = sample.orderBy(col("score").desc, col("id")).limit(5)
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty)
+  }
+}
