@@ -446,6 +446,32 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // Z-order (Morton) clustering key: bit-interleave two dimensions so
+    // range-clustering by ONE key gives parquet files tight min/max
+    // envelopes on BOTH — the OPTIMIZE ZORDER analog for compact's
+    // clusterBy. Pure codegen'd bit arithmetic; the oracle replays the
+    // interleave bit-for-bit.
+    "q82_zorder_key" -> ((s, dir) => {
+      val x = pmod(col("user_id"), lit(256)).cast("long")
+      val y = pmod(col("event_id"), lit(256)).cast("long")
+      T(s, dir, "events").select(col("event_id"), x.as("x"), y.as("y"),
+        graft.ops.ZOrder.interleave2(x, y, 8).as("zkey"))
+    }),
+
+    // Bloom-pruned semi join: the hot-order keys become an 8 KB literal
+    // bitmap probed at the lineitem scan (codegen bit tests), so the
+    // exact semi join only sees survivors — Spark's runtime-filter
+    // design made explicit. False positives are removed by the exact
+    // join; the oracle is the PLAIN semi join, so one false negative or
+    // probe/build hash mismatch flips the hashes.
+    "q81_bloom_semi_join" -> ((s, dir) => {
+      val hot = T(s, dir, "orders").filter(col("o_totalprice") > 480000)
+      graft.ops.BloomJoin
+        .semiJoin(T(s, dir, "lineitem"), "l_orderkey", hot, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("revenue"))
+    }),
+
     // Whole-operator custom plan node: top-3 orders per priority through
     // graft's TopKPerKey (logical node → planner strategy → two-phase
     // heap physical operator). vs the row_number window: no per-group
@@ -798,6 +824,19 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q82_zorder_key" ->
+      """SELECT event_id, user_id % 256 AS x, event_id % 256 AS y,
+        | CAST(list_sum(list_transform(range(0, 8), b ->
+        |   ((((user_id % 256) >> b) & 1) << (2 * b))
+        |   + ((((event_id % 256) >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zkey
+        |FROM events""".stripMargin,
+    "q81_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
+        |GROUP BY 1""".stripMargin,
     "q80_topk_per_key" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  row_number() OVER (PARTITION BY o_orderpriority

@@ -149,6 +149,38 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("column interleave matches the reference bit-for-bit") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (7L, 200L))
+    val got = rows.toDF("x", "y")
+      .select(ZOrder.interleave2(col("x"), col("y"), 8))
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (x, y) => ZOrder.interleave2Ref(x, y, 8) })
+    // spot values: interleave(1,0)=1, interleave(0,1)=2, full byte pair = 65535
+    assert(ZOrder.interleave2Ref(1, 0, 8) == 1L)
+    assert(ZOrder.interleave2Ref(0, 1, 8) == 2L)
+    assert(ZOrder.interleave2Ref(255, 255, 8) == 65535L)
+  }
+
+  test("z-order clustering bounds BOTH dimensions per range bucket") {
+    // 32x32 grid, z-sorted, cut into 16 equal buckets: each bucket's
+    // x/y min-max envelope must cover far less than the full domain —
+    // the data-skipping property a plain sort only gives its lead column
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val z = grid.select(col("x"), col("y"),
+      ZOrder.interleave2(col("x"), col("y"), 5).as("z"))
+    val spans = z.withColumn("bucket", floor(col("z") / 64).cast("int"))
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect()
+    assert(spans.length == 16)
+    // a 64-cell z-block is an 8x8 tile: both spans are 7, not 31
+    assert(spans.forall(r => r.getLong(1) <= 7 && r.getLong(2) <= 7))
+  }
+}
+
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
