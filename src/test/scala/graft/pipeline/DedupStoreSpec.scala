@@ -51,6 +51,40 @@ class DedupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("forget removes a fingerprint, unblocks resubmission, carries untouched partitions") {
+    val root = Files.createTempDirectory("graft-fps4").toString + "/store"
+    def fp = DedupStore.textFingerprint(col("text"))
+    DedupStore.acceptNew(spark, root,
+      Seq((1L, "doc alpha")).toDF("doc_id", "text"), "doc_id", fp)
+    DedupStore.acceptNew(spark, root,
+      Seq((2L, "doc beta")).toDF("doc_id", "text"), "doc_id", fp)
+    // alpha lives in batch_seq=0 (v=0), beta in batch_seq=1
+    val betaDir = new java.io.File(s"$root/v=1/batch_seq=1")
+    assert(betaDir.exists())
+    val betaFiles = betaDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    val alphaFp = Seq("doc alpha").toDF("text")
+      .select(fp.as("fingerprint"))
+    DedupStore.forget(spark, root, alphaFp)
+    val stored = AtomicRewrite.read(spark, root)
+    assert(stored.count() == 1, "only beta's fingerprint remains")
+    // beta's partition was NOT restaged — its files are byte-untouched
+    assert(betaDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == betaFiles,
+      "untouched batch partition was rewritten by forget")
+    // resubmission of the forgotten content is accepted again
+    val re = DedupStore.acceptNew(spark, root,
+      Seq((9L, "DOC   ALPHA")).toDF("doc_id", "text"), "doc_id", fp)
+    assert(re.select("doc_id").as[Long].collect().toSet == Set(9L))
+    // forgetting something absent is a no-op (no new version)
+    val v = AtomicRewrite.currentVersion(spark, root)
+    DedupStore.forget(spark, root,
+      Seq("never stored").toDF("text").select(fp.as("fingerprint")))
+    assert(AtomicRewrite.currentVersion(spark, root) == v)
+    spark.catalog.clearCache()
+  }
+
   test("a crash in the downstream land leaves the store unmarked — replay recovers") {
     val root = Files.createTempDirectory("graft-fps2").toString + "/store"
     def fp = DedupStore.textFingerprint(col("text"))

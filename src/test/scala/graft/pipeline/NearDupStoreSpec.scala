@@ -45,6 +45,38 @@ class NearDupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("forget drops a signature, unblocks near-dup resubmission, carries partitions") {
+    val root = Files.createTempDirectory("graft-nds3").toString + "/store"
+    NearDupStore.acceptNew(spark, root,
+      Seq((1L, Some(base))).toDF("doc_id", "text"), "doc_id", "text")
+    NearDupStore.acceptNew(spark, root,
+      Seq((2L, Some(other))).toDF("doc_id", "text"), "doc_id", "text")
+    val otherDir = new java.io.File(s"$root/v=1/batch_seq=1")
+    assert(otherDir.exists())
+    val otherFiles = otherDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // a near-dup of doc 1 is rejected while its signature is stored...
+    assert(NearDupStore.acceptNew(spark, root,
+      Seq((5L, Some(nearBase))).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+    // ...then doc 1 exercises its right to be forgotten
+    NearDupStore.forget(spark, root, Seq(1L).toDF("doc_id"))
+    assert(AtomicRewrite.read(spark, root)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(otherDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == otherFiles,
+      "untouched batch partition was rewritten by forget")
+    // the same near-dup content is acceptable again
+    val re = NearDupStore.acceptNew(spark, root,
+      Seq((6L, Some(nearBase))).toDF("doc_id", "text"), "doc_id", "text")
+    assert(re.select("doc_id").as[Long].collect().toSet == Set(6L))
+    // forgetting an absent id is a no-op
+    val v = AtomicRewrite.currentVersion(spark, root)
+    NearDupStore.forget(spark, root, Seq(999L).toDF("doc_id"))
+    assert(AtomicRewrite.currentVersion(spark, root) == v)
+    spark.catalog.clearCache()
+  }
+
   test("a crash in land leaves the store unmarked — replay recovers") {
     val root = Files.createTempDirectory("graft-nds2").toString + "/store"
     val batch = Seq((1L, Some(base))).toDF("doc_id", "text")
