@@ -20,9 +20,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // warm-up: JIT, codegen cache, parquet footers
+    // warm-up: JIT, codegen cache, parquet footers — one relational and
+    // one text-family query (the shingle/sha/HOF paths JIT separately;
+    // unwarmed they add ~10 s of compile noise to the first text query)
     spark.range(10000000L).selectExpr("sum(id * 2)").collect()
     exec("q01_clean_project")
+    exec("q33_fingerprint")
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

@@ -219,6 +219,26 @@ object VectorQueries {
           round(col("hits") / col("n_truth"), 6).as("recall"))
     }),
 
+    // The persisted IVF index end-to-end (q26's pattern for ANN): build
+    // the centroid + cell-partitioned tables, then answer the q45 query
+    // THROUGH the store — probes read only their hive cell partitions,
+    // appends commit only touched cells (AnnIndexStoreSpec), ranking is
+    // the TopKPerKey heap. The oracle is the direct IVF SQL, so the
+    // store must return exactly what the index semantics promise.
+    "q83_ann_index_store" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$safe"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Tables.load(s, dir, "embeddings")
+      graft.pipeline.AnnIndexStore.build(s, root,
+        e.select(col("vec_id"), col("embedding")), centroidEvery = 50)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 1)
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -321,6 +341,23 @@ object VectorQueries {
          |        ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM c)
          |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin
     },
+    "q83_ann_index_store" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+         |      FROM cells WHERE vec_id % 50 = 0),
+         |cand AS (SELECT q.query_id, cells.vec_id AS neighbor_id,
+         |           ${cosSql("q.qv", "cells.embedding")} AS cos_sim
+         |         FROM q JOIN cells USING (centroid_id)
+         |         WHERE cells.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
     "q60_ann_ivf_nprobe" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
          |               FROM embeddings WHERE vec_id % 50 = 1),

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental IVF index: build partitions the corpus into centroid
+  * cells, append rewrites only the touched cells, query probes only its
+  * cells and matches a brute-force in-cell ranking. */
+class AnnIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 blocks of 50 ids; block b's vectors point along axis b with small
+  // per-id noise on the next axis — so nearest centroid == own block's
+  // (centroids are ids 1, 51, 101, 151: one per block)
+  private def vec(id: Long): Seq[Float] = {
+    val block = ((id - 1) / 50).toInt
+    val v = Array.fill(4)(0f)
+    v(block) = 1f
+    v((block + 1) % 4) = (id % 7).toFloat * 0.01f
+    v.toSeq
+  }
+  private def corpus(ids: Seq[Long]) =
+    ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+
+  test("build/append/query: cell-partitioned, O(touched-cells) appends, heap-ranked probes") {
+    val root = Files.createTempDirectory("graft-ivf").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+
+    // 4 centroids, every vector in its own block's cell
+    assert(AtomicRewrite.read(spark, p.centroids).count() == 4)
+    val cells = AtomicRewrite.read(spark, p.cells)
+    assert(cells.count() == 200)
+    assert(cells.filter(col("centroid_id") =!=
+        floor((col("vec_id") - 1) / 50) * 50 + 1)
+      .count() == 0, "every vector must land in its block's cell")
+
+    // query a block-2 vector: neighbors are block-2 ids, ranked by cosine
+    val q = Seq((103L, vec(103L))).toDF("query_id", "qv")
+    val got = AnnIndexStore.query(spark, root, q, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val expected = (101L to 150L).filter(_ != 103L)
+      .map(id => id -> vec(id).zip(vec(103L)).map { case (a, b) => a * b }.sum /
+        (math.sqrt(vec(id).map(x => x * x).sum) *
+          math.sqrt(vec(103L).map(x => x * x).sum)))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    assert(got == expected, s"got $got expected $expected")
+
+    // append block-1 vectors: ONLY cell 51 restaged; cell 1 byte-untouched
+    val cell1 = new java.io.File(s"${p.cells}/v=0/centroid_id=1")
+    assert(cell1.exists())
+    val cell1Files = cell1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    // block-1 direction with a noise value no built vector has -> cell 51,
+    // and exactly matchable by a later query
+    val apVec = Seq(0f, 1f, 0.005f, 0f)
+    val appendBatch = Seq((201L, apVec), (202L, apVec))
+      .toDF("vec_id", "embedding")
+    AnnIndexStore.append(spark, root, appendBatch)
+    assert(AtomicRewrite.currentVersion(spark, p.cells).contains(1L))
+    assert(!new java.io.File(s"${p.cells}/v=1/centroid_id=1").exists(),
+      "untouched cell must not be restaged")
+    assert(cell1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == cell1Files)
+    assert(AtomicRewrite.read(spark, p.cells).count() == 202)
+
+    // the appended vectors are immediately findable (exact-match cosine 1)
+    val q2 = Seq((999L, apVec)).toDF("query_id", "qv")
+    val found = AnnIndexStore.query(spark, root, q2, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(found.contains(201L) && found.contains(202L),
+      s"appended vectors must be queryable, got $found")
+
+    // replaying the append replaces rather than duplicates
+    AnnIndexStore.append(spark, root, appendBatch)
+    assert(AtomicRewrite.read(spark, p.cells).count() == 202)
+    spark.catalog.clearCache()
+  }
+
+  test("nprobe=2 reaches a second cell when the query sits between blocks") {
+    val root = Files.createTempDirectory("graft-ivf2").toString + "/index"
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    // between block 0 and block 1, slightly closer to 0
+    val qv = Seq(1.0f, 0.9f, 0f, 0f)
+    val q = Seq((999L, qv)).toDF("query_id", "qv")
+    val one = AnnIndexStore.query(spark, root, q, k = 50, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    val two = AnnIndexStore.query(spark, root, q, k = 200, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(one.forall(_ <= 50), "nprobe=1 stays in the nearest cell")
+    assert(two.exists(_ > 50) && two.exists(_ <= 50),
+      "nprobe=2 must reach the second cell")
+    spark.catalog.clearCache()
+  }
+}
