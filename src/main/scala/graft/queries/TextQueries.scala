@@ -411,6 +411,40 @@ object TextQueries {
         (u < w).as("accepted"))
     }),
 
+    // SimHash near-dup pairs — what the q37 signatures are FOR: the
+    // 32-bit simhash splits into 4 byte bands; by pigeonhole any pair at
+    // hamming distance ≤ 3 shares at least one band, so candidates come
+    // from a band equi-join (bucketed, never all-pairs) and one
+    // bit_count(xor) verifies each candidate — integer ops end to end,
+    // 12 sha-free bytes per doc cross the shuffle. The standard simhash
+    // dedup shape at web-corpus scale.
+    "q84_simhash_hamming" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("t"))
+        .select(col("doc_id"), TextOps.hashWord32(sha2(col("t"), 256)).as("w"))
+      val sums = tok.groupBy("doc_id").agg(
+        sum(TextOps.wordBit(col("w"), 0) * 2 - lit(1)).as("b0"),
+        (1 until 32).map(b =>
+          sum(TextOps.wordBit(col("w"), b) * 2 - lit(1)).as(s"b$b")): _*)
+      val sim = sums.select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim")).persist()
+      val bands = sim.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L))): _*)))
+        .toDF("doc_id", "band_idx", "bv")
+      val pairs = bands.alias("x").join(bands.alias("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .join(sim.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+        .join(sim.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+      materializeAndRelease(pairs, sim)
+    }),
+
     "q37_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -704,5 +738,26 @@ object TextQueries {
          |$sums
          |FROM tok GROUP BY doc_id)
          |SELECT doc_id, concat($bits) AS simhash FROM a""".stripMargin
+    },
+    "q84_simhash_hamming" -> {
+      val sums = (0 until 32).map(b =>
+        s"  sum(${simhashBitSql(b)} * 2 - 1) AS b$b").mkString(",\n")
+      val word = (0 until 32).map(b =>
+        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         |a AS (SELECT doc_id,
+         |$sums
+         |FROM tok GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($word AS BIGINT) AS sim FROM a),
+         |bands AS (SELECT doc_id, sim, b AS band_idx, (sim >> (8*b)) & 255 AS bv
+         |          FROM sim, unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+         |           AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |p AS (SELECT doc_a, doc_b,
+         |        CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
+         |      FROM cand JOIN sim sa ON doc_a = sa.doc_id
+         |                JOIN sim sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
     })
 }
