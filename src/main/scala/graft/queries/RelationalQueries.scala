@@ -446,6 +446,43 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // Fixed-iteration PageRank over the customer–supplier graph (edges =
+    // distinct order lines, symmetrized so no node dangles): 3 unrolled
+    // power-iteration steps, each ONE keyed aggregation over the edge
+    // list — the canonical distributed-graph shape (contributions
+    // partial-combine map-side; only node-count rows cross the shuffle
+    // per step, like q59's k-means). Cross-engine determinism: sums fold
+    // through DECIMAL(38,18) and each iteration's rank is rounded to 12
+    // digits, so the oracle replays every step bit-for-bit.
+    "q85_pagerank" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("s").as("dst"))
+        .union(base.select(col("s").as("src"), col("c").as("dst")))
+        .distinct().persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      val n = deg.count()
+      var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = edges
+          .join(pr.select(col("node").as("src"), col("pr")), "src")
+          .join(deg, "src")
+          .select(col("dst"), (col("pr") / col("outdeg")).as("w"))
+          .groupBy("dst")
+          .agg(round(lit(0.15 / n) +
+            lit(0.85) * sum(col("w").cast(DecimalType(38, 18))).cast("double"),
+            12).as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      val out = pr.select(col("node"), round(col("pr"), 6).as("pagerank")).persist()
+      out.count()
+      edges.unpersist(); deg.unpersist()
+      out
+    }),
+
     // Z-order (Morton) clustering key: bit-interleave two dimensions so
     // range-clustering by ONE key gives parquet files tight min/max
     // envelopes on BOTH — the OPTIMIZE ZORDER analog for compact's
@@ -824,6 +861,24 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q85_pagerank" -> {
+      def iter(prev: String) =
+        s"""SELECT e.dst AS node,
+           | round(0.15 / (SELECT n FROM nn) + 0.85 *
+           |   CAST(sum(CAST(p.pr / d.outdeg AS DECIMAL(38,18))) AS DOUBLE), 12) AS pr
+           |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
+           |GROUP BY 1""".stripMargin
+      s"""WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM base UNION SELECT s, c FROM base),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         |it1 AS (${iter("pr0")}),
+         |it2 AS (${iter("it1")}),
+         |it3 AS (${iter("it2")})
+         |SELECT node, round(pr, 6) AS pagerank FROM it3""".stripMargin
+    },
     "q82_zorder_key" ->
       """SELECT event_id, user_id % 256 AS x, event_id % 256 AS y,
         | CAST(list_sum(list_transform(range(0, 8), b ->
