@@ -446,6 +446,20 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // Table intake profile: null/distinct/min/max per column in ONE
+    // aggregation pass (all per-column aggregates in a single agg row,
+    // partial-combined map-side, unpivoted with stack) — the first query
+    // any warehouse or training-data intake runs against a new table.
+    "q86_profile" -> ((s, dir) =>
+      graft.ops.Profile.describe(T(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))),
+
+    // Equi-width value histogram: 20 buckets over o_totalprice — one
+    // broadcast min/max row + one keyed count, nothing shuffles wider
+    // than the bin count.
+    "q87_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(T(s, dir, "orders"), col("o_totalprice"), 20)),
+
     // Fixed-iteration PageRank over the customer–supplier graph (edges =
     // distinct order lines, symmetrized so no node dangles): 3 unrolled
     // power-iteration steps, each ONE keyed aggregation over the edge
@@ -861,6 +875,25 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q86_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value
+           |FROM customer""".stripMargin
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "q87_histogram" ->
+      """WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |                  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
+        |b AS (SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE) - mn)
+        |        / ((mx - mn) / 20)), 19) AS INT) AS bin, mn, mx
+        |      FROM orders, s)
+        |SELECT bin, round(mn + bin * (mx - mn) / 20, 6) AS bin_lo,
+        | count(*) AS n
+        |FROM b GROUP BY bin, mn, mx""".stripMargin,
     "q85_pagerank" -> {
       def iter(prev: String) =
         s"""SELECT e.dst AS node,
