@@ -446,6 +446,55 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // Winsorization: clip a value column at its exact p01/p99 — the
+    // standard outlier treatment before a value feeds model features or
+    // averages. Two-pass: one percentile aggregate (broadcast 2-value
+    // row), one narrow clip map. Exact interpolated percentiles so the
+    // oracle states the same numbers.
+    "q88_winsorize" -> ((s, dir) => {
+      val pcts = T(s, dir, "events").agg(
+        expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+      T(s, dir, "events").select(col("event_id"), col("value"))
+        .crossJoin(broadcast(pcts))
+        .select(col("event_id"),
+          round(greatest(col("p01"), least(col("p99"), col("value"))), 6)
+            .as("value_w"),
+          (col("value") < col("p01") || col("value") > col("p99"))
+            .as("clipped"))
+    }),
+
+    // Referential-integrity audit: orphan-FK counts for every edge of
+    // the star — the DQ gate a warehouse runs after each load. Each edge
+    // is one anti-join count; dims broadcast, facts stream by.
+    "q89_ri_audit" -> ((s, dir) => {
+      def orphans(name: String, fact: DataFrame, fk: String,
+                  dim: DataFrame, pk: String) =
+        fact.join(broadcast(dim.select(col(pk).as(fk))), Seq(fk), "left_anti")
+          .agg(lit(name).as("fk_edge"), count(lit(1)).as("n_orphans"))
+      orphans("lineitem.l_orderkey->orders", T(s, dir, "lineitem"),
+        "l_orderkey", T(s, dir, "orders"), "o_orderkey")
+        .unionByName(orphans("orders.o_custkey->customer", T(s, dir, "orders"),
+          "o_custkey", T(s, dir, "customer"), "c_custkey"))
+        .unionByName(orphans("customer.c_nationkey->nation", T(s, dir, "customer"),
+          "c_nationkey", T(s, dir, "nation"), "n_nationkey"))
+        .unionByName(orphans("supplier.s_nationkey->nation", T(s, dir, "supplier"),
+          "s_nationkey", T(s, dir, "nation"), "n_nationkey"))
+    }),
+
+    // Time-series gap detection: calendar days between the event stream's
+    // bounds with NO events — spine anti-join (sequence+explode vs the
+    // observed day set). The freshness/completeness monitor for any
+    // ingestion pipeline; both sides reduce before the tiny join.
+    "q90_gap_detect" -> ((s, dir) => {
+      val days = T(s, dir, "events").filter(col("user_id") === 7)
+        .select(to_date(col("ts")).as("day")).groupBy("day").count()
+      val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(days, Seq("day"), "left_anti")
+        .select(col("day").as("missing_day"))
+    }),
+
     // Table intake profile: null/distinct/min/max per column in ONE
     // aggregation pass (all per-column aggregates in a single agg row,
     // partial-combined map-side, unpivoted with stack) — the first query
@@ -875,6 +924,33 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q88_winsorize" ->
+      """WITH p AS (SELECT quantile_cont(value, 0.01) AS p01,
+        |                  quantile_cont(value, 0.99) AS p99 FROM events)
+        |SELECT event_id,
+        | round(greatest(p01, least(p99, value)), 6) AS value_w,
+        | (value < p01 OR value > p99) AS clipped
+        |FROM events, p""".stripMargin,
+    "q89_ri_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge, count(*) AS n_orphans
+        |FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*)
+        |FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', count(*)
+        |FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', count(*)
+        |FROM supplier s ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "q90_gap_detect" ->
+      """WITH days AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |              FROM events WHERE user_id = 7 GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |          FROM b)
+        |SELECT spine.day AS missing_day
+        |FROM spine ANTI JOIN days ON spine.day = days.day""".stripMargin,
     "q86_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
