@@ -56,6 +56,18 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static enrichment: decorate the event stream with a
+    * dimension table (broadcast per micro-batch — the static side is
+    * re-resolved each batch, so a dim refreshed in place is picked up
+    * without restarting the query). Unmatched keys keep the stream row
+    * with NULL dim columns, the J1-style late-dim contract. Stateless:
+    * nothing accumulates, any watermark is the downstream consumer's
+    * concern. */
+  def enrich(events: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String): DataFrame =
+    events.join(broadcast(dim.withColumnRenamed(dimKey, streamKey)),
+      Seq(streamKey), "left")
+
   /** Stream-stream interval join: per user, each event of `leftType` is
     * attributed to following `rightType` events within `withinSeconds` of
     * event time (view→purchase attribution). Both sides are watermarked

@@ -35,6 +35,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich decorates the stream with a broadcast dim; unmatched keys keep NULLs") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val q = enrich(in.toDF(), dim, "user_id", "uid")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:01:00", user = 2),
+        ev(3, "2024-01-01 10:02:00", user = 77)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enr").as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("dedupe drops repeated event ids within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
