@@ -446,6 +446,22 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // Quantile (decile) feature binning — the ML-prep discretizer: nine
+    // exact cut points broadcast as ONE array row, each value binned by
+    // a codegen'd array count. The scale path: cut points instead of an
+    // ntile window (which would sort the entire corpus in one partition
+    // chain); binning itself is a narrow map at scan speed.
+    "q91_decile_binning" -> ((s, dir) => {
+      val cuts = T(s, dir, "events").agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("cuts"))
+      T(s, dir, "events").select(col("event_id"), col("value"))
+        .crossJoin(broadcast(cuts))
+        .select(col("event_id"),
+          (size(filter(col("cuts"), c => c <= col("value"))) + 1)
+            .cast("int").as("decile"))
+    }),
+
     // Winsorization: clip a value column at its exact p01/p99 — the
     // standard outlier treatment before a value feeds model features or
     // averages. Two-pass: one percentile aggregate (broadcast 2-value
@@ -924,6 +940,12 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q91_decile_binning" ->
+      """WITH c AS (SELECT quantile_cont(value,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM events)
+        |SELECT event_id,
+        | CAST(1 + len(list_filter(cuts, x -> x <= value)) AS INT) AS decile
+        |FROM events, c""".stripMargin,
     "q88_winsorize" ->
       """WITH p AS (SELECT quantile_cont(value, 0.01) AS p01,
         |                  quantile_cont(value, 0.99) AS p99 FROM events)
