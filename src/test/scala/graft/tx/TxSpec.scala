@@ -105,6 +105,32 @@ class AtomicRewriteSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) == 49995000L)
   }
 
+  test("OPTIMIZE ZORDER analog: compact clustered by a z-order key bounds both dims per file") {
+    val root = Files.createTempDirectory("graft-arz").toString + "/t"
+    // 32x32 grid scattered across 16 files
+    val grid = spark.range(0, 1024).toDF("id")
+      .withColumn("x", col("id") % 32).withColumn("y", floor(col("id") / 32))
+      .withColumn("zkey", graft.ops.ZOrder.interleave2(col("x"), col("y"), 5))
+      .repartition(16)
+    AtomicRewrite.write(spark, root, grid)
+    // range-cluster into 16 files by the interleaved key
+    val n = AtomicRewrite.compact(spark, root, targetBytes = 3000,
+      clusterBy = Seq("zkey"))
+    assert(n >= 8, s"expected a multi-file clustered layout, got $n")
+    val back = AtomicRewrite.read(spark, root)
+    assert(back.count() == 1024)
+    // the data-skipping property: each FILE's x and y min/max envelopes
+    // are tiles, far tighter than the 0..31 domain a random layout gives
+    val v = AtomicRewrite.currentVersion(spark, root).get
+    val spans = spark.read.parquet(s"$root/v=$v")
+      .select(col("x"), col("y"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.forall { case (_, xs, ys) => xs <= 15 && ys <= 15 },
+      s"z-clustered files must bound BOTH dims: ${spans.mkString(", ")}")
+  }
+
   test("partition commit rewrites only touched partitions; untouched files carried by reference") {
     val root = Files.createTempDirectory("graft-arp").toString + "/t"
     val v0 = Seq((1, 10, "a"), (2, 10, "b"), (3, 20, "c")).toDF("id", "pk", "v")
