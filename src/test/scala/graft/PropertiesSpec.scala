@@ -119,6 +119,38 @@ class PropertiesSpec extends SparkSpec {
     }, n = 4)
   }
 
+  test("TopKPerKey equals the sort-based top-k on random frames") {
+    // few Spark rounds (each is a job), many rows per round; ids unique
+    // by construction so the ordering is total and sets compare cleanly
+    val gRows = Gen.listOfN(300, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 99)))
+    check(Prop.forAll(gRows, Gen.chooseNum(1, 5)) { (gvs, k) =>
+      val rows = gvs.zipWithIndex.map { case ((g, v), i) => (s"g$g", i.toLong, v) }
+      val df = rows.toDF("grp", "id", "v").repartition(5)
+      val got = graft.plans.TopKPerKey
+        .perKey(df, Seq("grp"), Seq(col("v").desc, col("id")), k)
+        .as[(String, Long, Int)].collect().toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k)
+      }.toSet
+      got == want
+    }, n = 8)
+  }
+
+  test("Bloom semi join equals the plain semi join on random key sets") {
+    val gBig = Gen.listOfN(400, Gen.chooseNum(0L, 300L))
+    val gSmall = Gen.listOfN(20, Gen.chooseNum(0L, 600L))
+    check(Prop.forAll(gBig, gSmall) { (big, small) =>
+      val b = big.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v").repartition(4)
+      val s = small.toDF("sk")
+      val got = graft.ops.BloomJoin.semiJoin(b, "k", s, "sk")
+        .as[(Long, Long)].collect().toSet
+      val want = b.join(s.select(col("sk").as("k")), Seq("k"), "left_semi")
+        .as[(Long, Long)].collect().toSet
+      got == want
+    }, n = 8)
+  }
+
   test("FAIL runs (null ts) never clear the stored watermark: coalesce(s,t)") {
     val stepGen = Gen.listOfN(8, Gen.option(Gen.chooseNum(0L, 1000L)))
     check(Prop.forAll(stepGen) { steps =>
