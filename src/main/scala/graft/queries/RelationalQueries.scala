@@ -446,6 +446,24 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // 7-day moving average per event type — the trend smoother on every
+    // ops dashboard: one day-grain pre-aggregation (map-side combined),
+    // then a bounded rows-window over the TINY daily frame. The window
+    // partitions by type (parallel) and never sees raw events — at
+    // 100 TB the frame entering the window is days × types rows.
+    "q92_moving_avg" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(38, 6))).cast("double").as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily.select(col("event_type"), col("day"), col("n"),
+        count(lit(1)).over(w).as("days_in_window"),
+        round(sum(col("n")).over(w) / count(lit(1)).over(w), 6).as("ma7_events"),
+        round(sum(col("v").cast(DecimalType(38, 6))).over(w).cast("double"), 6)
+          .as("sum7_value"))
+    }),
+
     // Quantile (decile) feature binning — the ML-prep discretizer: nine
     // exact cut points broadcast as ONE array row, each value binned by
     // a codegen'd array count. The scale path: cut points instead of an
@@ -940,6 +958,18 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q92_moving_avg" ->
+      """WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        | count(*) OVER w AS days_in_window,
+        | round(CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w, 6) AS ma7_events,
+        | round(CAST(sum(CAST(v AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS sum7_value
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q91_decile_binning" ->
       """WITH c AS (SELECT quantile_cont(value,
         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM events)
