@@ -27,6 +27,7 @@ object SparkSessionFactory {
     // plans the rank-filter idiom through the heap operator (the whole
     // oracle suite runs — and is hash-verified — under this rule)
     graft.plans.TopKPerKey.install(s)
+    graft.plans.AsOfJoinNative.install(s)
     s
   }
 

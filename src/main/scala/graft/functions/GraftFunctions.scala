@@ -51,6 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.register(ext)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
   }
 }
