@@ -53,6 +53,11 @@ object AsOfJoinNative {
           s"cannot resolve '$name' among ${p.output.map(_.name).mkString(", ")}"))
     val (lk, rk) = (leftKeys.map(res(l, _)), rightKeys.map(res(r, _)))
     require(lk.length == rk.length && lk.nonEmpty, "key lists must match and be non-empty")
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key columns must share a type: ${a.dataType} vs ${b.dataType} (cast first) — " +
+          "mismatched types hash/compare differently and would silently never match")
+    }
     val (lt, rt) = (res(l, leftTime), res(r, rightTime))
     require(lt.dataType == rt.dataType,
       s"time columns must share a type: ${lt.dataType} vs ${rt.dataType} (cast first)")
@@ -97,7 +102,11 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val rTimeProj = UnsafeProjection.create(Seq(rte), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lks.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lte.dataType))
-      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind against nullability-adjusted right attrs (like Spark's own
+      // outer joins): unmatched probes feed an all-null row through this
+      // projection, and a non-nullable BoundReference would skip the null
+      // check and emit 0/garbage instead of NULL.
+      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
       val rBuf = rIter.buffered

@@ -364,6 +364,25 @@ object RelationalQueries {
           col("asof_o_totalprice").as("last_order_price"))
     }),
 
+    // Native as-of join (custom plan node): same semantics as q46 but via
+    // the single-pass sorted-merge physical operator — both children
+    // hash-clustered on the key and sorted by (key, time), no union row
+    // blowup, no window. Exercises AsOfJoinExec under the oracle gate.
+    "q93_asof_native" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey").desc)
+      val ordersDedup = T(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      val ev = T(s, dir, "events").select("event_id", "user_id", "ts")
+      graft.plans.AsOfJoinNative.join(ev, ordersDedup,
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftTime = "ts", rightTime = "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_order_key"),
+          col("o_totalprice").as("last_order_price"))
+    }),
+
     // Skew-safe two-phase salted aggregation: identical result to a direct
     // groupBy (the oracle), but the hot key spreads over 32 reducers first.
     "q43_salted_agg" -> ((s, dir) =>
@@ -936,6 +955,16 @@ object RelationalQueries {
         |  AND e.ts >= iv.s_start AND e.ts <= iv.s_end
         |GROUP BY 1, 2""".stripMargin,
     "q46_asof_join" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |              row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                ORDER BY o_orderkey DESC) AS rn FROM orders),
+        |odd AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM od WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, odd.o_orderkey AS last_order_key,
+        |       odd.o_totalprice AS last_order_price
+        |FROM e ASOF LEFT JOIN odd
+        |  ON e.user_id = odd.o_custkey AND e.ts >= odd.o_orderdate""".stripMargin,
+    "q93_asof_native" ->
       """WITH od AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
         |              row_number() OVER (PARTITION BY o_custkey, o_orderdate
         |                ORDER BY o_orderkey DESC) AS rn FROM orders),
