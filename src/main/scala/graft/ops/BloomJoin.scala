@@ -77,6 +77,13 @@ object BloomJoin {
     * `small`'s keys, then the exact semi join. Result = plain semi join. */
   def semiJoin(big: DataFrame, bigKey: String,
                small: DataFrame, smallKey: String): DataFrame = {
+    // xxhash64 is input-type-sensitive (int and bigint hash different
+    // byte widths): a type mismatch between build and probe would set
+    // different bit positions and silently DROP matching rows — a false
+    // negative the exact join after the filter cannot restore. Fail fast.
+    val (bt, st) = (big.schema(bigKey).dataType, small.schema(smallKey).dataType)
+    require(bt == st,
+      s"bloom join keys must share a type: $bigKey is $bt, $smallKey is $st (cast first)")
     val bits = sketch(small, col(smallKey))
     big.filter(mightContain(col(bigKey), bits))
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")

@@ -1045,8 +1045,9 @@ object RelationalQueries {
     "q87_histogram" ->
       """WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
         |                  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
-        |b AS (SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE) - mn)
-        |        / ((mx - mn) / 20)), 19) AS INT) AS bin, mn, mx
+        |b AS (SELECT CAST(CASE WHEN mx = mn THEN 0
+        |        ELSE least(floor((CAST(o_totalprice AS DOUBLE) - mn)
+        |          / ((mx - mn) / 20)), 19) END AS INT) AS bin, mn, mx
         |      FROM orders, s)
         |SELECT bin, round(mn + bin * (mx - mn) / 20, 6) AS bin_lo,
         | count(*) AS n

@@ -32,6 +32,17 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.count() == exact.count())
   }
 
+  test("mismatched key types fail fast instead of silently dropping rows") {
+    // int vs bigint hash different byte widths under xxhash64 — the bloom
+    // would set different bit positions on build vs probe (false negatives).
+    val big = Seq((1L, "a")).toDF("k", "v")   // bigint key
+    val small = Seq(1).toDF("sk")             // int key
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(big, "k", small, "sk")
+    }
+    assert(e.getMessage.contains("must share a type"))
+  }
+
   test("bitmap aggregator merges by OR and splits equal one pass") {
     val agg = BloomJoin.BitsAgg(4)
     val a = agg.reduce(agg.zero, Seq(0L, 64L, 255L))
