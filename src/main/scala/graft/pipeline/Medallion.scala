@@ -234,32 +234,71 @@ object Medallion {
     * silver per key even when the hist job lags several silver batches
     * (a latest-per-key SCD2 fold would silently drop the intermediate
     * versions — the reference's own incremental merge,
-    * hist/dim_driver.py:215-289, has that flaw). The previous
-    * full-history rewrite re-stamped all-time history per batch — a
-    * 100 TB scale-killer; here the affected-key set is one batch's keys,
-    * broadcast into both joins. */
+    * hist/dim_driver.py:215-289, has that flaw).
+    *
+    * The table carries silver's `archive_month` layout (0 = current
+    * rows, else yyyyMM of `valid_to`) and COMMITS AT PARTITION
+    * GRANULARITY: only the hot partition plus the months holding an
+    * affected key's old or new closed rows are rewritten; every other
+    * month of all-time closed history carries across the commit by
+    * manifest reference — zero bytes restaged. The previous full-snapshot
+    * write re-staged all-time history per batch, the last
+    * O(table)-per-batch writer in the gold layer and a 100 TB
+    * scale-killer. Per-batch cost is now O(current + affected keys'
+    * history); the watermark itself reads only the hot partition (every
+    * key's newest version is its current row, so the global
+    * max(raw_loaded_at) lives there). */
   def goldScd2Hist(spark: SparkSession, paths: Paths, entity: String,
                    keys: Seq[String], now: Timestamp): Unit = {
     val target = paths.gold(s"dim_${entity}_hist")
     val silver = AtomicRewrite.read(spark, paths.silver(entity))
-    if (!AtomicRewrite.exists(spark, target)) {
+      .drop("archive_month") // restamped below; hist owns its layout
+    val stamp = (df: DataFrame) => df.withColumn("archive_month",
+      when(col("is_current"), lit(0))
+        .otherwise(date_format(col("valid_to"), "yyyyMM").cast("int")))
+    val exists = AtomicRewrite.exists(spark, target)
+    if (!exists) {
       AtomicRewrite.write(spark, target,
-        silver.withColumn("dwh_loaded_at", lit(now)))
+        stamp(silver.withColumn("dwh_loaded_at", lit(now))),
+        Seq("archive_month"))
       return
     }
+    // one-time migration of a pre-layout hist: re-commit the same rows
+    // hive-partitioned (dwh stamps preserved), then merge incrementally
+    if (!AtomicRewrite.read(spark, target).columns.contains("archive_month"))
+      AtomicRewrite.write(spark, target,
+        stamp(AtomicRewrite.read(spark, target)), Seq("archive_month"))
     val history = AtomicRewrite.read(spark, target)
     // Option-wrap: an empty hist yields a NULL max, and `col > NULL`
     // would silently drop every incremental row forever
-    val wm = Option(history.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val wm = Option(history.filter(col("archive_month") === 0)
+      .agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
     val affected = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(silver)
-      .select(keys.map(col): _*).distinct()
-    if (wm.isDefined && affected.isEmpty) return
-    val next = history.join(broadcast(affected), keys, "left_anti")
-      .unionByName(
-        silver.join(broadcast(affected), keys, "left_semi")
-          .withColumn("dwh_loaded_at", lit(now)))
-    AtomicRewrite.write(spark, target, next)
+      .select(keys.map(col): _*).distinct().persist()
+    if (wm.isDefined && affected.isEmpty) { affected.unpersist(); return }
+    val replacement = stamp(
+      silver.join(broadcast(affected), keys, "left_semi")
+        .withColumn("dwh_loaded_at", lit(now)))
+    // months to rewrite: where the replacement rows land ∪ where the
+    // affected keys' OLD rows live (a previously-current row archives out
+    // of the hot partition; with silver retention a key's month can even
+    // vanish — the vacated dir must be rewritten without it). The set is
+    // one batch's months — tiny — so it collects into a literal frame,
+    // severing the target-derived lineage before the semi-join back.
+    val monthRows = replacement.select(col("archive_month"))
+      .unionByName(history.join(broadcast(affected), keys, "left_semi")
+        .select(col("archive_month")))
+      .distinct().collect()
+    val months = spark.createDataFrame(
+      java.util.Arrays.asList(monthRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(history.schema("archive_month"))))
+    val slice = history.join(broadcast(months), Seq("archive_month"), "left_semi")
+      .join(broadcast(affected), keys, "left_anti")
+      .unionByName(replacement)
+    AtomicRewrite.writePartitions(spark, target, slice, Seq("archive_month"),
+      replaced = Some(months))
+    affected.unpersist()
   }
 
   /** SCD3 dim: current + prev_* columns from rank-1/rank-2 versions

@@ -123,6 +123,57 @@ class PartitionedFactSpec extends SparkSpec {
       Set(1L -> 11.0, 2L -> 21.0))
   }
 
+  test("hist dim archives closed months by reference; old months never restaged") {
+    val root = Files.createTempDirectory("graft-phist").toString
+    val paths = Medallion.Paths(root)
+    val histRoot = paths.gold("dim_e_hist")
+    def silverRows(rows: (Long, String, String, Option[String], Boolean)*) =
+      rows.toSeq.toDF("id", "v", "valid_from", "valid_to", "is_current")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("valid_to", to_timestamp(col("valid_to")))
+        .withColumn("scd_hash", sha2(col("v"), 256))
+
+    // batch 1: key 1 closed a version in Feb, key 2 in Mar
+    AtomicRewrite.write(spark, paths.silver("e"), silverRows(
+      (1L, "a1", "2024-01-01 00:00:00", Some("2024-02-10 00:00:00"), false),
+      (1L, "a2", "2024-02-10 00:00:00", None, true),
+      (2L, "b1", "2024-01-01 00:00:00", Some("2024-03-10 00:00:00"), false),
+      (2L, "b2", "2024-03-10 00:00:00", None, true)))
+    Medallion.goldScd2Hist(spark, paths, "e", Seq("id"), ts("2024-03-11 10:00:00"))
+    val feb = new java.io.File(s"$histRoot/v=0/archive_month=202402")
+    assert(feb.exists(), "closed rows must land in their valid_to month")
+    val febFiles = feb.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // batch 2: only key 2 changes (b2 closes into April) — key 1's Feb
+    // month must ride the manifest, not be restaged
+    AtomicRewrite.write(spark, paths.silver("e"), silverRows(
+      (1L, "a1", "2024-01-01 00:00:00", Some("2024-02-10 00:00:00"), false),
+      (1L, "a2", "2024-02-10 00:00:00", None, true),
+      (2L, "b1", "2024-01-01 00:00:00", Some("2024-03-10 00:00:00"), false),
+      (2L, "b2", "2024-03-10 00:00:00", Some("2024-04-05 00:00:00"), false),
+      (2L, "b3", "2024-04-05 00:00:00", None, true)))
+    Medallion.goldScd2Hist(spark, paths, "e", Seq("id"), ts("2024-04-06 10:00:00"))
+    assert(AtomicRewrite.currentVersion(spark, histRoot).contains(1L))
+    assert(!new java.io.File(s"$histRoot/v=1/archive_month=202402").exists(),
+      "untouched hist month was restaged")
+    assert(feb.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == febFiles,
+      "untouched hist month files were rewritten")
+    val hist = AtomicRewrite.read(spark, histRoot)
+    assert(hist.count() == 5)
+    assert(hist.filter(col("id") === 2L).count() == 3)
+    // untouched key 1 keeps its batch-1 dwh stamp; key 2 is re-stamped
+    val stamps = hist.select("v", "dwh_loaded_at").as[(String, Timestamp)]
+      .collect().toMap
+    assert(stamps("a1") == ts("2024-03-11 10:00:00"))
+    assert(stamps("b3") == ts("2024-04-06 10:00:00"))
+    // current rows live in (and only in) the hot partition
+    assert(hist.filter(col("archive_month") === 0)
+      .select("v").as[String].collect().toSet == Set("a2", "b3"))
+  }
+
   test("partitioned incremental aggregate rebuilds only touched months") {
     val root = Files.createTempDirectory("graft-pagg").toString
     val paths = Medallion.Paths(root)
