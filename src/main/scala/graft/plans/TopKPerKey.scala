@@ -49,7 +49,22 @@ object TopKPerKey {
   /** Top `k` rows per `keys` group in `orderBy` order (e.g.
     * `Seq(col("price").desc, col("id"))`). Output columns = input
     * columns, at most k rows per key. */
-  def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column], k: Int): DataFrame =
+    build(df, keys, orderBy, k, rank = None)
+
+  /** [[perKey]] plus a materialized 1-based rank ordinal column — the
+    * `row_number()` twin for callers whose OUTPUT carries the rank (e.g.
+    * stratified sampling emitting `sample_rank`). Same bounded-heap
+    * two-phase plan; the ordinal is stamped on the final pass's sorted
+    * flush, so no window and no per-group full sort ever runs. */
+  def perKeyWithRank(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                     k: Int, rankCol: String): DataFrame =
+    build(df, keys, orderBy, k,
+      rank = Some(AttributeReference(rankCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false)()))
+
+  private def build(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                    k: Int, rank: Option[Attribute]): DataFrame = {
     val spark = df.sparkSession
     install(spark)
     val child = GraftShim.analyzed(df)
@@ -66,28 +81,38 @@ object TopKPerKey {
         case e => SortOrder(e, Ascending)
       }
     }
-    GraftShim.ofRows(spark, TopKPerKeyNode(keyExprs, orders, k, child))
+    GraftShim.ofRows(spark, TopKPerKeyNode(keyExprs, orders, k, child, rank))
   }
 }
 
 /** Logical node: top `k` rows per `keys` group in `order` order.
-  * Output = child output (no rank column is materialized). */
+  * Output = child output, plus a 1-based IntegerType rank ordinal when
+  * `rank` is set (the `row_number` twin — kept as an Attribute so a
+  * rewrite from an existing window can preserve its exprId and
+  * downstream references resolve unchanged). */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, child: LogicalPlan) extends UnaryNode {
+                          k: Int, child: LogicalPlan,
+                          rank: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rank
+  override def producedAttributes: AttributeSet = AttributeSet(rank.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
 /** Physical operator. `partial = true` is the pre-shuffle combine pass
   * (no distribution requirement, capped hash map, pass-through overflow);
-  * `partial = false` requires co-location by key and is exact. */
+  * `partial = false` requires co-location by key and is exact — and is
+  * the only phase allowed to carry `rank` (a partial's ranks would be
+  * per-map-partition ordinals, not group ordinals). */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, partial: Boolean, child: SparkPlan)
+                          k: Int, partial: Boolean, child: SparkPlan,
+                          rank: Option[Attribute] = None)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  require(rank.isEmpty || !partial, "partial phase cannot emit ranks")
+  override def output: Seq[Attribute] = child.output ++ rank
+  override def producedAttributes: AttributeSet = AttributeSet(rank.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -98,6 +123,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val (ks, os, kk) = (keys, order, k)
     val cap = if (partial) TopKPerKey.PartialMaxKeys else Int.MaxValue
     val attrs = child.output
+    val rk = rank
+    val out = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ks, attrs)
       val ord = RowOrdering.create(os, attrs)
@@ -121,10 +148,23 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       }
       def flush: Iterator[InternalRow] = {
         import scala.jdk.CollectionConverters._
+        // rank stamping: the flush of one heap is already the group in
+        // final order — append 1..size positionally, no extra sort
+        val stamp: (Array[InternalRow] => Iterator[InternalRow]) = rk match {
+          case None => _.iterator
+          case Some(a) =>
+            val proj = UnsafeProjection.create(out, attrs :+ a)
+            val joined = new JoinedRow
+            val rnRow = new GenericInternalRow(1)
+            arr => arr.iterator.zipWithIndex.map { case (r, i) =>
+              rnRow.setInt(0, i + 1)
+              proj(joined(r, rnRow))
+            }
+        }
         heaps.values.iterator.asScala.flatMap { h =>
           val arr = h.toArray(new Array[InternalRow](h.size))
           java.util.Arrays.sort(arr, ord)
-          arr.iterator
+          stamp(arr)
         }
       }
       passThrough ++ flush // ++ is by-name: flush runs after input is drained
@@ -137,12 +177,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
 /** Planner strategy: two-phase plan (partial combine below the exchange
   * the final phase's distribution requirement inserts — the hash-agg
-  * shape applied to top-k). */
+  * shape applied to top-k). Only the final phase stamps ranks. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, rank) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child)),
+        rank) :: Nil
     case _ => Nil
   }
 }
@@ -153,10 +194,11 @@ object TopKStrategy extends SparkStrategy {
   *       .filter(col("rn") <= k).drop("rn") }}}
   *
   * into [[TopKPerKeyNode]] — the analyzed shape is
-  * `Project(cols, Filter(rn <= k, Window(row_number, keys, o)))` where the
-  * project drops the rank column. Fires only when the project references
-  * nothing but the window child's columns (the rank must not escape) and
-  * the window computes exactly one row_number. Spark's own
+  * `Project(cols, Filter(rn <= k, Window(row_number, keys, o)))`. Fires
+  * when the window computes exactly one row_number; if the project
+  * carries the rank into the output (the ANN `rank` / sampling
+  * `sample_rank` idiom), the node materializes it under the SAME exprId
+  * so downstream references resolve unchanged. Spark's own
   * InferWindowGroupLimit may already have slid a WindowGroupLimit under
   * the Window (it prunes rows but still sorts + runs the window); the
   * rewrite strips it and replaces the whole stack with the heap operator.
@@ -164,7 +206,7 @@ object TopKStrategy extends SparkStrategy {
 object RankLimitToTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
-        Filter(cond, w @ Window(Seq(Alias(WindowExpression(_: RowNumber,
+        Filter(cond, w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(partSpec, orderSpec, _)), _)), _, _, wchild, _))) =>
       val rnAttr = w.windowOutputSet
       val limit = cond match {
@@ -181,6 +223,11 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
         case Some(n) if n > 0 && orderSpec.nonEmpty &&
             projectList.forall(_.references.subsetOf(inner.outputSet)) =>
           Project(projectList, TopKPerKeyNode(partSpec, orderSpec, n, inner))
+        case Some(n) if n > 0 && orderSpec.nonEmpty &&
+            projectList.forall(_.references.subsetOf(
+              inner.outputSet ++ AttributeSet(alias.toAttribute :: Nil))) =>
+          Project(projectList,
+            TopKPerKeyNode(partSpec, orderSpec, n, inner, Some(alias.toAttribute)))
         case _ => p
       }
   }

@@ -174,15 +174,18 @@ object VectorQueries {
 
     // Stratified deterministic downsample: 20 docs per label in salted-
     // hash order — reproducible class-balanced sampling with no RNG.
-    // One window per label partition; at 100 TB the label cardinality
-    // bounds partition count and the sample bound caps output.
+    // Runs through the TopKPerKey heap operator (rank-emitting variant),
+    // NOT a row_number window: a window sorts every label's FULL row set
+    // to keep 20, and a hot label serializes through one partition; the
+    // heap keeps 20 rows per label with a map-side partial combine, so
+    // the shuffle carries ≤ labels×20 rows per map partition regardless
+    // of corpus size.
     "q61_stratified_sample" -> ((s, dir) =>
-      Tables.load(s, dir, "embeddings")
-        .withColumn("sample_rank", row_number().over(
-          Window.partitionBy("label")
-            .orderBy(sha2(concat_ws("|", lit("sample"),
-              col("vec_id").cast("string")), 256), col("vec_id"))))
-        .filter(col("sample_rank") <= 20)
+      graft.plans.TopKPerKey.perKeyWithRank(
+        Tables.load(s, dir, "embeddings")
+          .withColumn("__h", sha2(concat_ws("|", lit("sample"),
+            col("vec_id").cast("string")), 256)),
+        Seq("label"), Seq(col("__h"), col("vec_id")), 20, "sample_rank")
         .select(col("label"), col("vec_id"), col("sample_rank"))),
 
     // Quantized ANN: int8 vectors (8x smaller), ranking by exact integer

@@ -50,17 +50,38 @@ class TopKSpec extends SparkSpec {
     assert(viaHeap == expected)
   }
 
-  test("rule does NOT fire when the rank column escapes the projection") {
+  test("rule rewrites rank-ESCAPING projections too, materializing the ordinal") {
     TopKPerKey.install(spark)
     val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
     val keepRn = sample.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("grp"), col("rn")) // rank survives -> must stay a window
+      .select(col("grp"), col("id"), col("rn")) // rank survives in the output
     keepRn.collect()
     val plan = keepRn.queryExecution.executedPlan.toString
-    assert(!plan.contains("TopKPerKey ["), plan)
-    assert(keepRn.groupBy("grp").agg(max("rn")).collect()
-      .forall(_.getInt(1) == 3))
+    assert(plan.contains("TopKPerKey ["), plan)
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window ["), plan)
+    // the heap-stamped ordinals must equal row_number's
+    val got = keepRn.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = sample.collect()
+      .groupBy(_.getString(0)).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+          .zipWithIndex.map { case (r, i) => (g, r.getLong(1), i + 1) }.toSeq
+      }.toSet
+    assert(got == expected)
+  }
+
+  test("perKeyWithRank equals row_number on a total order; plan has no window") {
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val viaWindow = sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("grp", "id", "rn")
+    val got = TopKPerKey.perKeyWithRank(sample, Seq("grp"),
+      Seq(col("score").desc, col("id")), 3, "rn")
+      .select("grp", "id", "rn")
+    assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window ["), plan)
   }
 
   test("partial-phase cap passes overflow keys through; result still exact") {
