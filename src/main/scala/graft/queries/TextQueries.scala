@@ -42,6 +42,34 @@ object TextQueries {
 
   private def toks: Column = TextOps.tokens(col("text"))
 
+  /** Docs per pack group — the knob that sets cumsum window parallelism. */
+  val PackGroupSize = 64
+
+  /** Training-sequence packing over (`doc_id`, `n_tokens`): a running
+    * token total within salted pack groups bins docs into 2048-token
+    * sequences. The group count SCALES with input size (one group per
+    * ~[[PackGroupSize]] docs, floor 8) — a fixed salt would serialize a
+    * 100 TB corpus through a constant number of window chains no matter
+    * how many executors exist; size-derived groups keep each window
+    * partition ~constant-sized as the corpus grows. The count comes from
+    * one scalar aggregate broadcast into the scan (no action, no
+    * collect). */
+  def sequencePack(d: DataFrame): DataFrame = {
+    val groups = d.agg(greatest(lit(8L),
+      ceil(count(lit(1)) / lit(PackGroupSize.toDouble)).cast("long")).as("__g"))
+    d.crossJoin(broadcast(groups))
+      .withColumn("pack_group",
+        (conv(substring(sha2(concat_ws("|", lit("pack"),
+          col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+          .cast("long") % col("__g")).cast("int"))
+      .drop("__g")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy("pack_group").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(2048)).cast("long"))
+  }
+
   private val S = 12     // minhash signature rows
   private val Bands = 6  // 2 rows per band
 
@@ -123,30 +151,33 @@ object TextQueries {
     }),
 
     "q36_minhash_lsh" -> ((s, dir) => {
-      // one sha per shingle; the 12 signature rows are cheap integer
+      // one sha per shingle; the 12 signature slots are cheap integer
       // extractions from the stored digests (one-permutation MinHash)
       val sg = docs(s, dir).select(col("doc_id"),
         TextOps.hashedShingles(array_distinct(TextOps.shingles(toks, 3))).as("hs"))
-      // persisted: the signature projection feeds three branches
-      // (banding + both sides of the estimate join)
-      val sig = sg.select(col("doc_id") +:
-        (0 until S).map(i => TextOps.minhashFromHashes(col("hs"), i).as(s"m$i")): _*)
+      // the signature travels as ONE array column so the band join can
+      // carry both sides' digests and compute est_jaccard IN PLACE —
+      // no sig×sig re-join after candidate generation (that added two
+      // keyed shuffles of the whole signature table per run)
+      val sig = sg.select(col("doc_id"),
+        array((0 until S).map(i =>
+          TextOps.minhashFromHashes(col("hs"), i)): _*).as("sig"))
         .persist()
-      val banded = sig.select(col("doc_id"),
+      val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map(b =>
-          TextOps.band(Seq(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)))
-        .toDF("doc_id", "band_idx", "bh")
-      val cand = banded.alias("a").join(banded.alias("b"),
+          TextOps.band(Seq(col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
+        .toDF("doc_id", "sig", "band_idx", "bh")
+      // a pair matching several bands gets the same estimate each time —
+      // distinct collapses the duplicates after the (narrow) zip_with
+      val est = banded.alias("a").join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(aggregate(
+            zip_with(col("a.sig"), col("b.sig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), _ + _) / lit(S.toDouble), 6).as("est_jaccard"))
         .distinct()
-      val est = cand.join(sig.alias("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sig.alias("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          round((0 until S).map(i =>
-            when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
-            .reduce(_ + _) / lit(S.toDouble), 6).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
       materializeAndRelease(est, sig)
     }),
@@ -347,17 +378,8 @@ object TextQueries {
     // serialize a 100 TB corpus through one partition; per-group packing
     // is the standard distributed compromise (each group packs
     // independently, groups fill executors in parallel).
-    "q66_sequence_pack" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
-        .withColumn("pack_group",
-          (conv(substring(sha2(concat_ws("|", lit("pack"),
-            col("doc_id").cast("string")), 256), 1, 4), 16, 10)
-            .cast("long") % 8).cast("int"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(
-          Window.partitionBy("pack_group").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("seq_id",
-          floor((col("cum_tokens") - col("n_tokens")) / lit(2048)).cast("long"))),
+    "q66_sequence_pack" -> ((s, dir) => sequencePack(
+      docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("n_tokens")))),
 
     // RAG/pretraining chunking: overlapping 32-token windows at stride 24
     // per doc, each chunk content-addressed by a sha256 over its joined
@@ -646,9 +668,11 @@ object TextQueries {
          | sha256(array_to_string(toks[st:st+31], ' ')) AS chunk_hash
          |FROM c""".stripMargin,
     "q66_sequence_pack" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
-         |  CAST(('0x' || substr(sha256('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
-         |    AS INT) AS pack_group
+      s"""WITH g AS (SELECT greatest(8, CAST(ceil(count(*) / ${PackGroupSize}.0) AS BIGINT)) AS n
+         |           FROM documents),
+         |t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |  CAST(('0x' || substr(sha256('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % (SELECT n FROM g) AS INT) AS pack_group
          |FROM documents),
          |w AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
          |        ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
