@@ -52,21 +52,52 @@ object AnnIndexStore {
       .select(col("vec_id"), col("__best.embedding").as("embedding"),
         col("__best.centroid_id").as("centroid_id"))
 
-  /** Build the index from a corpus (`vec_id`, `embedding`): every
-    * `centroidEvery`-th vector (offset 1) seeds a centroid, every vector
-    * lands in its nearest centroid's hive partition. */
+  /** Build the index with an EXPLICIT centroid set (`centroid_id`,
+    * `cv`) — the production path: K is fixed by the caller (a
+    * [[sampleCentroids]] draw or a k-means-trained set, q59's shape),
+    * INDEPENDENT of corpus size. A corpus-derived centroid count (the
+    * `centroidEvery` overload) grows with the data — at 100 TB the
+    * broadcast becomes a fixed fraction of the corpus and the
+    * assignment cross product multiplies rows by an unbounded K;
+    * fixed K keeps the broadcast constant and assignment linear. */
   def build(spark: SparkSession, root: String, corpus: DataFrame,
-            centroidEvery: Int = 50): Unit = {
+            centroids: DataFrame): Unit = {
     val p = Paths(root)
-    val cents = corpus
-      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 1)
-      .select(col("vec_id").cast("int").as("centroid_id"),
-        col("embedding").as("cv"))
-    AtomicRewrite.write(spark, p.centroids, cents)
+    AtomicRewrite.write(spark, p.centroids, centroids
+      .select(col("centroid_id").cast("int"), col("cv")))
     val cells = assign(corpus, AtomicRewrite.read(spark, p.centroids))
     AtomicRewrite.write(spark, p.cells, cells,
       partitionBy = Seq("centroid_id"))
   }
+
+  /** Deterministic fixed-K centroid draw: the `k` corpus vectors with
+    * the lowest salted hash of `vec_id`, re-numbered 1..k. A k-bounded
+    * TakeOrdered heap over one scan — no window, no RNG state; the same
+    * corpus always yields the same centroids. */
+  def sampleCentroids(corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"centroid count must be positive, got $k")
+    corpus.select(col("vec_id"), col("embedding").as("cv"),
+        sha2(concat_ws("|", lit("centroid"), col("vec_id").cast("string")), 256)
+          .as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      // k rows total by now — the renumbering window is over a constant set
+      .withColumn("centroid_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h"), col("vec_id"))))
+      .select(col("centroid_id"), col("cv"))
+  }
+
+  /** Build the index from a corpus (`vec_id`, `embedding`): every
+    * `centroidEvery`-th vector (offset 1) seeds a centroid, every vector
+    * lands in its nearest centroid's hive partition. Kept for the oracle
+    * queries, which pin this centroid shape (q38/q45/q59/q60/q83); K
+    * grows with the corpus, so production indexes should pass an
+    * explicit fixed-K centroid set instead. */
+  def build(spark: SparkSession, root: String, corpus: DataFrame,
+            centroidEvery: Int): Unit =
+    build(spark, root, corpus, corpus
+      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
 
   /** Append a batch: assign against the EXISTING centroids, rewrite only
     * the touched cells (carried-by-reference manifest commit). A replay

@@ -16,7 +16,7 @@ class AnnIndexStoreSpec extends SparkSpec {
   // per-id noise on the next axis — so nearest centroid == own block's
   // (centroids are ids 1, 51, 101, 151: one per block)
   private def vec(id: Long): Seq[Float] = {
-    val block = ((id - 1) / 50).toInt
+    val block = (((id - 1) / 50) % 4).toInt
     val v = Array.fill(4)(0f)
     v(block) = 1f
     v((block + 1) % 4) = (id % 7).toFloat * 0.01f
@@ -78,6 +78,58 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.append(spark, root, appendBatch)
     assert(AtomicRewrite.read(spark, p.cells).count() == 202)
     spark.catalog.clearCache()
+  }
+
+  test("fixed-K centroid build: K stays constant as the corpus doubles") {
+    // explicit 16 centroids (unit axes). With centroidEvery the centroid
+    // count doubles when the corpus doubles; the fixed-K path must not.
+    def axis(b: Int): Seq[Float] = {
+      val v = Array.fill(16)(0f); v(b) = 1f; v.toSeq
+    }
+    val cents = (0 until 16).map(b => (b + 1, axis(b)))
+      .toDF("centroid_id", "cv")
+    def vec16(id: Long): Seq[Float] = {
+      val b = (((id - 1) / 25) % 16).toInt
+      val v = Array.fill(16)(0f)
+      v(b) = 1f
+      v((b + 1) % 16) = (id % 7).toFloat * 0.01f
+      v.toSeq
+    }
+    def corpus16(ids: Seq[Long]) =
+      ids.map(id => (id, vec16(id))).toDF("vec_id", "embedding")
+
+    val r1 = Files.createTempDirectory("graft-ivf-k1").toString + "/index"
+    AnnIndexStore.build(spark, r1, corpus16(1L to 200L), cents)
+    val r2 = Files.createTempDirectory("graft-ivf-k2").toString + "/index"
+    AnnIndexStore.build(spark, r2, corpus16(1L to 400L), cents)
+    Seq((r1, 200L), (r2, 400L)).foreach { case (r, n) =>
+      val p = AnnIndexStore.Paths(r)
+      assert(AtomicRewrite.read(spark, p.centroids).count() == 16,
+        "centroid count must be the caller's K, not corpus-derived")
+      val cells = AtomicRewrite.read(spark, p.cells)
+      assert(cells.count() == n)
+      assert(cells.filter(col("centroid_id") =!=
+          (floor((col("vec_id") - 1) / 25) % 16 + 1)).count() == 0,
+        "every vector must land in its block's cell")
+    }
+    // queries go through the fixed-K index unchanged
+    val q = Seq((999L, vec16(30L))).toDF("query_id", "qv")
+    val got = AnnIndexStore.query(spark, r2, q, k = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length == 1 && vec16(got.head) == vec16(30L))
+    spark.catalog.clearCache()
+  }
+
+  test("sampleCentroids: deterministic fixed-K draw renumbered 1..k") {
+    val c = corpus(1L to 200L)
+    val a = AnnIndexStore.sampleCentroids(c, 16).collect()
+    val b = AnnIndexStore.sampleCentroids(c, 16).collect()
+    assert(a.length == 16)
+    assert(a.map(_.getInt(0)).sorted.toSeq == (1 to 16))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "same corpus must yield the same centroid draw")
+    // doubling the corpus still yields exactly k centroids
+    assert(AnnIndexStore.sampleCentroids(corpus(1L to 400L), 16).count() == 16)
   }
 
   test("nprobe=2 reaches a second cell when the query sits between blocks") {
