@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [nameRegex]")
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: regex over query names, for local dev loops.
     val keep: String => Boolean =

@@ -34,15 +34,20 @@ object Profile {
   }
 
   /** Equi-width histogram of a numeric column: `bins` buckets between
-    * the column's min and max (the max lands in the last bucket). A
-    * constant column (mn == mx) degenerates to one bucket at bin 0 —
-    * guarded explicitly, since 0/0 would otherwise NaN-floor every row
-    * into bin 0 here but NULL→last-bin in an unguarded SQL twin. */
+    * the column's min and max (the max lands in the last bucket). NULL
+    * values are excluded — without the filter a NULL offset would ride
+    * `least()`'s null-skipping into the LAST bucket, silently inflating
+    * it (min/max already ignore nulls, so they never widen the range
+    * either). A constant column (mn == mx) degenerates to one bucket at
+    * bin 0 — guarded explicitly, since 0/0 would otherwise NaN-floor
+    * every row into bin 0 here but NULL→last-bin in an unguarded SQL
+    * twin. */
   def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
     require(bins > 0)
     val stats = df.agg(min(value).cast("double").as("mn"),
       max(value).cast("double").as("mx"))
-    df.select(value.cast("double").as("v")).crossJoin(broadcast(stats))
+    df.select(value.cast("double").as("v")).where(col("v").isNotNull)
+      .crossJoin(broadcast(stats))
       .select(when(col("mx") === col("mn"), lit(0))
         .otherwise(least(floor((col("v") - col("mn")) /
           ((col("mx") - col("mn")) / bins)), lit(bins - 1))).cast("int").as("bin"),

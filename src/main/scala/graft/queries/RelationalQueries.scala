@@ -1048,7 +1048,7 @@ object RelationalQueries {
         |b AS (SELECT CAST(CASE WHEN mx = mn THEN 0
         |        ELSE least(floor((CAST(o_totalprice AS DOUBLE) - mn)
         |          / ((mx - mn) / 20)), 19) END AS INT) AS bin, mn, mx
-        |      FROM orders, s)
+        |      FROM orders, s WHERE o_totalprice IS NOT NULL)
         |SELECT bin, round(mn + bin * (mx - mn) / 20, 6) AS bin_lo,
         | count(*) AS n
         |FROM b GROUP BY bin, mn, mx""".stripMargin,

@@ -25,6 +25,17 @@ class ProfileSpec extends SparkSpec {
     assert(out(9) == 10L) // 90..99, with max 99 in the last bucket
   }
 
+  test("histogram: NULL values are excluded, never counted in the last bucket") {
+    // unfiltered, a null offset rides least()'s null-skipping into the
+    // last bucket: least(NULL, bins-1) = bins-1
+    val df = ((0 until 100).map(i => Some(i.toDouble)) ++ Seq.fill(5)(None))
+      .toDF("v")
+    val out = Profile.histogram(df, col("v"), 10)
+      .select("bin", "n").as[(Int, Long)].collect().toMap
+    assert(out.values.sum == 100L, "nulls must not be bucketed")
+    assert(out(9) == 10L)
+  }
+
   test("histogram: constant column degenerates to one bucket at bin 0") {
     // mn == mx would make the width 0/0 = NaN without the guard: NaN
     // floors to 0 in Spark but NULL->least->last bin in a SQL twin.
