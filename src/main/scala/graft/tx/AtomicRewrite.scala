@@ -443,11 +443,34 @@ object AtomicRewrite {
         }.sum
     }
 
+  /** Minimum safe time-based retention (Delta's retentionDurationCheck
+    * default, retention/bronze_retention_cleanup.py:43-46): vacuuming
+    * below it risks deleting a snapshot a long-running reader resolved
+    * from the pointer before the burst of commits that aged it out. */
+  val MinRetainHours = 168.0
+
   /** Delete snapshot dirs older than the newest `keep` versions (≙ VACUUM)
     * — except dirs still referenced by a retained version's partition
-    * manifest, whose files are live by reference. */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
+    * manifest, whose files are live by reference, and (when `retainHours`
+    * is set) dirs COMMITTED within the last `retainHours`: a burst of
+    * commits can blow through any version COUNT in minutes, destroying a
+    * snapshot a slow reader still holds — the time floor is what actually
+    * protects readers (the reference delegates this to Delta's
+    * `vacuum(RETAIN_HOURS)`). `retainHours` below [[MinRetainHours]] is
+    * refused unless `allowUnsafeRetention` (the reference's
+    * retentionDurationCheck override, DEV only). The parameterless floor
+    * (None) keeps pure count-based semantics — the per-commit
+    * housekeeping default; production retention jobs pass hours. */
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+             retainHours: Option[Double] = None,
+             allowUnsafeRetention: Boolean = false): Unit = {
+    retainHours.foreach(h => require(h >= MinRetainHours || allowUnsafeRetention,
+      s"retainHours=$h is below the $MinRetainHours-hour safety floor; " +
+        "pass allowUnsafeRetention=true only if no reader can hold old snapshots"))
     val f = fs(spark, new Path(root))
+    val floor: Long = retainHours
+      .map(h => System.currentTimeMillis() - (h * 3600 * 1000).toLong)
+      .getOrElse(Long.MaxValue)
     currentVersion(spark, root).foreach { latest =>
       val cutoff = latest - math.max(keep - 1, 0)
       val versions = f.listStatus(new Path(root)).toSeq
@@ -456,9 +479,19 @@ object AtomicRewrite {
       val referenced = versions.filter(_ >= cutoff)
         .flatMap(v => manifest(f, root, v).map(_.values.toSeq).getOrElse(Nil))
         .toSet
-      versions.filter(v => v < cutoff && !referenced.contains(v)).foreach { v =>
+      versions.filter(v => v < cutoff && !referenced.contains(v) &&
+          commitTime(f, root, v) < floor).foreach { v =>
         f.delete(new Path(root, s"v=$v"), true)
       }
     }
   }
+
+  /** When a version was committed: the `_COMMITTED` marker's mtime (it is
+    * written at the commit point), falling back to `_SUCCESS` then the
+    * dir itself for pre-marker snapshots. */
+  private def commitTime(f: FileSystem, root: String, v: Long): Long =
+    Seq(s"v=$v/$CommittedMarker", s"v=$v/_SUCCESS", s"v=$v")
+      .map(new Path(root, _)).collectFirst {
+        case p if f.exists(p) => f.getFileStatus(p).getModificationTime
+      }.getOrElse(0L)
 }

@@ -63,6 +63,29 @@ class AtomicRewriteSpec extends SparkSpec {
     assert(dirs.toSet == Set("v=1"))
   }
 
+  test("time-based vacuum floor: a commit burst inside the window keeps every version") {
+    val root2 = Files.createTempDirectory("graft-ar-retain").toString + "/t"
+    for (i <- 1 to 5)
+      AtomicRewrite.write(spark, root2, Seq(i).toDF("x"), keepVersions = 10)
+    def dirs(r: String) = new java.io.File(r).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs(root2) == (0 to 4).map(v => s"v=$v").toSet)
+    // all five commits are seconds old — far inside the retention window:
+    // keep=1 would drop v=0..3 by count, but the time floor protects them
+    AtomicRewrite.vacuum(spark, root2, keep = 1,
+      retainHours = Some(AtomicRewrite.MinRetainHours))
+    assert(dirs(root2) == (0 to 4).map(v => s"v=$v").toSet,
+      "versions committed inside the retention window must survive")
+    // below-floor retention is refused without the unsafe override...
+    intercept[IllegalArgumentException] {
+      AtomicRewrite.vacuum(spark, root2, keep = 1, retainHours = Some(0.0))
+    }
+    // ...and with it, behaves like the count policy again
+    AtomicRewrite.vacuum(spark, root2, keep = 1, retainHours = Some(0.0),
+      allowUnsafeRetention = true)
+    assert(dirs(root2) == Set("v=4"))
+  }
+
   test("reader resolves the committed pointer, not in-flight writes") {
     val root = Files.createTempDirectory("graft-ar2").toString + "/t"
     AtomicRewrite.write(spark, root, Seq("committed").toDF("x"))
