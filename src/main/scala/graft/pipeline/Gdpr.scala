@@ -53,9 +53,32 @@ object Gdpr {
     applied.foreach { p =>
       val root = tableRoot(p.table)
       val t = AtomicRewrite.read(spark, root)
-      val next = Upsert.updateOnly(t, ids.select(col("subject_id").as(p.keyCol)),
-        Seq(p.keyCol), p.setCols, p.extraCond)
-      AtomicRewrite.write(spark, root, next)
+      val subjects = ids.select(col("subject_id").as(p.keyCol))
+      AtomicRewrite.partitionColsOf(spark, root) match {
+        // partition-committed table (hist dims, facts): erasure rewrites
+        // ONLY the partitions holding a subject's rows — the erasure twin
+        // of the incremental merges; every other partition of all-time
+        // history rides the manifest untouched. Redaction never moves a
+        // row (setCols must not touch partition columns), so the
+        // affected set is exactly where the subjects live today.
+        case Some(pcols) if pcols.nonEmpty && !pcols.exists(p.setCols.contains) =>
+          val partRows = t.join(broadcast(subjects), Seq(p.keyCol), "left_semi")
+            .filter(p.extraCond)
+            .select(pcols.map(col): _*).distinct().collect()
+          if (partRows.nonEmpty) {
+            val parts = spark.createDataFrame(
+              java.util.Arrays.asList(partRows: _*),
+              org.apache.spark.sql.types.StructType(pcols.map(c => t.schema(c))))
+            val slice = t.join(broadcast(parts), pcols, "left_semi")
+            AtomicRewrite.writePartitions(spark, root,
+              Upsert.updateOnly(slice, subjects, Seq(p.keyCol), p.setCols,
+                p.extraCond),
+              pcols, replaced = Some(parts))
+          } // no matching rows → nothing to rewrite, no version burned
+        case _ =>
+          AtomicRewrite.write(spark, root,
+            Upsert.updateOnly(t, subjects, Seq(p.keyCol), p.setCols, p.extraCond))
+      }
     }
     if (applied.isEmpty) {
       // nothing rewritten → nothing to audit; writing spark.emptyDataFrame

@@ -174,6 +174,46 @@ class PartitionedFactSpec extends SparkSpec {
       .select("v").as[String].collect().toSet == Set("a2", "b3"))
   }
 
+  test("GDPR erasure on a partition-committed table rewrites only the subject's partitions") {
+    val root = Files.createTempDirectory("graft-pgdpr").toString
+    val paths = Medallion.Paths(root)
+    val histRoot = paths.gold("dim_e_hist")
+    def silverRows(rows: (Long, String, String, Option[String], Boolean)*) =
+      rows.toSeq.toDF("id", "v", "valid_from", "valid_to", "is_current")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("valid_to", to_timestamp(col("valid_to")))
+        .withColumn("scd_hash", sha2(col("v"), 256))
+    AtomicRewrite.write(spark, paths.silver("e"), silverRows(
+      (1L, "a1", "2024-01-01 00:00:00", Some("2024-02-10 00:00:00"), false),
+      (1L, "a2", "2024-02-10 00:00:00", None, true),
+      (2L, "b1", "2024-01-01 00:00:00", Some("2024-03-10 00:00:00"), false),
+      (2L, "b2", "2024-03-10 00:00:00", None, true)))
+    Medallion.goldScd2Hist(spark, paths, "e", Seq("id"), ts("2024-03-11 10:00:00"))
+    val feb = new java.io.File(s"$histRoot/v=0/archive_month=202402")
+    val febFiles = feb.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // erase subject 2 (rows in months 0 and 202403): key 1's Feb month
+    // must ride the manifest, not be restaged
+    Gdpr.propagate(spark, Seq(2L).toDF("id"), "e",
+      Seq(Gdpr.Policy("gold/dim_e_hist", "id",
+        Map("v" -> (_ => lit("REDACTED"))))),
+      tb => s"$root/$tb", s"$root/control/gdpr_audit", "s",
+      ts("2024-03-12 10:00:00"))
+    assert(AtomicRewrite.currentVersion(spark, histRoot).contains(1L))
+    assert(!new java.io.File(s"$histRoot/v=1/archive_month=202402").exists(),
+      "month without subject rows was restaged by erasure")
+    assert(feb.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == febFiles)
+    val hist = AtomicRewrite.read(spark, histRoot)
+    assert(hist.filter(col("id") === 2L).select("v").as[String]
+      .collect().forall(_ == "REDACTED"))
+    assert(hist.filter(col("id") === 1L).select("v").as[String]
+      .collect().toSet == Set("a1", "a2"), "other subjects untouched")
+    assert(hist.count() == 4)
+  }
+
   test("partitioned incremental aggregate rebuilds only touched months") {
     val root = Files.createTempDirectory("graft-pagg").toString
     val paths = Medallion.Paths(root)
