@@ -301,19 +301,60 @@ object Medallion {
     affected.unpersist()
   }
 
-  /** SCD3 dim: current + prev_* columns from rank-1/rank-2 versions
-    * (reference: src/gold/_conformed/scd3/dim_driver.py:48-81). */
+  /** SCD3 dim: current + prev_* columns. The bootstrap seeds prev from
+    * silver history (rank-1/rank-2, reference
+    * scd3/dim_driver.py:48-81); after that the dim merges INCREMENTALLY
+    * and prev_* is CARRIED THROUGH THE MERGE (reference
+    * scd3/dim_driver.py:221-244): on a guarded update (newer ts AND
+    * changed hash) the superseded value comes from the batch's own
+    * intermediate version when the batch carries one, else from the
+    * dim's old current row. The previous implementation re-derived
+    * rank-1/rank-2 from silver history on EVERY run — an O(all-history)
+    * rebuild per batch that also silently NULLed prev once silver
+    * retention trimmed the rank-2 version; carrying prev through the
+    * merge costs O(batch) and survives trims. */
   def goldScd3(spark: SparkSession, paths: Paths, entity: String,
                key: String, trackCols: Seq[String], now: Timestamp): Unit = {
-    val hist = AtomicRewrite.read(spark, paths.silver(entity))
-    val order = Seq(col("valid_from").desc, col("scd_hash").desc)
-    val cur = Dedup.nthPerKey(hist, Seq(col(key)), order, 1)
-    val prev = Dedup.nthPerKey(hist, Seq(col(key)), order, 2)
-      .select(col(key) +: trackCols.map(c => col(c).as(s"prev_$c")): _*)
-    val next = cur.join(prev, Seq(key), "left")
+    val target = paths.gold(s"dim_${entity}_scd3")
+    val silver = AtomicRewrite.read(spark, paths.silver(entity))
       .drop("archive_month")
+    val order = Seq(col("valid_from").desc, col("scd_hash").desc)
+    def withPrev(df: DataFrame) = Dedup.nthPerKey(df, Seq(col(key)), order, 1)
+      .join(Dedup.nthPerKey(df, Seq(col(key)), order, 2)
+        .select(col(key) +: trackCols.map(c => col(c).as(s"prev_$c")): _*),
+        Seq(key), "left")
       .withColumn("dwh_loaded_at", lit(now))
-    AtomicRewrite.write(spark, paths.gold(s"dim_${entity}_scd3"), next)
+    if (!AtomicRewrite.exists(spark, target)) {
+      AtomicRewrite.write(spark, target, withPrev(silver))
+      return
+    }
+    val dim = AtomicRewrite.read(spark, target)
+    val wm = Option(dim.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val inc = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
+      .getOrElse(silver)
+    if (wm.isDefined && inc.isEmpty) return
+    // batch rank-1 = candidate new current; batch rank-2 = intra-batch
+    // previous (NULL unless the dim lagged several silver versions)
+    val cols = dim.columns.toSeq
+    val t = dim.alias("t")
+    val s = withPrev(inc).select(cols.map(col): _*).alias("s")
+    val joined = t.join(s, t(key) <=> s(key), "full_outer")
+    val tgtPresent = t(key).isNotNull
+    val srcPresent = s(key).isNotNull
+    val guard = s("raw_loaded_at") > t("raw_loaded_at") &&
+      s("scd_hash") =!= t("scd_hash")
+    val prevBase = trackCols.map(c => s"prev_$c" -> c).toMap
+    val next = joined.select(cols.map { c =>
+      // updated row: prev_<c> prefers the batch's intermediate version,
+      // falling back to the target's superseded current value
+      val merged = prevBase.get(c).map(b => coalesce(s(c), t(b))).getOrElse(s(c))
+      when(!tgtPresent, s(c))     // new key → insert (prev from batch or NULL)
+        .when(!srcPresent, t(c))  // no new version → keep
+        .when(guard, merged)      // superseded → update, carry prev
+        .otherwise(t(c))          // stale/unchanged replay → keep
+        .as(c)
+    }: _*)
+    AtomicRewrite.write(spark, target, next)
   }
 
   /** Date dimension spanning the observed range of `tsCol` in `src`. */

@@ -187,6 +187,58 @@ class MedallionSpec extends SparkSpec {
       k2(0).getAs[Timestamp]("dwh_loaded_at") == ts("2024-01-01 10:00:00"))
   }
 
+  test("SCD3 prev is carried through the merge: survives trims, sees intermediates") {
+    val r2 = Files.createTempDirectory("graft-scd3-merge").toString
+    val p2 = Medallion.Paths(r2)
+    def silverRows(rows: (Long, String, String, Boolean)*) =
+      rows.toSeq.toDF("id", "segment", "valid_from", "is_current")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("scd_hash", sha2(col("segment"), 256))
+
+    // batch 1: single version -> prev NULL
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "A", "2024-01-01 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-01-01 10:00:00"))
+    val dim = p2.gold("dim_e_scd3")
+    assert(AtomicRewrite.read(spark, dim).select("segment", "prev_segment")
+      .as[(String, Option[String])].head() == (("A", None)))
+
+    // batch 2: retention trimmed EVERYTHING but the new current version —
+    // a rank-2 recompute would NULL prev; the merge carries the dim's
+    // superseded current value
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "B", "2024-02-01 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-02-01 10:00:00"))
+    assert(AtomicRewrite.read(spark, dim).select("segment", "prev_segment")
+      .as[(String, String)].head() == (("B", "A")),
+      "prev must come from the dim's old current, not trimmed silver history")
+
+    // batch 3: the dim lagged TWO silver versions (C then D) — prev is the
+    // batch's own intermediate C, not the dim's stale B
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "C", "2024-03-01 00:00:00", false),
+      (1L, "D", "2024-03-02 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-03-02 10:00:00"))
+    assert(AtomicRewrite.read(spark, dim).select("segment", "prev_segment")
+      .as[(String, String)].head() == (("D", "C")))
+
+    // replaying batch 3 is a no-op (nothing newer than the watermark)
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-03-03 10:00:00"))
+    assert(AtomicRewrite.read(spark, dim).select("segment", "prev_segment")
+      .as[(String, String)].head() == (("D", "C")))
+    // new key inserts with NULL prev alongside the existing one
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "C", "2024-03-01 00:00:00", false),
+      (1L, "D", "2024-03-02 00:00:00", true),
+      (2L, "X", "2024-03-04 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-03-04 10:00:00"))
+    val rows = AtomicRewrite.read(spark, dim)
+      .select("id", "segment", "prev_segment")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(rows == Set((1L, "D", Some("C")), (2L, "X", None)))
+  }
+
   test("retention never deletes rows with a NULL timestamp") {
     val r2 = Files.createTempDirectory("graft-ret-null").toString + "/t"
     val t = Seq((1L, Some("2020-01-01 00:00:00")), (2L, None), (3L, Some("2025-01-01 00:00:00")))
