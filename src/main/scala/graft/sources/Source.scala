@@ -50,9 +50,10 @@ case class FileSource(path: String, format: String,
 }
 
 /** JDBC-backed source (the reference's OLTP extraction path). `pushdown`
-  * optionally inlines a server-side subquery, the S2 idiom. Untestable in
-  * this environment (no database), but the contract bronze jobs code
-  * against. */
+  * optionally inlines a server-side subquery, the S2 idiom
+  * (gdpr_propagate_erasure.py:301-326). Integration-tested against
+  * embedded Derby (SourceSpec), including the watermark filter reaching
+  * the database as a pushed WHERE clause. */
 case class JdbcSource(url: String, table: String,
                       options: Map[String, String] = Map.empty,
                       pushdown: Option[String] = None) extends Source {
