@@ -209,11 +209,18 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
         Filter(cond, w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(partSpec, orderSpec, _)), _)), _, _, wchild, _))) =>
       val rnAttr = w.windowOutputSet
-      val limit = cond match {
-        case LessThanOrEqual(a: Attribute, IntegerLiteral(n)) if rnAttr.contains(a) => Some(n)
-        case LessThan(a: Attribute, IntegerLiteral(n)) if rnAttr.contains(a) => Some(n - 1)
-        case EqualTo(a: Attribute, IntegerLiteral(1)) if rnAttr.contains(a) => Some(1)
-        case _ => None
+      // limit = heap size; residual = a filter the heap cannot absorb
+      // (rank == n keeps only the n-th row: top-n then filter the
+      // materialized ordinal — the SCD3 rank-2 idiom)
+      val (limit, residual): (Option[Int], Option[Expression]) = cond match {
+        case LessThanOrEqual(a: Attribute, IntegerLiteral(n)) if rnAttr.contains(a) =>
+          (Some(n), None)
+        case LessThan(a: Attribute, IntegerLiteral(n)) if rnAttr.contains(a) =>
+          (Some(n - 1), None)
+        case EqualTo(a: Attribute, IntegerLiteral(n)) if rnAttr.contains(a) && n >= 1 =>
+          (Some(n), if (n == 1) None
+            else Some(EqualTo(alias.toAttribute, Literal(n))))
+        case _ => (None, None)
       }
       val inner = wchild match {
         case WindowGroupLimit(_, _, _, _, c) => c
@@ -221,13 +228,13 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
       }
       limit match {
         case Some(n) if n > 0 && orderSpec.nonEmpty &&
-            projectList.forall(_.references.subsetOf(inner.outputSet)) =>
-          Project(projectList, TopKPerKeyNode(partSpec, orderSpec, n, inner))
-        case Some(n) if n > 0 && orderSpec.nonEmpty &&
             projectList.forall(_.references.subsetOf(
               inner.outputSet ++ AttributeSet(alias.toAttribute :: Nil))) =>
-          Project(projectList,
-            TopKPerKeyNode(partSpec, orderSpec, n, inner, Some(alias.toAttribute)))
+          val needRank = residual.isDefined ||
+            !projectList.forall(_.references.subsetOf(inner.outputSet))
+          val node = TopKPerKeyNode(partSpec, orderSpec, n, inner,
+            if (needRank) Some(alias.toAttribute) else None)
+          Project(projectList, residual.map(Filter(_, node)).getOrElse(node))
         case _ => p
       }
   }

@@ -320,19 +320,24 @@ object TextQueries {
     // frequency cap bounds the join fan-out on stop-shingles, which is
     // what keeps a 100 TB contamination scan from exploding.
     "q56_decontaminate" -> ((s, dir) => {
+      // persisted: the exploded shingle set feeds the df cap AND both
+      // sides of the contamination join (q35's idiom) — without it the
+      // per-doc shingling re-runs once per branch
       val sh = docs(s, dir).select(col("doc_id"),
         explode(array_distinct(TextOps.shingles(toks, 3))).as("sh"))
+        .persist()
       val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 100).select("sh")
       val shf = sh.join(keep, "sh")
       val bench = shf.filter(col("doc_id") % 10 === 0)
         .select(col("sh"), col("doc_id").as("bench_doc_id"))
-      shf.filter(col("doc_id") % 10 =!= 0)
+      val out = shf.filter(col("doc_id") % 10 =!= 0)
         .join(bench, "sh")
         .groupBy("doc_id")
         .agg(countDistinct(col("sh")).as("n_shared_shingles"),
           countDistinct(col("bench_doc_id")).as("n_bench_docs"))
         .withColumn("contaminated", col("n_shared_shingles") >= 3)
+      materializeAndRelease(out, sh)
     }),
 
     // The pre-training release gate: contamination rate per train/val/

@@ -70,6 +70,24 @@ class TopKSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rank == n idiom rewrites to a bounded n-heap plus ordinal filter") {
+    TopKPerKey.install(spark)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val second = sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2).drop("rn") // the SCD3 rank-2 idiom
+    second.collect()
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), plan)
+    assert(!plan.contains("Window ["), plan)
+    val got = second.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = sample.collect()
+      .groupBy(_.getString(0)).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).slice(1, 2)
+          .map(r => (g, r.getLong(1))).toSeq
+      }.toSet
+    assert(got == expected)
+  }
+
   test("perKeyWithRank equals row_number on a total order; plan has no window") {
     val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
     val viaWindow = sample.withColumn("rn", row_number().over(w))

@@ -81,6 +81,9 @@ class SourceSpec extends SparkSpec {
     // Derby ships in the Spark distribution (hive metastore dependency) —
     // an in-memory database gives the live-JDBC path a real integration
     // test without network egress
+    // keep Derby's boot log out of the working tree
+    System.setProperty("derby.stream.error.file",
+      s"${System.getProperty("java.io.tmpdir")}/derby.log")
     val url = "jdbc:derby:memory:graftsrc;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
