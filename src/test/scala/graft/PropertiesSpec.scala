@@ -81,6 +81,48 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("goldScd2Hist: random silver evolutions keep hist ≡ silver per key under lag") {
+    // silver evolves through random SCD2 folds across months; the hist job
+    // runs on a random SUBSET of batches (it may lag several) plus once at
+    // the end — after which the partition-committed hist must equal silver
+    // row-for-row (dwh stamp and layout aside)
+    val batchGen = Gen.nonEmptyListOf(for {
+      key <- Gen.chooseNum(1L, 4L)
+      value <- Gen.oneOf("a", "b", "c")
+    } yield (key, value))
+    val seqGen = Gen.listOfN(4, Gen.zip(batchGen, Gen.oneOf(true, false)))
+    check(Prop.forAll(seqGen) { batches =>
+      val root = Files.createTempDirectory("graft-prop-hist").toString
+      val paths = Medallion.Paths(root)
+      var silver: DataFrame = Scd2.prepare(
+        Seq.empty[(Long, String, Timestamp)].toDF("id", "v", "raw_loaded_at"),
+        Seq("v"), "raw_loaded_at").limit(0)
+      var t = 0
+      batches.foreach { case (rows, runHist) =>
+        t += 1
+        val batch = Scd2.prepare(
+          rows.zipWithIndex.map { case ((k, v), i) =>
+            (k, v, Timestamp.valueOf(f"2024-$t%02d-01 00:00:${i % 60}%02d"))
+          }.toDF("id", "v", "raw_loaded_at"),
+          Seq("v"), "raw_loaded_at")
+        silver = Scd2.apply(silver, batch, Seq("id"), Seq("raw_loaded_at"))
+        AtomicRewrite.write(spark, paths.silver("e"), silver)
+        silver = AtomicRewrite.read(spark, paths.silver("e"))
+        if (runHist)
+          Medallion.goldScd2Hist(spark, paths, "e", Seq("id"),
+            Timestamp.valueOf(f"2024-$t%02d-02 00:00:00"))
+      }
+      Medallion.goldScd2Hist(spark, paths, "e", Seq("id"),
+        Timestamp.valueOf("2024-12-31 00:00:00"))
+      val cols = Seq("id", "v", "valid_from", "valid_to", "is_current")
+      val got = AtomicRewrite.read(spark, paths.gold("dim_e_hist"))
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = AtomicRewrite.read(spark, paths.silver("e"))
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      got == want
+    }, n = 4)
+  }
+
   test("goldAggIncremental: random batch folds equal a full recompute") {
     val batchGen = Gen.nonEmptyListOf(for {
       key <- Gen.chooseNum(1, 3)
