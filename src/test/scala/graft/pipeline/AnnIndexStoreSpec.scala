@@ -120,6 +120,30 @@ class AnnIndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("trainCentroids: k-means converges onto block axes; K stable across rounds") {
+    // 4 well-separated blocks: trained centroids must move toward the
+    // block means, each dominated by its block's axis
+    val c = corpus(1L to 200L)
+    val trained = AnnIndexStore.trainCentroids(c, 4, iters = 3)
+    assert(trained.count() == 4, "K must survive every round")
+    val vecs = trained.select("cv").as[Seq[Float]].collect()
+    // each trained centroid is dominated by exactly one axis, and all
+    // 4 axes are covered (the blocks are orthogonal)
+    val axes = vecs.map(v => v.indexOf(v.max)).toSet
+    assert(axes == Set(0, 1, 2, 3), s"covered axes: $axes")
+    // building through trained centroids yields a queryable fixed-K index
+    val root = Files.createTempDirectory("graft-ivf-km").toString + "/index"
+    AnnIndexStore.build(spark, root, c, trained)
+    assert(AtomicRewrite.read(spark, AnnIndexStore.Paths(root).centroids)
+      .count() == 4)
+    val q = Seq((999L, vec(103L))).toDF("query_id", "qv")
+    val got = AnnIndexStore.query(spark, root, q, k = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.forall(id => (101L to 150L).contains(id)),
+      s"neighbors must come from the query's block: ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("sampleCentroids: deterministic fixed-K draw renumbered 1..k") {
     val c = corpus(1L to 200L)
     val a = AnnIndexStore.sampleCentroids(c, 16).collect()
