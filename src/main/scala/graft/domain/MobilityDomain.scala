@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object MobilityDomain {
 
   private def cast(df: DataFrame, casts: (String, String)*): DataFrame =
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       casts.toMap.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
     }: _*)
 

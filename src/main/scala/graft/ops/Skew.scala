@@ -23,7 +23,7 @@ object Skew {
     * over the partial columns. */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partials: Seq[Column], merges: Seq[Column]): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(salts)).as("__salt")
+    val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts)).as("__salt")
     df.groupBy((keys.map(col) :+ salt): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)

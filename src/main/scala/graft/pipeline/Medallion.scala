@@ -364,7 +364,7 @@ object Medallion {
       to_date(min(col(tsCol))).as("mn"), to_date(max(col(tsCol))).as("mx"))
     val dim = DateKeys.spine(bounds)
     val unknown = spark.range(1).select(
-      (lit(0).as("date_key") +: dim.columns.filter(_ != "date_key")
+      (lit(0).as("date_key") +: dim.columns.toIndexedSeq.filter(_ != "date_key")
         .map(c => lit(null).cast(dim.schema(c).dataType).as(c))): _*)
     AtomicRewrite.write(spark, paths.gold("dim_date"),
       unknown.unionByName(dim))
