@@ -26,6 +26,27 @@ object Bench {
     spark.range(10000000L).selectExpr("sum(id * 2)").collect()
     exec("q01_clean_project")
     exec("q33_fingerprint")
+    // pipeline-family warm-up: the medallion write/merge machinery
+    // (snapshot commits, upsert joins, control table, partition
+    // manifests) JITs separately from read-side plans; a 20-row
+    // in-memory batch amortizes ~5-8 s of first-run compile noise out
+    // of the q26/q52 measurements (isolation runs: q26 24.5 s cold vs
+    // 12 s warm — the delta is JIT, not work)
+    locally {
+      import org.apache.spark.sql.functions._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // the REAL sf tables (trimmed): whole-stage codegen caches by the
+      // generated source, which embeds the schema — synthetic frames
+      // would warm the JVM but miss every codegen cache entry
+      val customer = graft.core.Tables.load(spark, sfDir, "customer").limit(10)
+        .withColumn("updated_at", to_timestamp(lit("2020-01-01 00:00:00")))
+      val orders = graft.core.Tables.load(spark, sfDir, "orders").limit(20)
+      graft.pipeline.Runner.runBatch(spark, root, customer, orders,
+        graft.pipeline.Runner.FixedNow, "warm")
+    }
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
