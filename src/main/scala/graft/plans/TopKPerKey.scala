@@ -40,6 +40,13 @@ object TopKPerKey {
     * how partial aggregation degrades when the map side stops helping). */
   val PartialMaxKeys = 100000
 
+  /** Largest rank literal [[RankLimitToTopK]] will rewrite: the heap
+    * holds k rows per key IN MEMORY (never spills), so a pathological
+    * `row_number <= 10_000_000` is better served by the window it wrote.
+    * Explicit perKey/perKeyWithRank calls are the caller's choice and
+    * are not capped. */
+  val RewriteMaxK = 100000
+
   /** Install the planner strategy + rewrite rule on a live session
     * (idempotent). Config-based twin: `spark.sql.extensions` →
     * [[graft.functions.GraftExtensions]]. */
@@ -227,7 +234,7 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
         case c => c
       }
       limit match {
-        case Some(n) if n > 0 && orderSpec.nonEmpty &&
+        case Some(n) if n > 0 && n <= TopKPerKey.RewriteMaxK && orderSpec.nonEmpty &&
             projectList.forall(_.references.subsetOf(
               inner.outputSet ++ AttributeSet(alias.toAttribute :: Nil))) =>
           val needRank = residual.isDefined ||
