@@ -50,7 +50,11 @@ object Gdpr {
     // those may claim audit rows (an audit entry for a never-rewritten
     // table would falsely record columns as scrubbed)
     val applied = policies.filter(p => AtomicRewrite.exists(spark, tableRoot(p.table)))
-    applied.foreach { p =>
+    // audit rows are claimed ONLY by policies whose table was actually
+    // rewritten this run (the partitioned path skips the commit when no
+    // subject row exists — an audit row for it would falsely record a
+    // scrub with no corresponding table version)
+    val rewritten = applied.filter { p =>
       val root = tableRoot(p.table)
       val t = AtomicRewrite.read(spark, root)
       val subjects = ids.select(col("subject_id").as(p.keyCol))
@@ -66,21 +70,27 @@ object Gdpr {
             .filter(p.extraCond)
             .select(pcols.map(col): _*).distinct().collect()
           if (partRows.nonEmpty) {
-            val parts = spark.createDataFrame(
-              java.util.Arrays.asList(partRows: _*),
+            val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
               org.apache.spark.sql.types.StructType(pcols.map(c => t.schema(c))))
-            val slice = t.join(broadcast(parts), pcols, "left_semi")
+            // null-SAFE partition match: a NULL partition value is a
+            // legal dir (__HIVE_DEFAULT_PARTITION__); a null-unsafe
+            // semi-join would exclude its rows from the slice while
+            // `replaced` still names the dir — deleting every row in it
+            val cond = pcols.map(c => t(c) <=> parts(c)).reduce(_ && _)
+            val slice = t.join(broadcast(parts), cond, "left_semi")
             AtomicRewrite.writePartitions(spark, root,
               Upsert.updateOnly(slice, subjects, Seq(p.keyCol), p.setCols,
                 p.extraCond),
               pcols, replaced = Some(parts))
-          } // no matching rows → nothing to rewrite, no version burned
+            true
+          } else false // no matching rows → nothing rewritten, no version burned
         case _ =>
           AtomicRewrite.write(spark, root,
             Upsert.updateOnly(t, subjects, Seq(p.keyCol), p.setCols, p.extraCond))
+          true
       }
     }
-    if (applied.isEmpty) {
+    if (rewritten.isEmpty) {
       // nothing rewritten → nothing to audit; writing spark.emptyDataFrame
       // (schemaless) to parquet would fail anyway
       ids.unpersist()
@@ -90,7 +100,7 @@ object Gdpr {
         array().cast("array<string>").as("columns_scrubbed"),
         lit(now).as("erased_at"))
     }
-    val audit = applied.map { p =>
+    val audit = rewritten.map { p =>
       ids.select(
         ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
           .as("subject_fingerprint"),

@@ -214,6 +214,39 @@ class PartitionedFactSpec extends SparkSpec {
     assert(hist.count() == 4)
   }
 
+  test("GDPR erasure in a NULL-valued partition redacts without deleting bystanders") {
+    // a NULL partition value is a legal hive dir (__HIVE_DEFAULT_PARTITION__);
+    // a null-unsafe slice join would declare the dir replaced while writing
+    // none of its rows back — silently deleting every bystander in it
+    val root = Files.createTempDirectory("graft-pgdpr-null").toString
+    val t = s"$root/t"
+    val df = Seq((1L, "alice", Some(1)), (2L, "bob", None), (3L, "carol", None))
+      .toDF("id", "name", "grp")
+    AtomicRewrite.write(spark, t, df, partitionBy = Seq("grp"))
+    Gdpr.propagate(spark, Seq(2L).toDF("id"), "e",
+      Seq(Gdpr.Policy("t", "id", Map("name" -> (_ => lit("REDACTED"))))),
+      tb => s"$root/$tb", s"$root/audit", "s", ts("2024-01-01 00:00:00"))
+    val out = AtomicRewrite.read(spark, t)
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "alice", 2L -> "REDACTED", 3L -> "carol"),
+      s"bystanders in the NULL partition must survive: $out")
+  }
+
+  test("GDPR erasure with no subject rows burns no version and writes no audit row") {
+    val root = Files.createTempDirectory("graft-pgdpr-miss").toString
+    val t = s"$root/t"
+    AtomicRewrite.write(spark, t,
+      Seq((1L, "alice", 1)).toDF("id", "name", "grp"), partitionBy = Seq("grp"))
+    val v0 = AtomicRewrite.currentVersion(spark, t)
+    val audit = Gdpr.propagate(spark, Seq(99L).toDF("id"), "e",
+      Seq(Gdpr.Policy("t", "id", Map("name" -> (_ => lit("REDACTED"))))),
+      tb => s"$root/$tb", s"$root/audit", "s", ts("2024-01-01 00:00:00"))
+    assert(AtomicRewrite.currentVersion(spark, t) == v0,
+      "absent subject must not burn a table version")
+    assert(audit.isEmpty, "audit must not claim a scrub that never committed")
+    assert(!AtomicRewrite.exists(spark, s"$root/audit"))
+  }
+
   test("partitioned incremental aggregate rebuilds only touched months") {
     val root = Files.createTempDirectory("graft-pagg").toString
     val paths = Medallion.Paths(root)
