@@ -180,9 +180,9 @@ object Medallion {
           if (closedMonths.isEmpty) merged.limit(0)
           else history.filter(col("archive_month")
             .isin(closedMonths.map(Int.box): _*)) // pruned scan
-        val replaced = spark.createDataFrame(
-          java.util.Arrays.asList(closedMonths.map(m =>
-            org.apache.spark.sql.Row(m)) :+ org.apache.spark.sql.Row(0): _*),
+        val replaced = AtomicRewrite.literalFrame(spark,
+          closedMonths.map(m => org.apache.spark.sql.Row(m)) :+
+            org.apache.spark.sql.Row(0),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("archive_month",
               org.apache.spark.sql.types.IntegerType))))
@@ -265,10 +265,13 @@ object Medallion {
     }
     // one-time migration of a pre-layout hist: re-commit the same rows
     // hive-partitioned (dwh stamps preserved), then merge incrementally
-    if (!AtomicRewrite.read(spark, target).columns.contains("archive_month"))
-      AtomicRewrite.write(spark, target,
-        stamp(AtomicRewrite.read(spark, target)), Seq("archive_month"))
-    val history = AtomicRewrite.read(spark, target)
+    val history0 = AtomicRewrite.read(spark, target)
+    val history =
+      if (history0.columns.contains("archive_month")) history0
+      else {
+        AtomicRewrite.write(spark, target, stamp(history0), Seq("archive_month"))
+        AtomicRewrite.read(spark, target)
+      }
     // Option-wrap: an empty hist yields a NULL max, and `col > NULL`
     // would silently drop every incremental row forever
     val wm = Option(history.filter(col("archive_month") === 0)
@@ -277,9 +280,12 @@ object Medallion {
       .getOrElse(silver)
       .select(keys.map(col): _*).distinct().persist()
     if (wm.isDefined && affected.isEmpty) { affected.unpersist(); return }
+    // persisted: the replacement feeds the month-discovery collect AND
+    // the write slice — unpersisted it would re-run the silver semi-join
+    // (a full silver scan) twice per batch
     val replacement = stamp(
       silver.join(broadcast(affected), keys, "left_semi")
-        .withColumn("dwh_loaded_at", lit(now)))
+        .withColumn("dwh_loaded_at", lit(now))).persist()
     // months to rewrite: where the replacement rows land ∪ where the
     // affected keys' OLD rows live (a previously-current row archives out
     // of the hot partition; with silver retention a key's month can even
@@ -290,14 +296,18 @@ object Medallion {
       .unionByName(history.join(broadcast(affected), keys, "left_semi")
         .select(col("archive_month")))
       .distinct().collect()
-    val months = spark.createDataFrame(
-      java.util.Arrays.asList(monthRows: _*),
+    val months = AtomicRewrite.literalFrame(spark, monthRows.toSeq,
       org.apache.spark.sql.types.StructType(Seq(history.schema("archive_month"))))
-    val slice = history.join(broadcast(months), Seq("archive_month"), "left_semi")
+    // null-SAFE month match: a NULL archive_month is a legal partition
+    // dir; a null-unsafe semi-join would drop its bystander rows from
+    // the rewrite while `replaced` still names the dir
+    val slice = history.join(broadcast(months),
+        history("archive_month") <=> months("archive_month"), "left_semi")
       .join(broadcast(affected), keys, "left_anti")
       .unionByName(replacement)
     AtomicRewrite.writePartitions(spark, target, slice, Seq("archive_month"),
       replaced = Some(months))
+    replacement.unpersist()
     affected.unpersist()
   }
 
@@ -341,17 +351,25 @@ object Medallion {
     val joined = t.join(s, t(key) <=> s(key), "full_outer")
     val tgtPresent = t(key).isNotNull
     val srcPresent = s(key).isNotNull
-    val guard = s("raw_loaded_at") > t("raw_loaded_at") &&
-      s("scd_hash") =!= t("scd_hash")
+    // ANY newer silver version updates the row — guarding additionally
+    // on changed hash (the reference's cond) would strand an A→B→A
+    // oscillation: the batch's rank-1 hashes equal to the dim's current,
+    // the row would never advance raw_loaded_at, and the intermediate B
+    // would be lost while every later run re-reads the stale rows
+    val newer = s("raw_loaded_at") > t("raw_loaded_at")
+    val changed = s("scd_hash") =!= t("scd_hash")
     val prevBase = trackCols.map(c => s"prev_$c" -> c).toMap
     val next = joined.select(cols.map { c =>
-      // updated row: prev_<c> prefers the batch's intermediate version,
-      // falling back to the target's superseded current value
-      val merged = prevBase.get(c).map(b => coalesce(s(c), t(b))).getOrElse(s(c))
+      // updated row's prev_<c>: the batch's own intermediate version when
+      // one exists; else the superseded current value on a business
+      // change; else (same-hash catch-up with no intermediate) keep prev
+      val merged = prevBase.get(c)
+        .map(b => coalesce(s(c), when(changed, t(b)).otherwise(t(c))))
+        .getOrElse(s(c))
       when(!tgtPresent, s(c))     // new key → insert (prev from batch or NULL)
         .when(!srcPresent, t(c))  // no new version → keep
-        .when(guard, merged)      // superseded → update, carry prev
-        .otherwise(t(c))          // stale/unchanged replay → keep
+        .when(newer, merged)      // newer version → update, carry prev
+        .otherwise(t(c))          // stale replay → keep
         .as(c)
     }: _*)
     AtomicRewrite.write(spark, target, next)
@@ -442,8 +460,7 @@ object Medallion {
           .unionByName(full.join(broadcast(srcKeys), keys, "left_semi")
             .select(partitionBy.map(col): _*))
           .distinct().collect()
-        val affected = spark.createDataFrame(
-          java.util.Arrays.asList(affectedRows: _*),
+        val affected = AtomicRewrite.literalFrame(spark, affectedRows.toSeq,
           org.apache.spark.sql.types.StructType(
             partitionBy.map(c => full.schema(c))))
         val slice = full.join(broadcast(affected), partitionBy, "left_semi")
@@ -533,8 +550,7 @@ object Medallion {
         // into a literal frame, severing the slice-derived lineage before
         // it joins back against the merge target (ambiguous-self-join).
         val partRows = slice.select(partitionBy.map(col): _*).distinct().collect()
-        val parts = spark.createDataFrame(
-          java.util.Arrays.asList(partRows: _*),
+        val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
           org.apache.spark.sql.types.StructType(
             partitionBy.map(c => slice.schema(c))))
         val targetSlice = AtomicRewrite.read(spark, target)

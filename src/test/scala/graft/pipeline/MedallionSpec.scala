@@ -237,6 +237,21 @@ class MedallionSpec extends SparkSpec {
       .select("id", "segment", "prev_segment")
       .as[(Long, String, Option[String])].collect().toSet
     assert(rows == Set((1L, "D", Some("C")), (2L, "X", None)))
+
+    // oscillation D→E→D': the new current hashes EQUAL to the dim's
+    // current — the merge must still advance the row and record E as
+    // prev (a newer-AND-changed guard would strand the key forever)
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, "E", "2024-04-01 00:00:00", false),
+      (1L, "D", "2024-04-02 00:00:00", true),
+      (2L, "X", "2024-03-04 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-04-02 10:00:00"))
+    val osc = AtomicRewrite.read(spark, dim).filter(col("id") === 1L)
+      .select("segment", "prev_segment", "raw_loaded_at")
+      .as[(String, String, Timestamp)].head()
+    assert(osc._1 == "D" && osc._2 == "E", s"got $osc")
+    assert(osc._3 == ts("2024-04-02 00:00:00"),
+      "watermark must advance past the oscillating batch")
   }
 
   test("retention never deletes rows with a NULL timestamp") {
