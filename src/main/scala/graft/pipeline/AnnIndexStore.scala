@@ -88,33 +88,32 @@ object AnnIndexStore {
   }
 
   /** Lloyd-iteration k-means training for a fixed-K centroid set:
-    * seeds from [[sampleCentroids]], then `iters` rounds of
-    * assign-and-average (q59's single step, looped). Each round is one
-    * narrow map against K broadcast centroids plus ONE keyed
-    * aggregation whose shuffle carries K×dims rows — corpus size never
-    * crosses an exchange, the canonical distributed k-means shape. An
-    * emptied centroid keeps its previous vector (coalesce), so K is
-    * stable across rounds. Deterministic: no RNG, ties by lowest id. */
+    * seeds from [[sampleCentroids]], then `iters` rounds of the shared
+    * nearest-centroid [[assign]] plus a per-(centroid, dim) average
+    * (q59's single step, looped). Each round shuffles ~one combined row
+    * per corpus vector for the argmax and K×dims rows for the means —
+    * linear in the corpus, never quadratic. Round results are COLLECTED
+    * into a K-row literal frame before the next broadcast: left lazy,
+    * round i's plan would re-execute rounds 1..i-1 from scratch
+    * (O(iters²) corpus scans). An emptied centroid keeps its previous
+    * vector (coalesce), so K is stable across rounds. Deterministic: no
+    * RNG, argmax ties to the lowest id. */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 0, s"iterations must be non-negative, got $iters")
+    val spark = corpus.sparkSession
     var cents = sampleCentroids(corpus, k)
     for (_ <- 0 until iters) {
-      val asg = corpus.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__cos", cos(col("embedding"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("embedding"), col("centroid_id")),
-          struct(col("__cos"), -col("centroid_id"))).as("__best"))
-        .select(col("__best.centroid_id").as("centroid_id"),
-          col("__best.embedding").as("embedding"))
+      val asg = assign(corpus.select(col("vec_id"), col("embedding")), cents)
       val means = asg.select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("mv"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
+      val next = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("mv"), col("cv")).as("cv"))
+      cents = graft.tx.AtomicRewrite.literalFrame(spark,
+        next.collect().toSeq, next.schema)
     }
     cents
   }

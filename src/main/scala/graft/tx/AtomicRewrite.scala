@@ -90,6 +90,14 @@ object AtomicRewrite {
     }
   }
 
+  /** Tiny literal DataFrame from collected rows (affected-partition and
+    * affected-key sets): severs any lineage back to the table being
+    * rewritten (the ambiguous-self-join trap) and gives the optimizer a
+    * broadcastable constant. Rows must be few — they sit on the driver. */
+  def literalFrame(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   /** Read the latest committed snapshot (manifest-resolved if the table
     * uses partition-aware commits). */
   def read(spark: SparkSession, root: String): DataFrame = {
