@@ -32,7 +32,9 @@ object Bench {
     // in-memory batch amortizes ~5-8 s of first-run compile noise out
     // of the q26/q52 measurements (isolation runs: q26 24.5 s cold vs
     // 12 s warm — the delta is JIT, not work)
-    locally {
+    // a warm-up failure should cost only its warm-up benefit, never the
+    // round's measurements
+    try {
       import org.apache.spark.sql.functions._
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -46,18 +48,28 @@ object Bench {
       val orders = graft.core.Tables.load(spark, sfDir, "orders").limit(20)
       graft.pipeline.Runner.runBatch(spark, root, customer, orders,
         graft.pipeline.Runner.FixedNow, "warm")
-    }
+    } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    // 3 timed runs per query, report the median: a single pass is at the
+    // mercy of hypervisor steal (observed 2-5x over-reads on a shared
+    // host); the median of three discards one bad draw. Lower-median
+    // ((n-1)/2) so a partial failure (1-2 good runs) reports the
+    // better-supported smaller time rather than the max of two.
+    val runsPerQuery = 3
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { exec(name); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release any caches a query persisted — in a 50+-query single
-      // session, leaked persists compound memory pressure for the rest of
-      // the suite (round-1 bench pathology)
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { exec(name); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release any caches a query persisted — in a 50+-query single
+        // session, leaked persists compound memory pressure for the rest
+        // of the suite (round-1 bench pathology)
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
+      val good = times.filter(_ >= 0).sorted
+      name -> (if (good.isEmpty) -1.0 else good((good.size - 1) / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

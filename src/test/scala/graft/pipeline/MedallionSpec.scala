@@ -136,7 +136,7 @@ class MedallionSpec extends SparkSpec {
       .filter(col("id") === 2).select("name").as[String].head()
     assert(bob == "bob")
     // audit has no raw ids, only fingerprints
-    val fp = AtomicRewrite.read(spark, s"$root/control/gdpr_audit")
+    val fp = Gdpr.readAudit(spark, s"$root/control/gdpr_audit")
       .select("subject_fingerprint").as[String].head()
     assert(fp.length == 64)
   }
@@ -275,7 +275,7 @@ class MedallionSpec extends SparkSpec {
       Seq(Gdpr.Policy("silver/ghost", "id", Map("name" -> (_ => lit(null).cast("string"))))),
       t => s"$r2/$t", s"$r2/audit", "s", now)
     assert(audit.isEmpty)
-    assert(!AtomicRewrite.exists(spark, s"$r2/audit"))
+    assert(!Gdpr.auditExists(spark, s"$r2/audit"))
     // one real table + one ghost → audit rows only for the real one
     AtomicRewrite.write(spark, s"$r2/silver/real",
       Seq((1L, "x")).toDF("id", "name"))

@@ -244,7 +244,7 @@ class PartitionedFactSpec extends SparkSpec {
     assert(AtomicRewrite.currentVersion(spark, t) == v0,
       "absent subject must not burn a table version")
     assert(audit.isEmpty, "audit must not claim a scrub that never committed")
-    assert(!AtomicRewrite.exists(spark, s"$root/audit"))
+    assert(!Gdpr.auditExists(spark, s"$root/audit"))
   }
 
   test("partitioned incremental aggregate rebuilds only touched months") {
