@@ -97,7 +97,11 @@ object AnnIndexStore {
     * round i's plan would re-execute rounds 1..i-1 from scratch
     * (O(iters²) corpus scans). An emptied centroid keeps its previous
     * vector (coalesce), so K is stable across rounds. Deterministic: no
-    * RNG, argmax ties to the lowest id. */
+    * RNG, argmax ties to the lowest id, and the mean runs through an
+    * exact DECIMAL(38,6) sum rounded to 6 digits (the q59 convention) —
+    * a double sum's value depends on partition order, so the same
+    * corpus could otherwise train different centroids run-to-run (and
+    * never match a cross-engine oracle). */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 0, s"iterations must be non-negative, got $iters")
     val spark = corpus.sparkSession
@@ -106,7 +110,9 @@ object AnnIndexStore {
       val asg = assign(corpus.select(col("vec_id"), col("embedding")), cents)
       val means = asg.select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(round(sum(col("col").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 6).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("mv"))

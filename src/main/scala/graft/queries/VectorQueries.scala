@@ -242,6 +242,31 @@ object VectorQueries {
       graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 1)
     }),
 
+    // The TRAINED fixed-K production path of the persisted IVF index:
+    // centroids come from trainCentroids (deterministic salted-hash seed,
+    // 2 Lloyd rounds, exact-decimal means) instead of the corpus-derived
+    // centroidEvery shape, so K stays constant as the corpus grows; the
+    // query probes each query's TWO nearest cells through the store
+    // (manifest-pruned hive partitions + TopKPerKey heaps). The oracle
+    // replays the full train→assign→probe pipeline in SQL — every stage
+    // is deterministic by construction (no RNG, lowest-id ties,
+    // DECIMAL(38,6) means), which is what makes the production path
+    // oracle-provable at all.
+    "q94_ann_trained_store" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfk_$safe"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.pipeline.AnnIndexStore.trainCentroids(e, k = 16, iters = 2)
+      graft.pipeline.AnnIndexStore.build(s, root, e, cents)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 2)
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -267,6 +292,29 @@ object VectorQueries {
     s"round(${dotSql(a, b)} / (sqrt(${normSql(a)}) * sqrt(${normSql(b)})), 6)"
   private val BucketSql = (1 to 8).map(i =>
     s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  /** One Lloyd round in SQL: assign the corpus to `c<i-1>`, then per-
+    * (centroid, dim) exact-decimal mean rounded to 6 and cast REAL —
+    * exactly AnnIndexStore.trainCentroids' round. An emptied centroid
+    * keeps its previous vector (left join + coalesce). */
+  private def lloydRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""a$i AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+       |       FROM embeddings e, c$p c),
+       |x$i AS (SELECT centroid_id, generate_subscripts(embedding, 1) AS dim,
+       |         unnest(embedding::DOUBLE[]) AS val
+       |       FROM a$i WHERE rn = 1),
+       |s$i AS (SELECT centroid_id, dim, sum(CAST(val AS DECIMAL(38,6))) AS sd,
+       |         count(*) AS cnt FROM x$i GROUP BY 1, 2),
+       |m$i AS (SELECT centroid_id,
+       |         list(CAST(round(CAST(sd AS DOUBLE) / cnt, 6) AS REAL)
+       |           ORDER BY dim) AS mv
+       |       FROM s$i GROUP BY 1),
+       |c$i AS (SELECT c.centroid_id, COALESCE(m$i.mv, c.cv) AS cv
+       |       FROM c$p c LEFT JOIN m$i USING (centroid_id))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_neardup" ->
@@ -358,6 +406,34 @@ object VectorQueries {
          |           ${cosSql("q.qv", "cells.embedding")} AS cos_sim
          |         FROM q JOIN cells USING (centroid_id)
          |         WHERE cells.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    "q94_ann_trained_store" ->
+      s"""WITH h AS (SELECT vec_id, embedding,
+         |       sha256('centroid|' || CAST(vec_id AS VARCHAR)) AS hh
+         |     FROM embeddings),
+         |seed AS (SELECT vec_id, embedding, hh FROM h ORDER BY hh, vec_id LIMIT 16),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT)
+         |         AS centroid_id, embedding AS cv
+         |       FROM seed),
+         |${lloydRoundSql(1)},
+         |${lloydRoundSql(2)},
+         |af AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |       FROM embeddings e, c2 c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM af WHERE rn = 1),
+         |qa AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |       FROM embeddings e, c2 c WHERE e.vec_id % 50 = 0),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+         |           FROM qa WHERE rn <= 2),
+         |cand AS (SELECT query_id, cells.vec_id AS neighbor_id,
+         |           ${cosSql("qv", "cells.embedding")} AS cos_sim
+         |         FROM probes JOIN cells USING (centroid_id)
+         |         WHERE cells.vec_id <> probes.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
