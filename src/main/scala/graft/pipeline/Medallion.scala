@@ -210,20 +210,68 @@ object Medallion {
     else silver.filter(col("is_current"))
   }
 
-  /** SCD1 snapshot dim: current silver rows upserted on key, guarded by
-    * newer-ts AND changed-hash (reference M4 snapshot variant). */
+  /** Hive-partition dir count for snapshot/SCD3 dims: a stable hash of
+    * the business key, so a key NEVER changes partition and a batch's
+    * commit rewrites only the buckets its keys hash into. 64 dirs keeps
+    * each bucket ~dim/64 — small enough that a scattered batch still
+    * rewrites a fraction of the dim, big enough to avoid a dir explosion
+    * (the grain is a config choice, like the fact month partition). */
+  val DimBuckets = 64
+
+  private def keyBucket(keys: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
+
+  /** SCD1 snapshot dim: silver current rows upserted on key, guarded by
+    * newer-ts AND changed-hash (reference M4 snapshot variant).
+    *
+    * The dim is hive-partitioned by `key_bucket` (stable key hash,
+    * [[DimBuckets]] dirs) and merges INCREMENTALLY at partition
+    * granularity: only silver rows newer than the dim's own watermark
+    * are merged (the goldScd2Hist monotonicity argument — versions are
+    * batch-stamped, so anything unseen is strictly newer than the dim's
+    * max), and only buckets holding an affected key are rewritten; every
+    * other bucket carries across the commit by manifest reference. The
+    * previous full-snapshot write restaged every key per batch — at a
+    * 10⁹-key dim the same O(table)-per-batch scale bug the hist dim
+    * had. */
   def goldScd1Snapshot(spark: SparkSession, paths: Paths, entity: String,
-                       keys: Seq[String], now: Timestamp): Unit = {
-    val cur = silverCurrent(spark, paths, entity)
+                       keys: Seq[String], now: Timestamp,
+                       buckets: Int = DimBuckets): Unit = {
+    val cur0 = silverCurrent(spark, paths, entity)
       .drop("valid_from", "valid_to", "is_current", "archive_month")
-      .withColumn("dwh_loaded_at", lit(now))
     val target = paths.gold(s"dim_${entity}_snapshot")
-    val next =
-      if (!AtomicRewrite.exists(spark, target)) cur
-      else Upsert.scd1(AtomicRewrite.read(spark, target), cur, keys,
+    val stamp = (df: DataFrame) =>
+      df.withColumn("key_bucket", keyBucket(keys, buckets))
+    if (!AtomicRewrite.exists(spark, target)) {
+      AtomicRewrite.write(spark, target,
+        stamp(cur0.withColumn("dwh_loaded_at", lit(now))), Seq("key_bucket"))
+      return
+    }
+    // one-time migration of a pre-layout dim: same rows, bucketed layout
+    val dim0 = AtomicRewrite.read(spark, target)
+    val dim =
+      if (dim0.columns.contains("key_bucket")) dim0
+      else {
+        AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
+        AtomicRewrite.read(spark, target)
+      }
+    val wm = Option(dim.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val inc = wm.map(ts => cur0.filter(col("raw_loaded_at") > lit(ts)))
+      .getOrElse(cur0)
+    val cur = stamp(inc.withColumn("dwh_loaded_at", lit(now))).persist()
+    // one batch's bucket set — tiny — collected into a literal frame:
+    // prunes the target read AND severs the self-join lineage
+    val bucketRows = cur.select(col("key_bucket")).distinct().collect()
+    if (bucketRows.isEmpty) { cur.unpersist(); return }
+    val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
+      org.apache.spark.sql.types.StructType(Seq(dim.schema("key_bucket"))))
+    val slice = dim.join(broadcast(bks), Seq("key_bucket"), "left_semi")
+    AtomicRewrite.writePartitions(spark, target,
+      Upsert.scd1(slice, cur, keys,
         updateWhen = (t, s) =>
-          s("raw_loaded_at") > t("raw_loaded_at") && s("scd_hash") =!= t("scd_hash"))
-    AtomicRewrite.write(spark, target, next)
+          s("raw_loaded_at") > t("raw_loaded_at") && s("scd_hash") =!= t("scd_hash")),
+      Seq("key_bucket"), replaced = Some(bks))
+    cur.unpersist()
   }
 
   /** SCD2 hist dim, merged INCREMENTALLY as an affected-KEY slice
@@ -324,21 +372,40 @@ object Medallion {
     * retention trimmed the rank-2 version; carrying prev through the
     * merge costs O(batch) and survives trims. */
   def goldScd3(spark: SparkSession, paths: Paths, entity: String,
-               key: String, trackCols: Seq[String], now: Timestamp): Unit = {
+               key: String, trackCols: Seq[String], now: Timestamp,
+               buckets: Int = DimBuckets): Unit = {
     val target = paths.gold(s"dim_${entity}_scd3")
     val silver = AtomicRewrite.read(spark, paths.silver(entity))
       .drop("archive_month")
     val order = Seq(col("valid_from").desc, col("scd_hash").desc)
+    val stamp = (df: DataFrame) =>
+      df.withColumn("key_bucket", keyBucket(Seq(key), buckets))
+    // __has_intermediate marks that a rank-2 row EXISTS — prev-carry must
+    // gate on row presence, not on the tracked value: an intermediate
+    // version whose tracked column is legitimately NULL is
+    // indistinguishable from "no intermediate" through a value coalesce,
+    // and would wrongly inherit the dim's old current value
     def withPrev(df: DataFrame) = Dedup.nthPerKey(df, Seq(col(key)), order, 1)
       .join(Dedup.nthPerKey(df, Seq(col(key)), order, 2)
-        .select(col(key) +: trackCols.map(c => col(c).as(s"prev_$c")): _*),
+        .select(col(key) +: (lit(true).as("__has_intermediate") +:
+          trackCols.map(c => col(c).as(s"prev_$c"))): _*),
         Seq(key), "left")
       .withColumn("dwh_loaded_at", lit(now))
     if (!AtomicRewrite.exists(spark, target)) {
-      AtomicRewrite.write(spark, target, withPrev(silver))
+      AtomicRewrite.write(spark, target,
+        stamp(withPrev(silver).drop("__has_intermediate")), Seq("key_bucket"))
       return
     }
-    val dim = AtomicRewrite.read(spark, target)
+    // one-time migration of a pre-layout dim: same rows, bucketed layout
+    // (key_bucket = stable key hash, so commits below stay O(touched
+    // buckets) — the goldScd1Snapshot layout, same rationale)
+    val dim0 = AtomicRewrite.read(spark, target)
+    val dim =
+      if (dim0.columns.contains("key_bucket")) dim0
+      else {
+        AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
+        AtomicRewrite.read(spark, target)
+      }
     val wm = Option(dim.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
     val inc = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(silver)
@@ -346,8 +413,15 @@ object Medallion {
     // batch rank-1 = candidate new current; batch rank-2 = intra-batch
     // previous (NULL unless the dim lagged several silver versions)
     val cols = dim.columns.toSeq
-    val t = dim.alias("t")
-    val s = withPrev(inc).select(cols.map(col): _*).alias("s")
+    // the batch's bucket set — tiny — prunes the merge to affected
+    // buckets: bystander buckets ride the manifest untouched
+    val sAll = stamp(withPrev(inc)).persist()
+    val bucketRows = sAll.select(col("key_bucket")).distinct().collect()
+    val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
+      org.apache.spark.sql.types.StructType(Seq(dim.schema("key_bucket"))))
+    val t = dim.join(broadcast(bks), Seq("key_bucket"), "left_semi").alias("t")
+    val s = sAll
+      .select(cols.map(col) :+ col("__has_intermediate"): _*).alias("s")
     val joined = t.join(s, t(key) <=> s(key), "full_outer")
     val tgtPresent = t(key).isNotNull
     val srcPresent = s(key).isNotNull
@@ -359,12 +433,15 @@ object Medallion {
     val newer = s("raw_loaded_at") > t("raw_loaded_at")
     val changed = s("scd_hash") =!= t("scd_hash")
     val prevBase = trackCols.map(c => s"prev_$c" -> c).toMap
+    val hasIntermediate = coalesce(s("__has_intermediate"), lit(false))
     val next = joined.select(cols.map { c =>
       // updated row's prev_<c>: the batch's own intermediate version when
-      // one exists; else the superseded current value on a business
+      // one exists (gated on the row's PRESENCE — its value may be a
+      // legitimate NULL); else the superseded current value on a business
       // change; else (same-hash catch-up with no intermediate) keep prev
       val merged = prevBase.get(c)
-        .map(b => coalesce(s(c), when(changed, t(b)).otherwise(t(c))))
+        .map(b => when(hasIntermediate, s(c))
+          .otherwise(when(changed, t(b)).otherwise(t(c))))
         .getOrElse(s(c))
       when(!tgtPresent, s(c))     // new key → insert (prev from batch or NULL)
         .when(!srcPresent, t(c))  // no new version → keep
@@ -372,7 +449,9 @@ object Medallion {
         .otherwise(t(c))          // stale replay → keep
         .as(c)
     }: _*)
-    AtomicRewrite.write(spark, target, next)
+    AtomicRewrite.writePartitions(spark, target, next, Seq("key_bucket"),
+      replaced = Some(bks))
+    sAll.unpersist()
   }
 
   /** Date dimension spanning the observed range of `tsCol` in `src`. */
@@ -499,10 +578,10 @@ object Medallion {
     * different grain value (e.g. a corrected date_key), the departed
     * grain is not in the affected set and keeps the old row's
     * contribution until something else touches it. Facts whose grain can
-    * be corrected should schedule a periodic affected-free rebuild or
-    * recompute the specific grain; the daily runner's fact path handles
-    * the analogous move at the PARTITION level (vacated partitions are
-    * rewritten), but the aggregate itself inherits this caveat. */
+    * be corrected repair the departed grains with [[rebuildGrains]] (the
+    * vacated-partition analog for aggregates); the daily runner's fact
+    * path handles the same move at the PARTITION level (vacated
+    * partitions are rewritten). */
   def goldAggIncremental(spark: SparkSession, paths: Paths, aggName: String,
                          source: DataFrame, keyCols: Seq[String],
                          aggs: Seq[Column],
@@ -559,6 +638,56 @@ object Medallion {
           Upsert.scd1(targetSlice, slice, keyCols, guard), partitionBy,
           replaced = Some(parts))
       }
+    }
+  }
+
+  /** Corrective rebuild of NAMED grains (the repair for
+    * [[goldAggIncremental]]'s grain-immutability constraint): each grain
+    * in `grains` is recomputed from the full `source` and REPLACES the
+    * stored row — including deletion when a vacated grain now has zero
+    * source rows, which no watermark-guarded merge can express. Call it
+    * after a correction that moved keys across grains, passing the
+    * departed (and optionally the receiving) grain values.
+    *
+    * Scale: the named-grain set is tiny by construction (one
+    * correction's worth), so it broadcasts into the source scan; only
+    * matching rows are re-aggregated and, for a partitioned aggregate,
+    * only partitions holding a named grain are rewritten — never a full
+    * rebuild. Idempotent: replaying the same repair recomputes the same
+    * rows. */
+  def rebuildGrains(spark: SparkSession, paths: Paths, aggName: String,
+                    source: DataFrame, keyCols: Seq[String],
+                    aggs: Seq[Column], grains: DataFrame,
+                    partitionBy: Seq[String] = Nil,
+                    decorate: DataFrame => DataFrame = identity): Unit = {
+    require(partitionBy.forall(keyCols.contains),
+      "agg partition columns must be grain columns")
+    val target = paths.gold(aggName)
+    require(AtomicRewrite.exists(spark, target),
+      s"rebuildGrains target does not exist: $target")
+    val g = grains.select(keyCols.map(col): _*).distinct()
+    val rebuilt = decorate(source.na.drop("any", keyCols)
+      .join(broadcast(g), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail :+
+        max(col("raw_loaded_at")).as("max_fact_raw_loaded_at"): _*))
+    val stored = AtomicRewrite.read(spark, target)
+    if (partitionBy.isEmpty) {
+      AtomicRewrite.write(spark, target,
+        stored.join(broadcast(g), keyCols, "left_anti").unionByName(rebuilt))
+    } else {
+      // partitions holding a named grain: one repair's worth — tiny —
+      // collected into a literal frame (pruning + severed lineage)
+      val partRows = g.select(partitionBy.map(col): _*).distinct().collect()
+      if (partRows.isEmpty) return
+      val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
+        org.apache.spark.sql.types.StructType(
+          partitionBy.map(c => stored.schema(c))))
+      val partSlice = stored.join(broadcast(parts), partitionBy, "left_semi")
+        .join(broadcast(g), keyCols, "left_anti")
+        .unionByName(rebuilt)
+      AtomicRewrite.writePartitions(spark, target, partSlice, partitionBy,
+        replaced = Some(parts))
     }
   }
 }

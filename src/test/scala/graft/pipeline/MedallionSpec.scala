@@ -254,6 +254,33 @@ class MedallionSpec extends SparkSpec {
       "watermark must advance past the oscillating batch")
   }
 
+  test("SCD3 prev records an intermediate's legitimate NULL, not the stale current") {
+    // the prev-carry must gate on the intermediate ROW's presence: a batch
+    // carrying an intermediate version whose tracked column is NULL must
+    // record prev = NULL (what a rank-2 bootstrap would derive), not fall
+    // through a value-coalesce to the dim's old current value
+    val r2 = Files.createTempDirectory("graft-scd3-nullint").toString
+    val p2 = Medallion.Paths(r2)
+    def silverRows(rows: (Long, Option[String], String, Boolean)*) =
+      rows.toSeq.toDF("id", "segment", "valid_from", "is_current")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("scd_hash", sha2(coalesce(col("segment"), lit(" ")), 256))
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, Some("A"), "2024-01-01 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-01-01 10:00:00"))
+    val dim = p2.gold("dim_e_scd3")
+    // dim lags two versions: intermediate with NULL segment, then B
+    AtomicRewrite.write(spark, p2.silver("e"), silverRows(
+      (1L, None, "2024-02-01 00:00:00", false),
+      (1L, Some("B"), "2024-02-02 00:00:00", true)))
+    Medallion.goldScd3(spark, p2, "e", "id", Seq("segment"), ts("2024-02-02 10:00:00"))
+    val got = AtomicRewrite.read(spark, dim)
+      .select("segment", "prev_segment").as[(String, Option[String])].head()
+    assert(got == (("B", None)),
+      s"prev must be the intermediate's NULL, not the stale current: $got")
+  }
+
   test("retention never deletes rows with a NULL timestamp") {
     val r2 = Files.createTempDirectory("graft-ret-null").toString + "/t"
     val t = Seq((1L, Some("2020-01-01 00:00:00")), (2L, None), (3L, Some("2025-01-01 00:00:00")))

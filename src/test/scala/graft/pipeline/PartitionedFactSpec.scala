@@ -247,6 +247,77 @@ class PartitionedFactSpec extends SparkSpec {
     assert(!Gdpr.auditExists(spark, s"$root/audit"))
   }
 
+  test("snapshot and SCD3 dims rewrite only buckets holding affected keys") {
+    val root = Files.createTempDirectory("graft-dimbucket").toString
+    val p = Medallion.Paths(root)
+    def silverRows(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "v", "valid_from")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("is_current", lit(true))
+        .withColumn("scd_hash", sha2(col("v"), 256))
+    val t1 = (1L to 8L).map(id => (id, s"a$id", "2024-01-01 00:00:00"))
+    AtomicRewrite.write(spark, p.silver("e"), silverRows(t1: _*))
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-01-01 10:00:00"))
+    Medallion.goldScd3(spark, p, "e", "id", Seq("v"), ts("2024-01-01 10:00:00"))
+
+    // buckets as the engine computes them (stable key hash)
+    val buckets = (1L to 8L).toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(Medallion.DimBuckets))
+        .cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val b1 = buckets(1L)
+    val bystander = buckets.find { case (_, b) => b != b1 }.get
+    assert(buckets.values.toSet.size > 1, "need ≥2 distinct buckets")
+
+    for (dim <- Seq("dim_e_snapshot", "dim_e_scd3")) {
+      val dir = new java.io.File(s"${p.gold(dim)}/v=0/key_bucket=${bystander._2}")
+      assert(dir.exists(), s"$dim bootstrap must be bucket-partitioned")
+    }
+    def files(dim: String, v: Long, b: Int) = {
+      val d = new java.io.File(s"${p.gold(dim)}/v=$v/key_bucket=$b")
+      if (!d.exists()) Set.empty[(String, Long)]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = Seq("dim_e_snapshot", "dim_e_scd3")
+      .map(d => d -> files(d, 0, bystander._2)).toMap
+
+    // batch 2: only key 1 changes — every other bucket must ride the
+    // manifest with its v=0 files byte-untouched
+    AtomicRewrite.write(spark, p.silver("e"), silverRows(
+      (t1.map(r => if (r._1 == 1L) (1L, "a1x", "2024-02-01 00:00:00") else r)): _*))
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-02-01 10:00:00"))
+    Medallion.goldScd3(spark, p, "e", "id", Seq("v"), ts("2024-02-01 10:00:00"))
+
+    for (dim <- Seq("dim_e_snapshot", "dim_e_scd3")) {
+      val dimRoot = p.gold(dim)
+      assert(AtomicRewrite.currentVersion(spark, dimRoot).contains(1L))
+      val v1dirs = new java.io.File(s"$dimRoot/v=1").listFiles()
+        .filter(_.getName.startsWith("key_bucket=")).map(_.getName).toSet
+      assert(v1dirs == Set(s"key_bucket=$b1"),
+        s"$dim batch must stage only the affected bucket, staged $v1dirs")
+      assert(files(dim, 0, bystander._2) == before(dim),
+        s"$dim bystander bucket was rewritten")
+      // contents: key 1 updated, bystander untouched
+      val got = AtomicRewrite.read(spark, dimRoot)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(got(1L) == "a1x" && got(bystander._1) == s"a${bystander._1}")
+      assert(got.size == 8)
+    }
+    // SCD3 prev carried through the bucket-sliced merge
+    val prev = AtomicRewrite.read(spark, p.gold("dim_e_scd3"))
+      .filter(col("id") === 1L).select("prev_v").as[String].head()
+    assert(prev == "a1", s"prev_v must be the superseded value, got $prev")
+
+    // replay with nothing newer: no version burned for either dim
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-02-02 10:00:00"))
+    Medallion.goldScd3(spark, p, "e", "id", Seq("v"), ts("2024-02-02 10:00:00"))
+    for (dim <- Seq("dim_e_snapshot", "dim_e_scd3"))
+      assert(AtomicRewrite.currentVersion(spark, p.gold(dim)).contains(1L),
+        s"$dim idle replay must not burn a version")
+  }
+
   test("partitioned incremental aggregate rebuilds only touched months") {
     val root = Files.createTempDirectory("graft-pagg").toString
     val paths = Medallion.Paths(root)
@@ -283,6 +354,70 @@ class PartitionedFactSpec extends SparkSpec {
       .collect().toSet
     assert(out == Set((20240101, 1L, 10.0), (20240102, 1L, 20.0),
       (20240201, 2L, 35.0)))
+  }
+
+  test("rebuildGrains repairs grains stranded by a grain-moving correction") {
+    val root = Files.createTempDirectory("graft-regrain").toString
+    val paths = Medallion.Paths(root)
+    val aggRoot = paths.gold("agg")
+    def src(rows: (Long, Int, Int, Double, String)*) =
+      rows.toSeq.toDF("oid", "date_key", "month_key", "price", "raw_loaded_at")
+        .withColumn("raw_loaded_at", to_timestamp(col("raw_loaded_at")))
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
+    val grain = Seq("date_key", "month_key")
+    def runAgg(source: org.apache.spark.sql.DataFrame): Unit =
+      Medallion.goldAggIncremental(spark, paths, "agg", source, grain, aggCols,
+        partitionBy = Seq("month_key"))
+
+    val b1 = src(
+      (1L, 20240101, 202401, 10.0, "2024-01-01 10:00:00"),
+      (2L, 20240201, 202402, 20.0, "2024-02-01 10:00:00"))
+    runAgg(b1)
+    // SCD1 correction MOVES oid=1 to February (newer version, new grain)
+    val corrected = src(
+      (1L, 20240201, 202402, 10.0, "2024-03-01 10:00:00"),
+      (2L, 20240201, 202402, 20.0, "2024-02-01 10:00:00"))
+    runAgg(corrected)
+    // the documented constraint: the incremental merge rebuilt February
+    // (where the newer row now lives) but January kept the departed
+    // row's contribution — stranded
+    val stranded = AtomicRewrite.read(spark, aggRoot)
+      .select("date_key", "sum_price").as[(Int, Double)].collect().toMap
+    assert(stranded == Map(20240101 -> 10.0, 20240201 -> 30.0))
+
+    // the repair: rebuild the departed grain from the corrected source —
+    // zero remaining rows, so the stranded row must be DELETED (and its
+    // now-empty month partition dropped from the manifest)
+    Medallion.rebuildGrains(spark, paths, "agg", corrected, grain, aggCols,
+      grains = Seq((20240101, 202401)).toDF("date_key", "month_key"),
+      partitionBy = Seq("month_key"))
+    val repaired = AtomicRewrite.read(spark, aggRoot)
+      .select("date_key", "n", "sum_price").as[(Int, Long, Double)]
+      .collect().toSet
+    assert(repaired == Set((20240201, 2L, 30.0)),
+      s"stranded grain must vanish after the repair: $repaired")
+
+    // replaying the same repair is a no-op on contents
+    Medallion.rebuildGrains(spark, paths, "agg", corrected, grain, aggCols,
+      grains = Seq((20240101, 202401)).toDF("date_key", "month_key"),
+      partitionBy = Seq("month_key"))
+    assert(AtomicRewrite.read(spark, aggRoot)
+      .select("date_key", "n", "sum_price").as[(Int, Long, Double)]
+      .collect().toSet == repaired)
+
+    // a repair that rebuilds a grain which still HAS rows replaces, not
+    // deletes: move oid=1 back to January and repair both grains
+    val movedBack = src(
+      (1L, 20240101, 202401, 15.0, "2024-04-01 10:00:00"),
+      (2L, 20240201, 202402, 20.0, "2024-02-01 10:00:00"))
+    Medallion.rebuildGrains(spark, paths, "agg", movedBack, grain, aggCols,
+      grains = Seq((20240101, 202401), (20240201, 202402))
+        .toDF("date_key", "month_key"),
+      partitionBy = Seq("month_key"))
+    assert(AtomicRewrite.read(spark, aggRoot)
+      .select("date_key", "n", "sum_price").as[(Int, Long, Double)]
+      .collect().toSet == Set((20240101, 1L, 15.0), (20240201, 1L, 20.0)))
   }
 
   test("runner cadence: fact compacts every 4 versions and re-buckets") {
