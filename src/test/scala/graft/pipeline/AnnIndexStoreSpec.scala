@@ -156,6 +156,62 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.sampleCentroids(corpus(1L to 400L), 16).count() == 16)
   }
 
+  test("quantized cells: int8 code column stored; rerank reproduces the exact float ranking") {
+    val root = Files.createTempDirectory("graft-ivf-q8").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    // the code column is stored as a true int8 array
+    val cellSchema = AtomicRewrite.read(spark, p.cells).schema
+    assert(cellSchema.fieldNames.contains("qv8"))
+    assert(cellSchema("qv8").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType),
+      s"qv8 must be tinyint-encoded, got ${cellSchema("qv8").dataType}")
+
+    // EVERY corpus vector as a query: the two-phase quantized path must
+    // return exactly what brute-force float cosine ranks within the cell
+    val qs = corpus(1L to 200L).toDF("query_id", "qv")
+    val got = AnnIndexStore.query(spark, root, qs, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = (1L to 200L).map(id => id -> vec(id)).toMap
+    def cosF(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+    (1L to 200L).foreach { q =>
+      val block = (q - 1) / 50
+      val expected = (block * 50 + 1 to block * 50 + 50).filter(_ != q)
+        .map(id => id -> BigDecimal(cosF(all(id), all(q)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      assert(got(q) == expected, s"query $q: got ${got(q)} expected $expected")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("pre-quantization index still queries; first append migrates it whole") {
+    val root = Files.createTempDirectory("graft-ivf-legacy").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    // strip qv8 to simulate an index built before quantized cells
+    AtomicRewrite.write(spark, p.cells,
+      AtomicRewrite.read(spark, p.cells).drop("qv8"),
+      partitionBy = Seq("centroid_id"))
+    val q = Seq((103L, vec(103L))).toDF("query_id", "qv")
+    val legacy = AnnIndexStore.query(spark, root, q, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    // first append migrates the whole table to quantized cells once
+    AnnIndexStore.append(spark, root,
+      Seq((201L, Seq(0f, 1f, 0.005f, 0f))).toDF("vec_id", "embedding"))
+    assert(AtomicRewrite.read(spark, p.cells).columns.contains("qv8"))
+    assert(AtomicRewrite.read(spark, p.cells).filter(col("qv8").isNull).count() == 0,
+      "migration must quantize every existing row")
+    val after = AnnIndexStore.query(spark, root, q, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(after == legacy, "migration must not change query results")
+    spark.catalog.clearCache()
+  }
+
   test("nprobe=2 reaches a second cell when the query sits between blocks") {
     val root = Files.createTempDirectory("graft-ivf2").toString + "/index"
     AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)

@@ -64,7 +64,7 @@ class PartitionedFactSpec extends SparkSpec {
 
     // CDF audit for the batch-2 commit: exactly the day-2 merge's deltas
     Runner.recordFactChanges(spark, paths, "fact_orders")
-    val audit = AtomicRewrite.read(spark, paths.gold("fact_orders_changes"))
+    val audit = graft.tx.AppendLog.read(spark, paths.gold("fact_orders_changes"))
       .filter(col("fact_version") === 1)
       .select("_change_type", "n").as[(String, Long)].collect().toMap
     assert(audit == Map("insert" -> 1L)) // order 4 inserted, nothing deleted
