@@ -221,57 +221,72 @@ object Medallion {
   private def keyBucket(keys: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
 
-  /** SCD1 snapshot dim: silver current rows upserted on key, guarded by
-    * newer-ts AND changed-hash (reference M4 snapshot variant).
+  /** SCD1 snapshot dim: silver current rows upserted on key (reference
+    * M4 snapshot variant), guarded on ANY newer version — not
+    * newer-AND-changed-hash: scd_hash covers the business columns, so a
+    * same-hash newer version carries identical content and the update
+    * only advances `raw_loaded_at`; guarding on the hash too would
+    * leave an A→B→A oscillation's row permanently below the watermark,
+    * re-selected (and its bucket re-committed) on every subsequent run
+    * (the same strand `goldScd3` fixed).
     *
     * The dim is hive-partitioned by `key_bucket` (stable key hash,
     * [[DimBuckets]] dirs) and merges INCREMENTALLY at partition
-    * granularity: only silver rows newer than the dim's own watermark
-    * are merged (the goldScd2Hist monotonicity argument — versions are
-    * batch-stamped, so anything unseen is strictly newer than the dim's
-    * max), and only buckets holding an affected key are rewritten; every
-    * other bucket carries across the commit by manifest reference. The
-    * previous full-snapshot write restaged every key per batch — at a
-    * 10⁹-key dim the same O(table)-per-batch scale bug the hist dim
-    * had. */
+    * granularity: only silver rows newer than the dim's control-table
+    * watermark are merged (an O(1) read — deriving the watermark from
+    * max(raw_loaded_at) over the dim would rescan every bucket per
+    * batch), and only buckets holding an affected key are rewritten;
+    * every other bucket carries across the commit by manifest
+    * reference. The previous full-snapshot write restaged every key per
+    * batch — at a 10⁹-key dim the same O(table)-per-batch scale bug the
+    * hist dim had. */
   def goldScd1Snapshot(spark: SparkSession, paths: Paths, entity: String,
                        keys: Seq[String], now: Timestamp,
                        buckets: Int = DimBuckets): Unit = {
+    val job = s"gold_dim_${entity}_snapshot"
+    failSafe(spark, paths, job, now) {
     val cur0 = silverCurrent(spark, paths, entity)
       .drop("valid_from", "valid_to", "is_current", "archive_month")
     val target = paths.gold(s"dim_${entity}_snapshot")
     val stamp = (df: DataFrame) =>
       df.withColumn("key_bucket", keyBucket(keys, buckets))
-    if (!AtomicRewrite.exists(spark, target)) {
-      AtomicRewrite.write(spark, target,
-        stamp(cur0.withColumn("dwh_loaded_at", lit(now))), Seq("key_bucket"))
-      return
-    }
-    // one-time migration of a pre-layout dim: same rows, bucketed layout
-    val dim0 = AtomicRewrite.read(spark, target)
-    val dim =
-      if (dim0.columns.contains("key_bucket")) dim0
-      else {
-        AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
-        AtomicRewrite.read(spark, target)
-      }
-    val wm = Option(dim.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    val exists = AtomicRewrite.exists(spark, target)
+    val wm = Watermarks.read(spark, paths.control, job)
     val inc = wm.map(ts => cur0.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(cur0)
+    // one pass for emptiness + the new watermark
+    val stats = inc.agg(count(lit(1)), max(col("raw_loaded_at"))).head()
+    if (exists && stats.getLong(0) == 0L) {
+      Watermarks.advance(spark, paths.control, job, None, "OK:empty", now)
+      return
+    }
     val cur = stamp(inc.withColumn("dwh_loaded_at", lit(now))).persist()
-    // one batch's bucket set — tiny — collected into a literal frame:
-    // prunes the target read AND severs the self-join lineage
-    val bucketRows = cur.select(col("key_bucket")).distinct().collect()
-    if (bucketRows.isEmpty) { cur.unpersist(); return }
-    val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
-      org.apache.spark.sql.types.StructType(Seq(dim.schema("key_bucket"))))
-    val slice = dim.join(broadcast(bks), Seq("key_bucket"), "left_semi")
-    AtomicRewrite.writePartitions(spark, target,
-      Upsert.scd1(slice, cur, keys,
-        updateWhen = (t, s) =>
-          s("raw_loaded_at") > t("raw_loaded_at") && s("scd_hash") =!= t("scd_hash")),
-      Seq("key_bucket"), replaced = Some(bks))
+    if (!exists) {
+      AtomicRewrite.write(spark, target, cur, Seq("key_bucket"))
+    } else {
+      // one-time migration of a pre-layout dim: same rows, bucketed layout
+      val dim0 = AtomicRewrite.read(spark, target)
+      val dim =
+        if (dim0.columns.contains("key_bucket")) dim0
+        else {
+          AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
+          AtomicRewrite.read(spark, target)
+        }
+      // one batch's bucket set — tiny — collected into a literal frame:
+      // prunes the target read AND severs the self-join lineage
+      val bucketRows = cur.select(col("key_bucket")).distinct().collect()
+      val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
+        org.apache.spark.sql.types.StructType(Seq(dim.schema("key_bucket"))))
+      val slice = dim.join(broadcast(bks), Seq("key_bucket"), "left_semi")
+      AtomicRewrite.writePartitions(spark, target,
+        Upsert.scd1(slice, cur, keys,
+          updateWhen = (t, s) => s("raw_loaded_at") > t("raw_loaded_at")),
+        Seq("key_bucket"), replaced = Some(bks))
+    }
     cur.unpersist()
+    Watermarks.advance(spark, paths.control, job,
+      Option(stats.getTimestamp(1)), "OK", now)
+    }
   }
 
   /** SCD2 hist dim, merged INCREMENTALLY as an affected-KEY slice
@@ -395,6 +410,8 @@ object Medallion {
   def goldScd3(spark: SparkSession, paths: Paths, entity: String,
                key: String, trackCols: Seq[String], now: Timestamp,
                buckets: Int = DimBuckets): Unit = {
+    val job = s"gold_dim_${entity}_scd3"
+    failSafe(spark, paths, job, now) {
     val target = paths.gold(s"dim_${entity}_scd3")
     val silver = AtomicRewrite.read(spark, paths.silver(entity))
       .drop("archive_month")
@@ -415,6 +432,9 @@ object Medallion {
     if (!AtomicRewrite.exists(spark, target)) {
       AtomicRewrite.write(spark, target,
         stamp(withPrev(silver).drop("__has_intermediate")), Seq("key_bucket"))
+      Watermarks.advance(spark, paths.control, job,
+        Option(silver.agg(max(col("raw_loaded_at"))).head().getTimestamp(0)),
+        "OK", now)
       return
     }
     // one-time migration of a pre-layout dim: same rows, bucketed layout
@@ -427,10 +447,16 @@ object Medallion {
         AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
         AtomicRewrite.read(spark, target)
       }
-    val wm = Option(dim.agg(max(col("raw_loaded_at"))).head().getTimestamp(0))
+    // control-table watermark: O(1), instead of re-scanning every bucket
+    // of the dim for max(raw_loaded_at) per batch
+    val wm = Watermarks.read(spark, paths.control, job)
     val inc = wm.map(ts => silver.filter(col("raw_loaded_at") > lit(ts)))
       .getOrElse(silver)
-    if (wm.isDefined && inc.isEmpty) return
+    val stats = inc.agg(count(lit(1)), max(col("raw_loaded_at"))).head()
+    if (stats.getLong(0) == 0L) {
+      Watermarks.advance(spark, paths.control, job, None, "OK:empty", now)
+      return
+    }
     // batch rank-1 = candidate new current; batch rank-2 = intra-batch
     // previous (NULL unless the dim lagged several silver versions)
     val cols = dim.columns.toSeq
@@ -473,6 +499,9 @@ object Medallion {
     AtomicRewrite.writePartitions(spark, target, next, Seq("key_bucket"),
       replaced = Some(bks))
     sAll.unpersist()
+    Watermarks.advance(spark, paths.control, job,
+      Option(stats.getTimestamp(1)), "OK", now)
+    }
   }
 
   /** Date dimension spanning the observed range of `tsCol` in `src`. */
@@ -687,6 +716,7 @@ object Medallion {
     require(AtomicRewrite.exists(spark, target),
       s"rebuildGrains target does not exist: $target")
     val g = grains.select(keyCols.map(col): _*).distinct()
+    if (g.isEmpty) return // no named grains → no rewrite, no version burned
     val rebuilt = decorate(source.na.drop("any", keyCols)
       .join(broadcast(g), keyCols)
       .groupBy(keyCols.map(col): _*)

@@ -140,22 +140,24 @@ object Runner {
     val factRoot = paths.gold(factName)
     val factV = graft.tx.AtomicRewrite.currentVersion(spark, factRoot).getOrElse(0L)
     val auditRoot = paths.gold(s"${factName}_changes")
-    val auditExists = graft.tx.AppendLog.exists(spark, auditRoot)
     // skip when this fact version is already audited (no-op batches leave
     // the version unchanged — re-diffing and re-appending would add a
-    // duplicate record per idle batch for byte-identical content)
-    val recorded = auditExists &&
-      !graft.tx.AppendLog.read(spark, auditRoot)
-        .filter(col("fact_version") === factV).isEmpty
+    // duplicate record per idle batch). The tagged-file probe is ONE
+    // file-exists call — no log scan per batch; the content fallback
+    // only pays for versions recorded before tagged appends existed.
+    val recorded = graft.tx.AppendLog.tagged(spark, auditRoot, s"v$factV") ||
+      (graft.tx.AppendLog.exists(spark, auditRoot) &&
+        !graft.tx.AppendLog.read(spark, auditRoot)
+          .filter(col("fact_version") === factV).isEmpty)
     if (factV > 0 && !recorded) {
       val changes = graft.tx.AtomicRewrite.diff(spark, factRoot, factV - 1, factV)
         .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
         .withColumn("fact_version", lit(factV))
-      // append-only log, one file per audited version (the GDPR-audit
-      // pattern): O(this version) written while the log holds O(all
-      // versions) — the old read-union-rewrite restaged all-time audit
-      // through one task per batch
-      graft.tx.AppendLog.append(spark, auditRoot, changes)
+      // append-only log, one deterministically-named file per audited
+      // version (idempotent replay): O(this version) written while the
+      // log holds O(all versions) — the old read-union-rewrite restaged
+      // all-time audit through one task per batch
+      graft.tx.AppendLog.append(spark, auditRoot, changes, tag = Some(s"v$factV"))
     }
     factV
   }

@@ -356,6 +356,40 @@ class PartitionedFactSpec extends SparkSpec {
       (20240201, 2L, 35.0)))
   }
 
+  test("snapshot dim: same-hash newer version advances the watermark, then goes idle") {
+    // A→B→A oscillation seen late: the dim's current row and the newest
+    // silver version have EQUAL hashes but the silver one is newer. A
+    // newer-AND-changed guard would never advance raw_loaded_at, so
+    // every later run would re-select the row and burn a version with
+    // identical content, forever. The any-newer guard updates once
+    // (advancing the control watermark) and the next run is a true no-op.
+    val root = Files.createTempDirectory("graft-dimosc").toString
+    val p = Medallion.Paths(root)
+    def silverRows(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "v", "valid_from")
+        .withColumn("raw_loaded_at", to_timestamp(col("valid_from")))
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+        .withColumn("is_current", lit(true))
+        .withColumn("scd_hash", sha2(col("v"), 256))
+    AtomicRewrite.write(spark, p.silver("e"),
+      silverRows((1L, "a", "2024-01-01 00:00:00")))
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-01-01 10:00:00"))
+    val dimRoot = p.gold("dim_e_snapshot")
+    // the same content resurfaces as a NEWER version (A→B→A, B unseen)
+    AtomicRewrite.write(spark, p.silver("e"),
+      silverRows((1L, "a", "2024-03-01 00:00:00")))
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-03-01 10:00:00"))
+    assert(AtomicRewrite.currentVersion(spark, dimRoot).contains(1L))
+    assert(AtomicRewrite.read(spark, dimRoot).select("raw_loaded_at")
+      .as[Timestamp].head() == ts("2024-03-01 00:00:00"),
+      "same-hash newer version must still advance raw_loaded_at")
+    // replay: watermark has advanced → zero work, no version burned
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-03-02 10:00:00"))
+    Medallion.goldScd1Snapshot(spark, p, "e", Seq("id"), ts("2024-03-03 10:00:00"))
+    assert(AtomicRewrite.currentVersion(spark, dimRoot).contains(1L),
+      "idle replays after a same-hash catch-up must not burn versions")
+  }
+
   test("rebuildGrains repairs grains stranded by a grain-moving correction") {
     val root = Files.createTempDirectory("graft-regrain").toString
     val paths = Medallion.Paths(root)
