@@ -123,6 +123,50 @@ class PropertiesSpec extends SparkSpec {
     }, n = 4)
   }
 
+  test("goldScd1Snapshot: random evolutions under lag keep dim ≡ silver current") {
+    // the bucketed snapshot dim runs on a random SUBSET of silver batches
+    // (it may lag several, including same-hash oscillations) plus once at
+    // the end — after which it must equal silver's current rows exactly
+    // (content AND raw_loaded_at: the any-newer guard must always land
+    // the newest version)
+    val batchGen = Gen.nonEmptyListOf(for {
+      key <- Gen.chooseNum(1L, 4L)
+      value <- Gen.oneOf("a", "b", "c")
+    } yield (key, value))
+    val seqGen = Gen.listOfN(4, Gen.zip(batchGen, Gen.oneOf(true, false)))
+    check(Prop.forAll(seqGen) { batches =>
+      val root = Files.createTempDirectory("graft-prop-snap").toString
+      val paths = Medallion.Paths(root)
+      var silver: DataFrame = Scd2.prepare(
+        Seq.empty[(Long, String, Timestamp)].toDF("id", "v", "raw_loaded_at"),
+        Seq("v"), "raw_loaded_at").limit(0)
+      var t = 0
+      batches.foreach { case (rows, runDim) =>
+        t += 1
+        val batch = Scd2.prepare(
+          rows.zipWithIndex.map { case ((k, v), i) =>
+            (k, v, Timestamp.valueOf(f"2024-$t%02d-01 00:00:${i % 60}%02d"))
+          }.toDF("id", "v", "raw_loaded_at"),
+          Seq("v"), "raw_loaded_at")
+        silver = Scd2.apply(silver, batch, Seq("id"), Seq("raw_loaded_at"))
+        AtomicRewrite.write(spark, paths.silver("e"), silver)
+        silver = AtomicRewrite.read(spark, paths.silver("e"))
+        if (runDim)
+          Medallion.goldScd1Snapshot(spark, paths, "e", Seq("id"),
+            Timestamp.valueOf(f"2024-$t%02d-02 00:00:00"))
+      }
+      Medallion.goldScd1Snapshot(spark, paths, "e", Seq("id"),
+        Timestamp.valueOf("2024-12-31 00:00:00"))
+      val cols = Seq("id", "v", "raw_loaded_at")
+      val got = AtomicRewrite.read(spark, paths.gold("dim_e_snapshot"))
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = AtomicRewrite.read(spark, paths.silver("e"))
+        .filter(col("is_current"))
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      got == want
+    }, n = 4)
+  }
+
   test("goldAggIncremental: random batch folds equal a full recompute") {
     val batchGen = Gen.nonEmptyListOf(for {
       key <- Gen.chooseNum(1, 3)

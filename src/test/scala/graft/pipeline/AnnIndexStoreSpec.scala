@@ -189,6 +189,32 @@ class AnnIndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("quantized probe plan: candidate scan reads codes, never embeddings") {
+    // the 8x-bandwidth claim, plan-verified: the phase-1 candidate pass
+    // must scan ONLY the int8 code column of the cells (embedding is
+    // read by a separate scan that feeds the survivor rerank), and both
+    // cell scans must prune to the probed hive partitions
+    val root = Files.createTempDirectory("graft-ivf-plan").toString + "/index"
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    val q = Seq((103L, vec(103L))).toDF("query_id", "qv")
+    val result = AnnIndexStore.query(spark, root, q, k = 3)
+    result.collect() // materialize so the executed plan is final
+    val scans = result.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val codeScan = scans.find(l => l.contains("qv8") && !l.contains("embedding"))
+    assert(codeScan.isDefined,
+      s"phase-1 must scan qv8 WITHOUT embedding; scans:\n${scans.mkString("\n")}")
+    assert(scans.forall(l => !(l.contains("qv8") && l.contains("embedding"))),
+      s"no scan may read both code and embedding columns:\n${scans.mkString("\n")}")
+    // rerank=0 opt-out: one-phase float path, no code column read at all
+    val exact = AnnIndexStore.query(spark, root, q, k = 3, rerank = 0)
+    val exactRows = exact.select("neighbor_id").as[Long].collect().toSet
+    assert(exactRows == result.select("neighbor_id").as[Long].collect().toSet)
+    assert(!exact.queryExecution.executedPlan.toString.contains("qv8"),
+      "rerank=0 must not touch the quantized column")
+    spark.catalog.clearCache()
+  }
+
   test("pre-quantization index still queries; first append migrates it whole") {
     val root = Files.createTempDirectory("graft-ivf-legacy").toString + "/index"
     val p = AnnIndexStore.Paths(root)
