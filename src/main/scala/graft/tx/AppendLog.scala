@@ -28,12 +28,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * folded files ARE the log. */
 object AppendLog {
 
+  /** Default [[append]] fold threshold: when the log exceeds this many
+    * flat files, the append first folds them into one — so the file
+    * count (and the per-read listing cost) stays bounded no matter how
+    * many years of appends accumulate. */
+  val FoldThreshold = 64
+
   /** Append one batch as ONE new parquet file. With `tag`, the file
     * name is `log_<tag>.parquet` — deterministic, so replaying the same
-    * tagged append overwrites rather than duplicates. */
+    * tagged append overwrites rather than duplicates. (A later fold
+    * absorbs tagged files too; [[tagged]] then reports false for them —
+    * callers needing exactly-once across folds keep a content check as
+    * the fallback, see Runner.recordFactChanges.) */
   def append(spark: SparkSession, root: String, rows: DataFrame,
-             tag: Option[String] = None): Unit = {
+             tag: Option[String] = None,
+             foldThreshold: Int = FoldThreshold): Unit = {
     migrateLegacy(spark, root)
+    completeFold(spark, root)
+    if (partFiles(spark, root).length > foldThreshold) fold(spark, root)
     tag match {
       case None =>
         // control-plane rows are tiny; one file per append, not one
@@ -53,6 +65,88 @@ object AppendLog {
   }
 
   private def suffix(i: Int) = if (i == 0) ".parquet" else s"_$i.parquet"
+
+  private val FoldMarker = "_COMPACTING"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def partFiles(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+  }
+
+  /** Fold every current flat file into one `compact_<n>.parquet`.
+    * Crash-safe via the `_COMPACTING` marker (first line = target name,
+    * rest = source files whose rows the target duplicates):
+    *
+    *  1. stage the union of the sources to a dot-dir
+    *  2. write the marker
+    *  3. rename the staged file to the target
+    *  4. delete the sources, then the marker
+    *
+    * [[read]] honors the marker: sources are excluded ONLY once the
+    * target exists (before that, they are still the only copy). A crash
+    * at any step leaves a state [[completeFold]] finishes or rolls back
+    * on the next append. */
+  private def fold(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val sources = partFiles(spark, root)
+    if (sources.length < 2) return
+    val gen = 1 + sources.flatMap { n =>
+      "compact_(\\d+)\\.parquet".r.findFirstMatchIn(n).map(_.group(1).toInt)
+    }.foldLeft(0)(math.max)
+    val target = s"compact_$gen.parquet"
+    val staged = new Path(root, ".stage")
+    spark.read.parquet(sources.map(n => s"$root/$n"): _*).coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    val stagedParts = f.listStatus(staged)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    require(stagedParts.length == 1, s"fold staged ${stagedParts.length} files")
+    writeText(f, new Path(root, FoldMarker),
+      (target +: sources).mkString("\n"))
+    if (!f.rename(stagedParts.head.getPath, new Path(root, target)))
+      throw new IllegalStateException(s"fold rename failed for $root/$target")
+    sources.foreach(n => f.delete(new Path(root, n), false))
+    f.delete(new Path(root, FoldMarker), false)
+    f.delete(staged, true)
+  }
+
+  /** Finish (or roll back) a fold a crash interrupted: target present →
+    * delete the remaining duplicated sources and the marker; target
+    * absent → the sources are still the only copy, drop the marker and
+    * any stale stage so the fold can restart cleanly. */
+  private def completeFold(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val marker = new Path(root, FoldMarker)
+    if (!f.exists(marker)) return
+    val lines = readText(f, marker).split("\n").toSeq.filter(_.nonEmpty)
+    val (target, sources) = (lines.head, lines.tail)
+    if (f.exists(new Path(root, target)))
+      sources.foreach(n => f.delete(new Path(root, n), false))
+    f.delete(marker, false)
+    f.delete(new Path(root, ".stage"), true)
+  }
+
+  private def writeText(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                        s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val len = f.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Stage `rows` to a dot-dir under the log root, then rename the
     * part files to `name(i)` with overwrite semantics (delete-existing
@@ -121,8 +215,24 @@ object AppendLog {
         f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
   }
 
-  /** Read the full log (a pre-migration legacy layout is still readable). */
+  /** Read the full log (a pre-migration legacy layout is still
+    * readable, and a mid-fold state never double-counts: sources listed
+    * in the fold marker are excluded only once their folded target
+    * exists). */
   def read(spark: SparkSession, root: String): DataFrame =
     if (AtomicRewrite.exists(spark, root)) AtomicRewrite.read(spark, root)
-    else spark.read.parquet(root)
+    else {
+      val p = new Path(root)
+      val f = fs(spark, p)
+      val marker = new Path(root, FoldMarker)
+      if (!f.exists(marker)) spark.read.parquet(root)
+      else {
+        val lines = readText(f, marker).split("\n").toSeq.filter(_.nonEmpty)
+        val (target, sources) = (lines.head, lines.tail.toSet)
+        val files = partFiles(spark, root)
+        val selected =
+          if (files.contains(target)) files.filterNot(sources) else files
+        spark.read.parquet(selected.map(n => s"$root/$n"): _*)
+      }
+    }
 }

@@ -25,6 +25,69 @@ class AppendLogSpec extends SparkSpec {
     assert(!AppendLog.tagged(spark, root, "v3"))
   }
 
+  test("over-threshold appends fold the log to a bounded file count") {
+    val root = Files.createTempDirectory("graft-alog-fold").toString + "/log"
+    for (i <- 1 to 6)
+      AppendLog.append(spark, root, Seq((i.toLong, s"r$i")).toDF("v", "x"),
+        foldThreshold = 4)
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(files.length <= 5, s"fold must bound the file count: ${files.toSeq}")
+    assert(files.exists(_.startsWith("compact_")), s"expected a folded file: ${files.toSeq}")
+    assert(AppendLog.read(spark, root).count() == 6, "folding must not lose rows")
+    // keep appending past another threshold crossing: still bounded, still complete
+    for (i <- 7 to 12)
+      AppendLog.append(spark, root, Seq((i.toLong, s"r$i")).toDF("v", "x"),
+        foldThreshold = 4)
+    assert(AppendLog.read(spark, root).count() == 12)
+    assert(new java.io.File(root).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 5)
+  }
+
+  test("fold crash states: marker without target keeps sources; with target dedups") {
+    val root = Files.createTempDirectory("graft-alog-crash").toString + "/log"
+    AppendLog.append(spark, root, Seq((1L, "a")).toDF("v", "x"))
+    AppendLog.append(spark, root, Seq((2L, "b")).toDF("v", "x"))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+
+    // crash AFTER the marker write, BEFORE the target rename: the
+    // sources are still the only copy and must all be readable
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMPACTING")
+    val out = f.create(marker, true)
+    out.write(("compact_1.parquet" +: parts.toSeq).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    assert(AppendLog.read(spark, root).count() == 2,
+      "target absent -> sources must not be excluded")
+    // the next append rolls the aborted fold back and proceeds
+    AppendLog.append(spark, root, Seq((3L, "c")).toDF("v", "x"))
+    assert(!f.exists(marker))
+    assert(AppendLog.read(spark, root).count() == 3)
+
+    // crash AFTER the target rename, BEFORE source deletion: target
+    // duplicates the sources; reads must exclude them, and the next
+    // append must finish the deletes
+    val parts2 = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    AppendLog.read(spark, root).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/.stage")
+    val staged = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/.stage"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val out2 = f.create(marker, true)
+    out2.write(("compact_9.parquet" +: parts2.toSeq).mkString("\n").getBytes("UTF-8"))
+    out2.close()
+    f.rename(staged, new org.apache.hadoop.fs.Path(root, "compact_9.parquet"))
+    assert(AppendLog.read(spark, root).count() == 3,
+      "target present -> duplicated sources must be excluded")
+    AppendLog.append(spark, root, Seq((4L, "d")).toDF("v", "x"))
+    assert(!f.exists(marker))
+    assert(AppendLog.read(spark, root).count() == 4)
+    assert(parts2.forall(n => !new java.io.File(s"$root/$n").exists()),
+      "finished fold must have deleted the duplicated sources")
+  }
+
   test("legacy fold-in: reads stay correct mid-migration; retry never duplicates") {
     val root = Files.createTempDirectory("graft-alog-mig").toString + "/log"
     AtomicRewrite.write(spark, root,
