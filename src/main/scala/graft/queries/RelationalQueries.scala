@@ -465,6 +465,42 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // ROLLUP subtotal hierarchy (year → year+month → grand total) with
+    // grouping_id disambiguating subtotal rows from genuine NULL groups.
+    // One pass: Spark expands the grouping sets BEFORE the shuffle and
+    // partial-aggregates each set map-side — no per-level re-scan of the
+    // fact, which is how a naive subtotal union would behave at 100 TB.
+    "q96_rollup" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          col("o_totalprice"))
+      o.rollup(col("o_year"), col("o_month"))
+        .agg(count(lit(1)).as("orders_total"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+            .as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    // Status × priority PIVOT — the crosstab every BI layer asks of a
+    // fact. Spark's pivot with EXPLICIT values: the value list is fixed
+    // up front, so the plan is ONE pass with per-bucket conditional
+    // partial aggregates (no second job to discover distinct values, no
+    // wide-row shuffle; columns, not rows, carry the matrix).
+    "q97_pivot" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("status"),
+          coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+    }),
+
     // 7-day moving average per event type — the trend smoother on every
     // ops dashboard: one day-grain pre-aggregation (map-side combined),
     // then a bounded rows-window over the TINY daily frame. The window
@@ -987,6 +1023,20 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q96_rollup" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        | count(*) AS orders_total,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        | CAST(GROUPING(o_year, o_month) AS INT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_year, o_month)""".stripMargin,
+    "q97_pivot" ->
+      """SELECT o_orderstatus AS status,
+        | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        | count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY 1""".stripMargin,
     "q92_moving_avg" ->
       """WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |  count(*) AS n,
