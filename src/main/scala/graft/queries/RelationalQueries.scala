@@ -465,6 +465,40 @@ object RelationalQueries {
           "est_ge_exact", "est_within_eps")
     }),
 
+    // INTERSECT / EXCEPT set algebra over customer cohorts (§2.7's set
+    // ops beyond union): both execute as hash semi/anti joins on the
+    // distinct key sets — no sort, shuffle only on the cohort keys,
+    // which are already one-column distinct frames far smaller than the
+    // fact that produced them.
+    "q98_set_ops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      val a = o.filter(col("y") === 1994).select("o_custkey").distinct()
+      val b = o.filter(col("y") === 1995).select("o_custkey").distinct()
+      a.intersect(b).withColumn("cohort", lit("both_years"))
+        .unionByName(a.except(b).withColumn("cohort", lit("only_1994")))
+        .unionByName(b.except(a).withColumn("cohort", lit("only_1995")))
+    }),
+
+    // Schema-on-read over a JSON event payload: from_json projects the
+    // typed field ONCE in a narrow codegen'd map (no UDF, no repeated
+    // string parsing per reference), then an ordinary keyed aggregate.
+    // The 100 TB point: semi-structured columns parse at scan speed and
+    // never leave the executor as strings.
+    "q99_json_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     // ROLLUP subtotal hierarchy (year → year+month → grand total) with
     // grouping_id disambiguating subtotal rows from genuine NULL groups.
     // One pass: Spark expands the grouping sets BEFORE the shuffle and
@@ -1022,6 +1056,21 @@ object RelationalQueries {
     "q29_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | true AS within_10pct
+        |FROM events GROUP BY 1""".stripMargin,
+    "q98_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |SELECT o_custkey, 'both_years' AS cohort
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1994' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin,
+    "q99_json_extract" ->
+      """SELECT event_type,
+        | count(CAST(props->>'k' AS INT)) AS n_with_k,
+        | sum(CAST(props->>'k' AS INT)) AS sum_k,
+        | max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
     "q96_rollup" ->
       """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
