@@ -366,7 +366,7 @@ object MobilityDomain {
     val silver = (
       if (silver0.columns.contains("is_current")) silver0.filter(col("is_current"))
       else silver0
-    ).drop(graft.pipeline.Scd2.MetaCols.filterNot(_ == "scd_hash") :+ "archive_month": _*)
+    ).drop(graft.pipeline.Scd2.MetaCols.filterNot(_ == "scd_hash") ++ Seq("archive_month", "key_bucket"): _*)
     val wm: Option[java.sql.Timestamp] =
       if (!exists) None
       else Option(AtomicRewrite.read(spark, target)

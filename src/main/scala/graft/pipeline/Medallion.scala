@@ -122,14 +122,18 @@ object Medallion {
     * `load_date` before the exact `raw_loaded_at` filter (reference's
     * two-filter idiom), then single-pass SCD2 merge.
     *
-    * The silver table is hive-partitioned on a derived `archive_month`:
-    * 0 for current rows (the hot partition), else yyyyMM of `valid_to`
-    * for closed history. A batch merges against the CURRENT partition
-    * only and commits: the rewritten hot partition + the month
-    * partition(s) its closed-out versions archive into; every other
-    * month of closed history carries across the commit by manifest
-    * reference. Per-batch silver cost is O(current + batch) — the last
-    * of the M1–M5 merges to shed the O(all-time-history) rewrite. */
+    * The silver table is hive-partitioned TWO levels deep:
+    * `archive_month` (0 for current rows, else yyyyMM of `valid_to`) ×
+    * `key_bucket` (stable business-key hash, [[DimBuckets]] dirs). A
+    * batch merges against ONLY the hot buckets its keys hash into and
+    * commits: those hot-bucket dirs plus the (month, bucket) dirs its
+    * closed-out versions archive into; every other dir — all of closed
+    * history AND the hot buckets of untouched keys — carries across the
+    * commit by manifest reference. Per-batch silver cost is
+    * O(batch + touched buckets' current rows): the month-only layout
+    * still rewrote the ENTIRE hot partition (O(current)) per batch,
+    * which IncBench measured as silver_ratio ≈ 1.0 — the last
+    * O(current)-per-batch writer in the pipeline. */
   def silverScd2(spark: SparkSession, paths: Paths, conf: SilverConf,
                  now: Timestamp): Long = {
     val job = s"silver_${conf.entity}"
@@ -149,45 +153,61 @@ object Medallion {
       val flagged = conf.flags.foldLeft(cleaned) { case (df, (name, expr)) =>
         df.withColumn(name, expr)
       }
+      val layout = Seq("archive_month", "key_bucket")
       val prepared = Scd2.prepare(flagged, conf.businessCols, "raw_loaded_at")
         .withColumn("archive_month", lit(0))
+        .withColumn("key_bucket", keyBucket(conf.keys, DimBuckets))
       val target = paths.silver(conf.entity)
       val stamp = (df: DataFrame) => df.withColumn("archive_month",
         when(col("is_current"), lit(0))
           .otherwise(date_format(col("valid_to"), "yyyyMM").cast("int")))
       val exists = AtomicRewrite.exists(spark, target)
-      val legacy = exists &&
-        !AtomicRewrite.read(spark, target).columns.contains("archive_month")
+      // one-time migrations: pre-layout tables (neither column) and
+      // month-only tables (no key_bucket) both take the full-write path
+      val legacy = exists && {
+        val cs = AtomicRewrite.read(spark, target).columns
+        !cs.contains("archive_month") || !cs.contains("key_bucket")
+      }
       if (!exists || legacy) {
-        // bootstrap (or one-time migration of a pre-layout table): full
-        // merge, full hive-partitioned snapshot
+        // bootstrap (or one-time migration): full merge, full
+        // two-level hive-partitioned snapshot
         val history =
-          if (exists) AtomicRewrite.read(spark, target)
-            .withColumn("archive_month", lit(0)) // dropped below; aligns schema
-          else prepared.limit(0)
+          if (exists) {
+            val h = AtomicRewrite.read(spark, target)
+            val h1 = // aligns schema; restamped below
+              if (h.columns.contains("archive_month")) h
+              else h.withColumn("archive_month", lit(0))
+            if (h1.columns.contains("key_bucket")) h1
+            else h1.withColumn("key_bucket", keyBucket(conf.keys, DimBuckets))
+          } else prepared.limit(0)
         val next = stamp(Scd2.apply(history, prepared, conf.keys, conf.orderCols))
-        AtomicRewrite.write(spark, target, next, Seq("archive_month"))
+        AtomicRewrite.write(spark, target, next, layout)
       } else {
         val history = AtomicRewrite.read(spark, target)
-        val current = history.filter(col("archive_month") === 0) // pruned scan
+        // the batch's bucket set — tiny — prunes the hot read: untouched
+        // keys' current rows are bystanders in OTHER bucket dirs and ride
+        // the manifest (the whole point of the second partition level)
+        val bucketRows = prepared.select(col("key_bucket")).distinct().collect()
+        val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
+          org.apache.spark.sql.types.StructType(Seq(history.schema("key_bucket"))))
+        val current = history.filter(col("archive_month") === 0)
+          .join(broadcast(bks), Seq("key_bucket"), "left_semi")
         val merged = stamp(
           Scd2.apply(current, prepared, conf.keys, conf.orderCols)).persist()
-        // months gaining newly-closed rows: their existing closed rows must
-        // ride along in the rewrite (a partition commit replaces whole dirs)
-        val closedMonths = merged.filter(col("archive_month") =!= 0)
-          .select("archive_month").distinct().collect().map(_.getInt(0)).toSeq
-        val existing =
-          if (closedMonths.isEmpty) merged.limit(0)
-          else history.filter(col("archive_month")
-            .isin(closedMonths.map(Int.box): _*)) // pruned scan
-        val replaced = AtomicRewrite.literalFrame(spark,
-          closedMonths.map(m => org.apache.spark.sql.Row(m)) :+
-            org.apache.spark.sql.Row(0),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("archive_month",
-              org.apache.spark.sql.types.IntegerType))))
+        // dirs to replace: the touched hot buckets ∪ the (month, bucket)
+        // dirs gaining newly-closed rows; existing closed rows of those
+        // dirs must ride along (a partition commit replaces whole dirs)
+        val closedPairs = merged.filter(col("archive_month") =!= 0)
+          .select(col("archive_month"), col("key_bucket")).distinct().collect()
+        val pairRows = (closedPairs.toSeq ++ bucketRows.toSeq.map(r =>
+          org.apache.spark.sql.Row(0, r.getInt(0)))).distinct
+        val replaced = AtomicRewrite.literalFrame(spark, pairRows,
+          org.apache.spark.sql.types.StructType(
+            layout.map(c => history.schema(c))))
+        val existing = history.filter(col("archive_month") =!= 0)
+          .join(broadcast(replaced), layout, "left_semi")
         AtomicRewrite.writePartitions(spark, target,
-          merged.unionByName(existing), Seq("archive_month"),
+          merged.unionByName(existing), layout,
           replaced = Some(replaced))
         merged.unpersist()
       }
@@ -210,15 +230,20 @@ object Medallion {
     else silver.filter(col("is_current"))
   }
 
-  /** Hive-partition dir count for snapshot/SCD3 dims: a stable hash of
-    * the business key, so a key NEVER changes partition and a batch's
-    * commit rewrites only the buckets its keys hash into. 64 dirs keeps
-    * each bucket ~dim/64 — small enough that a scattered batch still
-    * rewrites a fraction of the dim, big enough to avoid a dir explosion
-    * (the grain is a config choice, like the fact month partition). */
+  /** Hive-partition dir count for the silver hot partition and the
+    * snapshot/SCD3 dims: a stable hash of the business key, so a key
+    * NEVER changes partition and a batch's commit rewrites only the
+    * buckets its keys hash into — cost per batch ≈ touched_buckets ×
+    * bucket_size, proportional to batch SPREAD, never to table size.
+    * 64 dirs fits the test scale; at a 10⁹-key table size the count so
+    * each bucket is ~a few parquet files (the grain is a config choice,
+    * like the fact month partition). The count is a TABLE-LIFETIME
+    * constant, exactly like hive bucketing: changing it on an existing
+    * table remaps keys across dirs and corrupts partition-sliced merges
+    * — migrate through a full rewrite instead. */
   val DimBuckets = 64
 
-  private def keyBucket(keys: Seq[String], buckets: Int): Column =
+  private[pipeline] def keyBucket(keys: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
 
   /** SCD1 snapshot dim: silver current rows upserted on key (reference
@@ -246,7 +271,7 @@ object Medallion {
     val job = s"gold_dim_${entity}_snapshot"
     failSafe(spark, paths, job, now) {
     val cur0 = silverCurrent(spark, paths, entity)
-      .drop("valid_from", "valid_to", "is_current", "archive_month")
+      .drop("valid_from", "valid_to", "is_current", "archive_month", "key_bucket")
     val target = paths.gold(s"dim_${entity}_snapshot")
     val stamp = (df: DataFrame) =>
       df.withColumn("key_bucket", keyBucket(keys, buckets))
@@ -319,7 +344,7 @@ object Medallion {
                    keys: Seq[String], now: Timestamp): Unit = {
     val target = paths.gold(s"dim_${entity}_hist")
     val silver = AtomicRewrite.read(spark, paths.silver(entity))
-      .drop("archive_month") // restamped below; hist owns its layout
+      .drop("archive_month", "key_bucket") // restamped below; hist owns its layout
     val stamp = (df: DataFrame) => df.withColumn("archive_month",
       when(col("is_current"), lit(0))
         .otherwise(date_format(col("valid_to"), "yyyyMM").cast("int")))
@@ -414,7 +439,7 @@ object Medallion {
     failSafe(spark, paths, job, now) {
     val target = paths.gold(s"dim_${entity}_scd3")
     val silver = AtomicRewrite.read(spark, paths.silver(entity))
-      .drop("archive_month")
+      .drop("archive_month", "key_bucket")
     val order = Seq(col("valid_from").desc, col("scd_hash").desc)
     val stamp = (df: DataFrame) =>
       df.withColumn("key_bucket", keyBucket(Seq(key), buckets))
@@ -542,7 +567,7 @@ object Medallion {
     val target = paths.gold(factName)
     val exists = AtomicRewrite.exists(spark, target)
     val silverCur = silverCurrent(spark, paths, silverEntity)
-      .drop("valid_from", "valid_to", "is_current", "archive_month")
+      .drop("valid_from", "valid_to", "is_current", "archive_month", "key_bucket")
     // incremental cut from the fact's OWN control-table watermark (the
     // bronze/silver mechanism) — deriving it from max(raw_loaded_at)
     // over the fact would add an O(table) scan to an O(batch) commit

@@ -48,12 +48,20 @@ object Scd2 {
     // of valid_to) is maintained HERE so every SCD2 writer — batch or
     // streaming — keeps it consistent: the batch is aligned in, and the
     // merged output restamped (a closed row carries its pre-close value
-    // through the join otherwise)
+    // through the join otherwise). key_bucket (the second partition
+    // level: stable key hash) likewise — it is a pure function of the
+    // business key, so stamping the batch once is enough (a key never
+    // changes bucket).
     val hasArchive = cols.contains("archive_month")
-    val aligned =
+    val aligned0 =
       if (hasArchive && !batch.columns.contains("archive_month"))
         batch.withColumn("archive_month", lit(0))
       else batch
+    val aligned =
+      if (cols.contains("key_bucket") && !aligned0.columns.contains("key_bucket"))
+        aligned0.withColumn("key_bucket",
+          Medallion.keyBucket(keys, Medallion.DimBuckets))
+      else aligned0
     val latest = Dedup.latestPerKey(aligned.select(cols.map(col): _*),
       keys.map(col), orderCols.map(c => col(c).desc))
 

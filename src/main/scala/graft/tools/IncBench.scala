@@ -67,6 +67,24 @@ object IncBench {
       s""""silver_ratio":${silverFull.toDouble / math.max(silverInc, 1)},""" +
       s""""agg_rows_total":$rows,"sf":"$sfDir"}""")
 
+    // batch 2: a FIVE-order correction. The 500-key batch above touches
+    // every one of the 64 hot buckets (coupon collector), so its silver
+    // commit is legitimately ~the hot partition; this batch touches ≤5
+    // buckets — the other 59+ hot buckets and all archive months must
+    // ride the manifest. Cost model: touched_buckets × bucket_size, i.e.
+    // proportional to batch spread, not to table size.
+    val upd = orders.orderBy("o_orderkey").limit(5)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("o_orderdate",
+        (lit(maxDate).cast("timestamp") + expr("INTERVAL 2 DAY")))
+    Runner.runBatch(spark, root, customer, upd,
+      Timestamp.valueOf("2024-01-03 00:00:00"), "b2")
+    val silverV2 = dirBytes(spark, s"$root/silver/orders/v=2")
+    val silverTotal = silverFull + silverInc + silverV2
+    println(s"""{"metric":"small_batch_silver","updated_keys":5,""" +
+      s""""silver_total_bytes":$silverTotal,"silver_small_inc_bytes":$silverV2,""" +
+      s""""silver_small_ratio":${silverTotal.toDouble / math.max(silverV2, 1)}}""")
+
     // --- hist-dim write amplification under GROWING history: the same
     // one-batch commit against 10× more closed history must stage the
     // same bytes (hot partition + the batch's archive month), proving

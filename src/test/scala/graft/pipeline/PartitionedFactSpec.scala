@@ -91,6 +91,14 @@ class PartitionedFactSpec extends SparkSpec {
         s"b$now", now)
       Medallion.silverScd2(spark, paths, conf, now)
     }
+    def pq(dir: java.io.File): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      if (!dir.exists()) Set.empty
+      else walk(dir).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath.stripPrefix(dir.getAbsolutePath),
+          f.lastModified())).toSet
+    }
     // Jan: both keys current
     runSilver(ts("2024-01-10 10:00:00"),
       (1L, 10.0, "2024-01-01 05:00:00", "2024-01-01 05:00:00"),
@@ -100,17 +108,25 @@ class PartitionedFactSpec extends SparkSpec {
       (1L, 11.0, "2024-01-01 05:00:00", "2024-02-15 05:00:00"))
     val feb = new java.io.File(s"$silverRoot/v=1/archive_month=202402")
     assert(feb.exists(), "newly closed rows must land in their archive month")
-    val febFiles = feb.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.lastModified())).toSet
+    val febFiles = pq(feb)
+    assert(febFiles.nonEmpty)
     // Mar: key 2 changes → closes into 202403; February's partition must
-    // ride the manifest, not be restaged
+    // ride the manifest, not be restaged — and with the two-level layout
+    // key 1's HOT BUCKET must ride too (key 2's batch touches only its
+    // own bucket)
     runSilver(ts("2024-03-20 10:00:00"),
       (2L, 21.0, "2024-01-01 06:00:00", "2024-03-20 05:00:00"))
     assert(!new java.io.File(s"$silverRoot/v=2/archive_month=202402").exists(),
       "untouched archive month was restaged")
-    assert(feb.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.lastModified())).toSet == febFiles,
+    assert(pq(feb) == febFiles,
       "untouched archive month files were rewritten")
+    val buckets = Seq(1L, 2L).toDF("oid")
+      .select(col("oid"), pmod(xxhash64(col("oid")), lit(Medallion.DimBuckets))
+        .cast("int").as("b")).as[(Long, Int)].collect().toMap
+    if (buckets(1L) != buckets(2L))
+      assert(!new java.io.File(
+          s"$silverRoot/v=2/archive_month=0/key_bucket=${buckets(1L)}").exists(),
+        "untouched hot bucket was restaged by another key's batch")
     val silver = AtomicRewrite.read(spark, silverRoot)
     assert(silver.count() == 4)
     assert(silver.filter(col("is_current")).count() == 2)
