@@ -72,12 +72,12 @@ object Gdpr {
           if (partRows.nonEmpty) {
             val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
               org.apache.spark.sql.types.StructType(pcols.map(c => t.schema(c))))
-            // null-SAFE partition match: a NULL partition value is a
-            // legal dir (__HIVE_DEFAULT_PARTITION__); a null-unsafe
-            // semi-join would exclude its rows from the slice while
-            // `replaced` still names the dir — deleting every row in it
-            val cond = pcols.map(c => t(c) <=> parts(c)).reduce(_ && _)
-            val slice = t.join(broadcast(parts), cond, "left_semi")
+            // literal predicate → plan-time partition pruning; null-SAFE
+            // via `<=>`: a NULL partition value is a legal dir
+            // (__HIVE_DEFAULT_PARTITION__) whose bystander rows must be
+            // in the slice while `replaced` names the dir
+            val slice = t.filter(
+              AtomicRewrite.partitionPredicate(pcols, partRows.toSeq))
             AtomicRewrite.writePartitions(spark, root,
               Upsert.updateOnly(slice, subjects, Seq(p.keyCol), p.setCols,
                 p.extraCond),

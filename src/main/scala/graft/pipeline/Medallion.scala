@@ -184,16 +184,20 @@ object Medallion {
         AtomicRewrite.write(spark, target, next, layout)
       } else {
         val history = AtomicRewrite.read(spark, target)
-        // the batch's bucket set — tiny — prunes the hot read: untouched
-        // keys' current rows are bystanders in OTHER bucket dirs and ride
-        // the manifest (the whole point of the second partition level)
-        val bucketRows = prepared.select(col("key_bucket")).distinct().collect()
-        val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
-          org.apache.spark.sql.types.StructType(Seq(history.schema("key_bucket"))))
-        val current = history.filter(col("archive_month") === 0)
-          .join(broadcast(bks), Seq("key_bucket"), "left_semi")
+        // persisted: the bucket-set collect would otherwise re-run the
+        // whole bronze-read/clean/prepare pipeline a second time when
+        // the merge materializes
+        val prep = prepared.persist()
+        // the batch's bucket set — tiny — prunes the hot read AS A
+        // LITERAL PREDICATE (plan-time partition pruning; a semi-join
+        // would depend on dynamic partition pruning firing): untouched
+        // keys' current rows are bystanders in OTHER bucket dirs and
+        // ride the manifest (the point of the second partition level)
+        val bucketRows = prep.select(col("key_bucket")).distinct().collect()
+        val current = history.filter(col("archive_month") === 0 &&
+          AtomicRewrite.partitionPredicate(Seq("key_bucket"), bucketRows.toSeq))
         val merged = stamp(
-          Scd2.apply(current, prepared, conf.keys, conf.orderCols)).persist()
+          Scd2.apply(current, prep, conf.keys, conf.orderCols)).persist()
         // dirs to replace: the touched hot buckets ∪ the (month, bucket)
         // dirs gaining newly-closed rows; existing closed rows of those
         // dirs must ride along (a partition commit replaces whole dirs)
@@ -204,12 +208,14 @@ object Medallion {
         val replaced = AtomicRewrite.literalFrame(spark, pairRows,
           org.apache.spark.sql.types.StructType(
             layout.map(c => history.schema(c))))
-        val existing = history.filter(col("archive_month") =!= 0)
-          .join(broadcast(replaced), layout, "left_semi")
+        val existing =
+          if (closedPairs.isEmpty) merged.limit(0)
+          else history.filter(
+            AtomicRewrite.partitionPredicate(layout, closedPairs.toSeq))
         AtomicRewrite.writePartitions(spark, target,
           merged.unionByName(existing), layout,
           replaced = Some(replaced))
-        merged.unpersist()
+        merged.unpersist(); prep.unpersist()
       }
       Watermarks.advance(spark, paths.control, job,
         Option(stats.getTimestamp(1)), "OK", now)
@@ -302,7 +308,9 @@ object Medallion {
       val bucketRows = cur.select(col("key_bucket")).distinct().collect()
       val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
         org.apache.spark.sql.types.StructType(Seq(dim.schema("key_bucket"))))
-      val slice = dim.join(broadcast(bks), Seq("key_bucket"), "left_semi")
+      // literal predicate → plan-time partition pruning of the dim scan
+      val slice = dim.filter(
+        AtomicRewrite.partitionPredicate(Seq("key_bucket"), bucketRows.toSeq))
       AtomicRewrite.writePartitions(spark, target,
         Upsert.scd1(slice, cur, keys,
           updateWhen = (t, s) => s("raw_loaded_at") > t("raw_loaded_at")),
@@ -403,15 +411,16 @@ object Medallion {
     }
     val months = AtomicRewrite.literalFrame(spark, monthRows.toSeq,
       org.apache.spark.sql.types.StructType(Seq(history.schema("archive_month"))))
-    // null-SAFE month match: a NULL archive_month is a legal partition
-    // dir; a null-unsafe semi-join would drop its bystander rows from
-    // the rewrite while `replaced` still names the dir
-    val replacement = silverAff.join(broadcast(months),
-        silverAff("archive_month") <=> months("archive_month"), "left_semi")
+    // literal month predicate: plan-time partition pruning (a semi-join
+    // would rely on dynamic pruning firing), null-SAFE via `<=>` — a
+    // NULL archive_month is a legal partition dir whose bystanders must
+    // ride the rewrite
+    val monthPred =
+      AtomicRewrite.partitionPredicate(Seq("archive_month"), monthRows.toSeq)
+    val replacement = silverAff.filter(monthPred)
       .withColumn("dwh_loaded_at", lit(now))
       .select(history.columns.toIndexedSeq.map(col): _*)
-    val slice = history.join(broadcast(months),
-        history("archive_month") <=> months("archive_month"), "left_semi")
+    val slice = history.filter(monthPred)
       .join(broadcast(affected), keys, "left_anti")
       .unionByName(replacement)
     AtomicRewrite.writePartitions(spark, target, slice, Seq("archive_month"),
@@ -491,7 +500,10 @@ object Medallion {
     val bucketRows = sAll.select(col("key_bucket")).distinct().collect()
     val bks = AtomicRewrite.literalFrame(spark, bucketRows.toSeq,
       org.apache.spark.sql.types.StructType(Seq(dim.schema("key_bucket"))))
-    val t = dim.join(broadcast(bks), Seq("key_bucket"), "left_semi").alias("t")
+    // literal predicate → plan-time partition pruning of the dim scan
+    val t = dim.filter(
+      AtomicRewrite.partitionPredicate(Seq("key_bucket"), bucketRows.toSeq))
+      .alias("t")
     val s = sAll
       .select(cols.map(col) :+ col("__has_intermediate"): _*).alias("s")
     val joined = t.join(s, t(key) <=> s(key), "full_outer")
@@ -617,7 +629,9 @@ object Medallion {
         val affected = AtomicRewrite.literalFrame(spark, affectedRows.toSeq,
           org.apache.spark.sql.types.StructType(
             partitionBy.map(c => full.schema(c))))
-        val slice = full.join(broadcast(affected), partitionBy, "left_semi")
+        // literal predicate → plan-time partition pruning of the fact scan
+        val slice = full.filter(
+          AtomicRewrite.partitionPredicate(partitionBy, affectedRows.toSeq))
         AtomicRewrite.writePartitions(spark, target,
           Upsert.scd1(slice, validated, keys, guard), partitionBy,
           replaced = Some(affected))
@@ -707,8 +721,9 @@ object Medallion {
         val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
           org.apache.spark.sql.types.StructType(
             partitionBy.map(c => slice.schema(c))))
-        val targetSlice = AtomicRewrite.read(spark, target)
-          .join(broadcast(parts), partitionBy, "left_semi")
+        // literal predicate → plan-time partition pruning of the agg scan
+        val targetSlice = AtomicRewrite.read(spark, target).filter(
+          AtomicRewrite.partitionPredicate(partitionBy, partRows.toSeq))
         AtomicRewrite.writePartitions(spark, target,
           Upsert.scd1(targetSlice, slice, keyCols, guard), partitionBy,
           replaced = Some(parts))
@@ -759,7 +774,9 @@ object Medallion {
       val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
         org.apache.spark.sql.types.StructType(
           partitionBy.map(c => stored.schema(c))))
-      val partSlice = stored.join(broadcast(parts), partitionBy, "left_semi")
+      // literal predicate → plan-time partition pruning of the agg scan
+      val partSlice = stored.filter(
+          AtomicRewrite.partitionPredicate(partitionBy, partRows.toSeq))
         .join(broadcast(g), keyCols, "left_anti")
         .unionByName(rebuilt)
       AtomicRewrite.writePartitions(spark, target, partSlice, partitionBy,

@@ -43,16 +43,20 @@ object AppendLog {
   def append(spark: SparkSession, root: String, rows: DataFrame,
              tag: Option[String] = None,
              foldThreshold: Int = FoldThreshold): Unit = {
+    tag.foreach(t => require(t.matches("[A-Za-z0-9._-]+"), s"unsafe append tag: $t"))
     migrateLegacy(spark, root)
     completeFold(spark, root)
-    if (partFiles(spark, root).length > foldThreshold) fold(spark, root)
+    if (partFiles(spark, root).length > foldThreshold)
+      // a replayed TAGGED append must stay an overwrite: its existing
+      // file is excluded from the fold (folding it AND rewriting it
+      // below would duplicate the tag's rows)
+      fold(spark, root, exclude = tag.map(t => s"log_$t.parquet").toSet)
     tag match {
       case None =>
         // control-plane rows are tiny; one file per append, not one
         // sliver per shuffle partition
         rows.coalesce(1).write.mode("append").parquet(root)
       case Some(t) =>
-        require(t.matches("[A-Za-z0-9._-]+"), s"unsafe append tag: $t")
         stageAndRename(spark, root, rows, i => s"log_$t${suffix(i)}")
     }
   }
@@ -92,17 +96,22 @@ object AppendLog {
     * target exists (before that, they are still the only copy). A crash
     * at any step leaves a state [[completeFold]] finishes or rolls back
     * on the next append. */
-  private def fold(spark: SparkSession, root: String): Unit = {
+  private def fold(spark: SparkSession, root: String,
+                   exclude: Set[String] = Set.empty): Unit = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
-    val sources = partFiles(spark, root)
+    val sources = partFiles(spark, root).filterNot(exclude)
     if (sources.length < 2) return
     val gen = 1 + sources.flatMap { n =>
       "compact_(\\d+)\\.parquet".r.findFirstMatchIn(n).map(_.group(1).toInt)
     }.foldLeft(0)(math.max)
     val target = s"compact_$gen.parquet"
     val staged = new Path(root, ".stage")
-    spark.read.parquet(sources.map(n => s"$root/$n"): _*).coalesce(1)
+    // mergeSchema: appended files may carry evolved schemas; folding
+    // through one file's footer would silently drop the other files'
+    // columns — irreversibly, since the sources are deleted
+    spark.read.option("mergeSchema", "true")
+      .parquet(sources.map(n => s"$root/$n"): _*).coalesce(1)
       .write.mode("overwrite").parquet(staged.toString)
     val stagedParts = f.listStatus(staged)
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -126,9 +135,14 @@ object AppendLog {
     val marker = new Path(root, FoldMarker)
     if (!f.exists(marker)) return
     val lines = readText(f, marker).split("\n").toSeq.filter(_.nonEmpty)
-    val (target, sources) = (lines.head, lines.tail)
-    if (f.exists(new Path(root, target)))
-      sources.foreach(n => f.delete(new Path(root, n), false))
+    // an EMPTY/truncated marker (crash inside the marker write itself)
+    // is an aborted fold: nothing was renamed, the sources are intact —
+    // drop the marker and move on rather than wedging on lines.head
+    if (lines.nonEmpty) {
+      val (target, sources) = (lines.head, lines.tail)
+      if (f.exists(new Path(root, target)))
+        sources.foreach(n => f.delete(new Path(root, n), false))
+    }
     f.delete(marker, false)
     f.delete(new Path(root, ".stage"), true)
   }
@@ -225,14 +239,20 @@ object AppendLog {
       val p = new Path(root)
       val f = fs(spark, p)
       val marker = new Path(root, FoldMarker)
-      if (!f.exists(marker)) spark.read.parquet(root)
+      // mergeSchema: the log's files may carry evolved schemas
+      val reader = spark.read.option("mergeSchema", "true")
+      if (!f.exists(marker)) reader.parquet(root)
       else {
         val lines = readText(f, marker).split("\n").toSeq.filter(_.nonEmpty)
-        val (target, sources) = (lines.head, lines.tail.toSet)
         val files = partFiles(spark, root)
+        // an empty marker is an aborted fold: nothing was renamed
         val selected =
-          if (files.contains(target)) files.filterNot(sources) else files
-        spark.read.parquet(selected.map(n => s"$root/$n"): _*)
+          if (lines.isEmpty) files
+          else {
+            val (target, sources) = (lines.head, lines.tail.toSet)
+            if (files.contains(target)) files.filterNot(sources) else files
+          }
+        reader.parquet(selected.map(n => s"$root/$n"): _*)
       }
     }
 }

@@ -98,6 +98,22 @@ object AtomicRewrite {
                    schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
+  /** STATIC partition-pruning predicate from collected partition-value
+    * rows: OR over rows of AND(col <=> lit(value)). A semi-join against
+    * a literal frame leaves the pruning to DYNAMIC partition pruning,
+    * which is config- and plan-shape-dependent — if it declines, the
+    * scan reads every partition dir and only filters rows afterwards. A
+    * literal predicate prunes at PLAN time, unconditionally (and `<=>`
+    * keeps NULL partition values matchable). Rows must be few — they
+    * inline into the plan. */
+  def partitionPredicate(cols: Seq[String],
+                         rows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(rows.nonEmpty, "partitionPredicate needs at least one row")
+    rows.map(r => cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+      .reduce(_ && _)).reduce(_ || _)
+  }
+
   /** Read the latest committed snapshot (manifest-resolved if the table
     * uses partition-aware commits). */
   def read(spark: SparkSession, root: String): DataFrame = {

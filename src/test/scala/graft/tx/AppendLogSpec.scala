@@ -88,6 +88,35 @@ class AppendLogSpec extends SparkSpec {
       "finished fold must have deleted the duplicated sources")
   }
 
+  test("empty fold marker (crash during the marker write) never wedges the log") {
+    val root = Files.createTempDirectory("graft-alog-empty").toString + "/log"
+    AppendLog.append(spark, root, Seq((1L, "a")).toDF("v", "x"))
+    AppendLog.append(spark, root, Seq((2L, "b")).toDF("v", "x"))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMPACTING")
+    f.create(marker, true).close() // 0-byte marker: crash mid-write
+    assert(AppendLog.read(spark, root).count() == 2,
+      "an aborted marker must not hide any file")
+    AppendLog.append(spark, root, Seq((3L, "c")).toDF("v", "x"))
+    assert(!f.exists(marker), "aborted marker must be cleaned up")
+    assert(AppendLog.read(spark, root).count() == 3)
+  }
+
+  test("tagged replay that triggers a fold still overwrites, never duplicates") {
+    val root = Files.createTempDirectory("graft-alog-tagfold").toString + "/log"
+    for (i <- 1 to 4)
+      AppendLog.append(spark, root, Seq((i.toLong, s"r$i")).toDF("v", "x"),
+        tag = Some(s"v$i"), foldThreshold = 99)
+    // replaying v1 with a low threshold folds the OTHER files and
+    // re-writes v1's — its rows must appear exactly once
+    AppendLog.append(spark, root, Seq((1L, "r1")).toDF("v", "x"),
+      tag = Some("v1"), foldThreshold = 2)
+    val rows = AppendLog.read(spark, root).select("v").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L), s"got ${rows.toSeq}")
+    assert(AppendLog.tagged(spark, root, "v1"))
+  }
+
   test("legacy fold-in: reads stay correct mid-migration; retry never duplicates") {
     val root = Files.createTempDirectory("graft-alog-mig").toString + "/log"
     AtomicRewrite.write(spark, root,
