@@ -143,7 +143,8 @@ object AtomicRewrite {
     if (effective.isEmpty) {
       df.write.mode(SaveMode.Overwrite).parquet(target.toString)
     } else {
-      partitionAligned(df, effective, sortBy)
+      partitionAligned(df, effective, sortBy,
+        salted = !effective.contains("key_bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy(effective: _*)
         .parquet(target.toString)
       val newParts = listPartitionDirs(f, target, effective.length)
@@ -204,7 +205,8 @@ object AtomicRewrite {
         s"$root is partition-committed by $recorded, not $partitionBy"))
     val next = cur.map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
-    partitionAligned(df, partitionBy)
+    partitionAligned(df, partitionBy,
+        salted = !partitionBy.contains("key_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
       .parquet(target.toString)
     val newParts = listPartitionDirs(f, target, partitionBy.length)
@@ -286,12 +288,21 @@ object AtomicRewrite {
     * pure hash-on-partition-cols repartition fixes that but collapses a
     * skewed (or single-valued) partition onto ONE task; the added salt
     * keeps up to 8 writers per partition dir — bounded files, preserved
-    * parallelism. One shuffle per commit is the standard price. */
+    * parallelism. One shuffle per commit is the standard price.
+    *
+    * `salted = false` is for layouts whose partition columns already
+    * include a uniform HASH BUCKET (key_bucket): the buckets are the
+    * salt — skew is impossible by construction — and the 8-way salt
+    * would only multiply the file count 8× (64 bucket dirs × 8 salts =
+    * 512 slivers per commit where 64 files suffice). */
   private def partitionAligned(df: DataFrame, partitionBy: Seq[String],
-                               sortBy: Seq[String] = Nil): DataFrame = {
+                               sortBy: Seq[String] = Nil,
+                               salted: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id}
-    val aligned = df.repartition(
-      (partitionBy.map(col) :+ pmod(spark_partition_id(), lit(8))): _*)
+    val aligned =
+      if (salted) df.repartition(
+        (partitionBy.map(col) :+ pmod(spark_partition_id(), lit(8))): _*)
+      else df.repartition(partitionBy.map(col): _*)
     // cluster-sort must happen AFTER the aligning exchange or the order
     // is destroyed by the shuffle
     if (sortBy.isEmpty) aligned
