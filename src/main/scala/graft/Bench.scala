@@ -53,9 +53,10 @@ object Bench {
 
     // 3 timed runs per query, report the median: a single pass is at the
     // mercy of hypervisor steal (observed 2-5x over-reads on a shared
-    // host); the median of three discards one bad draw. Lower-median
-    // ((n-1)/2) so a partial failure (1-2 good runs) reports the
-    // better-supported smaller time rather than the max of two.
+    // host); the median of three discards one bad draw. True median over
+    // the GOOD runs (middle of 3, mean of 2, the 1) — and any query with
+    // failed runs is listed in "flaky" so a partial failure is visible
+    // rather than min-biased.
     val runsPerQuery = 3
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to runsPerQuery).map { _ =>
@@ -69,12 +70,34 @@ object Bench {
         if (ok) dt else -1.0
       }
       val good = times.filter(_ >= 0).sorted
-      name -> (if (good.isEmpty) -1.0 else good((good.size - 1) / 2))
+      val med =
+        if (good.isEmpty) -1.0
+        else if (good.size % 2 == 1) good(good.size / 2)
+        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+      (name, med, good.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // The capture window that ingests this output keeps only a ~2 kB TAIL:
+    // round 6's single 3 kB JSON line lost q01-q37 from the formal
+    // artifact. So (a) full-fidelity per-query lines go FIRST, chunked
+    // well under 1 kB each, and (b) the machine-parsed summary line goes
+    // LAST and stays compact (~1.5 kB: short qNN keys, 3-decimal medians)
+    // so it always survives a tail capture intact.
+    val parts = results.grouped(12).toSeq
+    parts.zipWithIndex.foreach { case (chunk, i) =>
+      val qs = chunk.map { case (n, v, ok) => s""""$n":[${r3(v)},$ok]""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"query_medians","part":${i + 1},"of":${parts.size},"runs":$runsPerQuery,"queries":$qs}""")
+    }
+    val shortKeys = results.map { case (n, v, _) => n.takeWhile(_ != '_') -> v }
+    require(shortKeys.map(_._1).distinct.size == shortKeys.size,
+      "short query keys must stay unique (qNN prefix)")
+    val qs = shortKeys.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val flaky = results.collect { case (n, _, ok) if ok < runsPerQuery =>
+      s""""$n":$ok""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: payloads round-trip through the JDK's PNG codec
   * (`javax.imageio`, see [[Media.decodeImageStats]]). AUDIO decode is
   * REAL too: WAV containers parsed by the JDK's `javax.sound.sampled`
-  * codec ([[Media.decodeAudioStats]]). Only VIDEO decode remains a
-  * clearly-marked deterministic STUB ([[Media.decodeStub]]) — the JDK
-  * ships no video codec — but everything Spark-side is real: schemas,
-  * encoders, partition batching, frame sampling, resize arithmetic. Swap
-  * the stub for a codec call and the pipeline is production-shaped.
+  * codec ([[Media.decodeAudioStats]]). VIDEO decode is REAL as well:
+  * Motion-JPEG streams (the classic concatenated-JPEG container) are
+  * split at JPEG end-of-image markers and every frame is parsed by the
+  * JDK's actual JPEG codec ([[Media.decodeVideoStats]]). Everything
+  * Spark-side is likewise real: schemas, encoders, partition batching,
+  * frame sampling, resize arithmetic.
   *
   * Scale: payload processing is embarrassingly parallel (narrow map over
   * the scan); keep `spark.sql.files.maxPartitionBytes` sized so one
@@ -181,11 +182,117 @@ object Media {
     }
   }
 
-  /** STUB decoder (???): a real implementation would decode the payload
-    * with a video codec and emit an embedding (image/audio now have REAL
-    * JDK decoders above — no video codec ships with the JDK). This
-    * deterministic fake emits `dim` byte-histogram buckets so the
-    * plumbing is testable. */
+  // ---- real video decode (Motion-JPEG via javax.imageio, zero deps) ----
+
+  /** Deterministic gray level of frame `i` of clip `id` — the pure
+    * function the MJPEG generator, the decoder's oracle and the DuckDB
+    * SQL all compute. */
+  def frameLevel(id: Long, i: Int): Int = ((id * 37 + i * 11) % 256).toInt
+
+  /** Encode the deterministic `frames`-frame clip for `id` as a real
+    * Motion-JPEG stream: each frame is a uniform-gray `w`×`h` JPEG at
+    * quality 1.0, frames concatenated back-to-back — the classic MJPEG
+    * container. Uniform gray frames survive JPEG's lossy DCT pipeline
+    * EXACTLY (every AC coefficient is zero and the quality-1.0 DC
+    * quantization step is 1), so the decode round-trip is bit-faithful —
+    * which is what lets a SQL oracle check the real codec path. */
+  def encodeMjpeg(id: Long, frames: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val level = frameLevel(id, i)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, level); x += 1 }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Split an MJPEG stream into its JPEG frames at end-of-image markers
+    * (`FF D9`). Exact for baseline JPEG: byte stuffing guarantees `FF`
+    * inside entropy-coded data is always followed by `00` or an RST
+    * marker, so `FF D9` occurs only as a frame terminator. */
+  def splitMjpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var start = 0
+    var i = 0
+    while (i < payload.length - 1) {
+      if (payload(i) == 0xFF.toByte && payload(i + 1) == 0xD9.toByte) {
+        out += java.util.Arrays.copyOfRange(payload, start, i + 2)
+        start = i + 2
+        i += 2
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  case class VideoStats(media_id: Long, n_frames: Int, frame_w: Int,
+                        frame_h: Int, level_sum: Long, level_min: Int,
+                        level_max: Int, first_level: Int)
+
+  /** REAL decode path for `kind = "video"`: the MJPEG payload is split
+    * into frames and EVERY frame is parsed by the JDK's actual JPEG
+    * codec (`javax.imageio`), executor-side in the same batched
+    * `mapPartitions` shape as [[decodeImageStats]]. The per-frame level
+    * is derived from a full raster scan — `level_min`/`level_max` range
+    * over every pixel of every frame, so a single mis-decoded pixel
+    * anywhere in the clip diverges from the oracle. */
+  def decodeVideoStats(media: Dataset[MediaRow],
+                       batchSize: Int = 64): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup point (decoder reuse at production scale)
+        batch.iterator.map { r =>
+          val frames = splitMjpegFrames(r.payload)
+          var (sum, mn, mx, first) = (0L, Int.MaxValue, Int.MinValue, -1)
+          var (fw, fh) = (0, 0)
+          frames.zipWithIndex.foreach { case (bytes, idx) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val raster = img.getRaster
+            fw = img.getWidth; fh = img.getHeight
+            var frameSum = 0L
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val v = raster.getSample(x, y, 0)
+                frameSum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            val level = (frameSum / (fw.toLong * fh)).toInt
+            if (idx == 0) first = level
+            sum += level
+          }
+          VideoStats(r.media_id, frames.size, fw, fh, sum,
+            if (frames.isEmpty) 0 else mn, if (frames.isEmpty) 0 else mx, first)
+        }
+      }
+    }
+  }
+
+  /** Deterministic byte-histogram features (`dim` buckets, L1-normalized)
+    * — the stand-in embedding for payloads with no semantic model in
+    * this container; the decode paths above are the real codecs. */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val counts = new Array[Int](dim)
     payload.foreach(b => counts((b & 0xFF) % dim) += 1)

@@ -163,10 +163,18 @@ object Medallion {
           .otherwise(date_format(col("valid_to"), "yyyyMM").cast("int")))
       val exists = AtomicRewrite.exists(spark, target)
       // one-time migrations: pre-layout tables (neither column) and
-      // month-only tables (no key_bucket) both take the full-write path
+      // month-only tables (no key_bucket) both take the full-write path.
+      // The manifest header answers for partition-committed tables
+      // without building a DataFrame (schema inference re-lists every
+      // partition dir of the two-level layout — per batch, for a probe
+      // whose answer is almost always "current layout")
       val legacy = exists && {
-        val cs = AtomicRewrite.read(spark, target).columns
-        !cs.contains("archive_month") || !cs.contains("key_bucket")
+        AtomicRewrite.partitionColsOf(spark, target) match {
+          case Some(cols) => cols != layout
+          case None =>
+            val cs = AtomicRewrite.read(spark, target).columns
+            !cs.contains("archive_month") || !cs.contains("key_bucket")
+        }
       }
       if (!exists || legacy) {
         // bootstrap (or one-time migration): full merge, full
@@ -181,7 +189,8 @@ object Medallion {
             else h1.withColumn("key_bucket", keyBucket(conf.keys, DimBuckets))
           } else prepared.limit(0)
         val next = stamp(Scd2.apply(history, prepared, conf.keys, conf.orderCols))
-        AtomicRewrite.write(spark, target, next, layout)
+        AtomicRewrite.write(spark, target, next, layout,
+          bucketCount = Some(DimBuckets))
       } else {
         val history = AtomicRewrite.read(spark, target)
         // persisted: the bucket-set collect would otherwise re-run the
@@ -214,7 +223,7 @@ object Medallion {
             AtomicRewrite.partitionPredicate(layout, closedPairs.toSeq))
         AtomicRewrite.writePartitions(spark, target,
           merged.unionByName(existing), layout,
-          replaced = Some(replaced))
+          replaced = Some(replaced), bucketCount = Some(DimBuckets))
         merged.unpersist(); prep.unpersist()
       }
       Watermarks.advance(spark, paths.control, job,
@@ -293,14 +302,16 @@ object Medallion {
     }
     val cur = stamp(inc.withColumn("dwh_loaded_at", lit(now))).persist()
     if (!exists) {
-      AtomicRewrite.write(spark, target, cur, Seq("key_bucket"))
+      AtomicRewrite.write(spark, target, cur, Seq("key_bucket"),
+        bucketCount = Some(buckets))
     } else {
       // one-time migration of a pre-layout dim: same rows, bucketed layout
       val dim0 = AtomicRewrite.read(spark, target)
       val dim =
         if (dim0.columns.contains("key_bucket")) dim0
         else {
-          AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
+          AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"),
+            bucketCount = Some(buckets))
           AtomicRewrite.read(spark, target)
         }
       // one batch's bucket set — tiny — collected into a literal frame:
@@ -314,7 +325,7 @@ object Medallion {
       AtomicRewrite.writePartitions(spark, target,
         Upsert.scd1(slice, cur, keys,
           updateWhen = (t, s) => s("raw_loaded_at") > t("raw_loaded_at")),
-        Seq("key_bucket"), replaced = Some(bks))
+        Seq("key_bucket"), replaced = Some(bks), bucketCount = Some(buckets))
     }
     cur.unpersist()
     Watermarks.advance(spark, paths.control, job,
@@ -465,7 +476,8 @@ object Medallion {
       .withColumn("dwh_loaded_at", lit(now))
     if (!AtomicRewrite.exists(spark, target)) {
       AtomicRewrite.write(spark, target,
-        stamp(withPrev(silver).drop("__has_intermediate")), Seq("key_bucket"))
+        stamp(withPrev(silver).drop("__has_intermediate")), Seq("key_bucket"),
+        bucketCount = Some(buckets))
       Watermarks.advance(spark, paths.control, job,
         Option(silver.agg(max(col("raw_loaded_at"))).head().getTimestamp(0)),
         "OK", now)
@@ -478,7 +490,8 @@ object Medallion {
     val dim =
       if (dim0.columns.contains("key_bucket")) dim0
       else {
-        AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"))
+        AtomicRewrite.write(spark, target, stamp(dim0), Seq("key_bucket"),
+          bucketCount = Some(buckets))
         AtomicRewrite.read(spark, target)
       }
     // control-table watermark: O(1), instead of re-scanning every bucket
@@ -534,7 +547,7 @@ object Medallion {
         .as(c)
     }: _*)
     AtomicRewrite.writePartitions(spark, target, next, Seq("key_bucket"),
-      replaced = Some(bks))
+      replaced = Some(bks), bucketCount = Some(buckets))
     sAll.unpersist()
     Watermarks.advance(spark, paths.control, job,
       Option(stats.getTimestamp(1)), "OK", now)

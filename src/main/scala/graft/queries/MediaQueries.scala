@@ -66,6 +66,22 @@ object MediaQueries {
       Media.decodeAudioStats(media).toDF()
     }),
 
+    // REAL video decode: a deterministic Motion-JPEG clip (3 + doc_id % 4
+    // uniform-gray 8×8 frames, quality-1.0 JPEG — exact round-trip) is
+    // generated per doc, split at JPEG EOI markers and every frame parsed
+    // back through the JDK's actual JPEG codec on the executors. The
+    // oracle replays the frame-level formula directly — a marker-scan
+    // slip, a dropped frame, or one mis-decoded pixel flips the hash.
+    "q100_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => Media.MediaRow(id, "video",
+          Media.encodeMjpeg(id, 3 + (id % 4).toInt),
+          Media.MediaMeta("video/x-motion-jpeg", 8, 8, 0L)))
+      Media.decodeVideoStats(media).toDF()
+    }),
+
     // Audio-style windowed energy: 256-sample windows, 128 hop.
     "q67_audio_windows" -> ((s, dir) => {
       import s.implicits._
@@ -118,6 +134,18 @@ object MediaQueries {
         | CAST(list_max(vs) AS INT) AS amp_max,
         | CAST(media_id * 131 % 65536 - 32768 AS INT) AS first_sample
         |FROM s""".stripMargin,
+    "q100_video_decode" ->
+      """WITH v AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf,
+        |  list_transform(range(0, 3 + doc_id % 4),
+        |    i -> (doc_id * 37 + i * 11) % 256) AS ls
+        |FROM documents)
+        |SELECT media_id, CAST(nf AS INT) AS n_frames,
+        | CAST(8 AS INT) AS frame_w, CAST(8 AS INT) AS frame_h,
+        | CAST(list_sum(ls) AS BIGINT) AS level_sum,
+        | CAST(list_min(ls) AS INT) AS level_min,
+        | CAST(list_max(ls) AS INT) AS level_max,
+        | CAST(media_id * 37 % 256 AS INT) AS first_level
+        |FROM v""".stripMargin,
     "q67_audio_windows" ->
       """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n
         |           FROM documents WHERE length(text) > 0),

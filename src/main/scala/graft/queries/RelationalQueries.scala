@@ -1069,11 +1069,12 @@ object RelationalQueries {
     "q99_json_extract" ->
       """SELECT event_type,
         | count(CAST(props->>'k' AS INT)) AS n_with_k,
-        | sum(CAST(props->>'k' AS INT)) AS sum_k,
+        | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         | max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
     "q96_rollup" ->
-      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(month(o_orderdate) AS INT) AS o_month,
         | count(*) AS orders_total,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
         | CAST(GROUPING(o_year, o_month) AS INT) AS gid

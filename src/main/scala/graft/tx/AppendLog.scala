@@ -36,10 +36,10 @@ object AppendLog {
 
   /** Append one batch as ONE new parquet file. With `tag`, the file
     * name is `log_<tag>.parquet` — deterministic, so replaying the same
-    * tagged append overwrites rather than duplicates. (A later fold
-    * absorbs tagged files too; [[tagged]] then reports false for them —
-    * callers needing exactly-once across folds keep a content check as
-    * the fallback, see Runner.recordFactChanges.) */
+    * tagged append overwrites rather than duplicates. A fold that
+    * absorbs a tagged file first records its tag in the `_TAGS` sidecar,
+    * so [[tagged]] stays true across folds and a replayed tagged append
+    * can never re-insert rows a compact file already holds. */
   def append(spark: SparkSession, root: String, rows: DataFrame,
              tag: Option[String] = None,
              foldThreshold: Int = FoldThreshold): Unit = {
@@ -57,15 +57,45 @@ object AppendLog {
         // sliver per shuffle partition
         rows.coalesce(1).write.mode("append").parquet(root)
       case Some(t) =>
-        stageAndRename(spark, root, rows, i => s"log_$t${suffix(i)}")
+        // a tag a fold already absorbed must NOT be re-staged: the
+        // compact file holds its rows, a fresh log_<tag> would be a
+        // second copy
+        if (!absorbedTags(fs(spark, new Path(root)), root).contains(t))
+          stageAndRename(spark, root, rows, i => s"log_$t${suffix(i)}")
     }
   }
 
-  /** Whether a `tag`ged append has already happened — one file-exists
-    * probe, no log scan. */
+  /** Whether a `tag`ged append has already happened — a file-exists
+    * probe plus the `_TAGS` sidecar (tags whose files a fold absorbed);
+    * no log scan either way. */
   def tagged(spark: SparkSession, root: String, tag: String): Boolean = {
     val p = new Path(root, s"log_$tag.parquet")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) || absorbedTags(f, root).contains(tag)
+  }
+
+  private val TagsSidecar = "_TAGS"
+
+  private def absorbedTags(f: org.apache.hadoop.fs.FileSystem,
+                           root: String): Set[String] = {
+    val p = new Path(root, TagsSidecar)
+    if (!f.exists(p)) Set.empty
+    else readText(f, p).split("\n").filter(_.nonEmpty).toSet
+  }
+
+  /** Record the tags of to-be-deleted fold sources in the `_TAGS`
+    * sidecar BEFORE the sources are deleted: whichever side of a crash
+    * a tag's evidence lands on (its file or the sidecar), [[tagged]]
+    * sees it. Rewrites the full set (old union new) with overwrite
+    * semantics, so a retry is idempotent. */
+  private def recordAbsorbedTags(f: org.apache.hadoop.fs.FileSystem,
+                                 root: String, sources: Seq[String]): Unit = {
+    val absorbed = sources.flatMap { n =>
+      "log_(.+)\\.parquet".r.findFirstMatchIn(n).map(_.group(1))
+    }
+    if (absorbed.nonEmpty)
+      writeText(f, new Path(root, TagsSidecar),
+        (absorbedTags(f, root) ++ absorbed).toSeq.sorted.mkString("\n"))
   }
 
   private def suffix(i: Int) = if (i == 0) ".parquet" else s"_$i.parquet"
@@ -120,6 +150,7 @@ object AppendLog {
       (target +: sources).mkString("\n"))
     if (!f.rename(stagedParts.head.getPath, new Path(root, target)))
       throw new IllegalStateException(s"fold rename failed for $root/$target")
+    recordAbsorbedTags(f, root, sources)
     sources.foreach(n => f.delete(new Path(root, n), false))
     f.delete(new Path(root, FoldMarker), false)
     f.delete(staged, true)
@@ -140,8 +171,12 @@ object AppendLog {
     // drop the marker and move on rather than wedging on lines.head
     if (lines.nonEmpty) {
       val (target, sources) = (lines.head, lines.tail)
-      if (f.exists(new Path(root, target)))
+      if (f.exists(new Path(root, target))) {
+        // re-record before deleting: the crash may have hit between the
+        // fold's rename and its own tag recording
+        recordAbsorbedTags(f, root, sources)
         sources.foreach(n => f.delete(new Path(root, n), false))
+      }
     }
     f.delete(marker, false)
     f.delete(new Path(root, ".stage"), true)
@@ -186,14 +221,15 @@ object AppendLog {
   /** One-time crash-safe fold of a pre-append-layout log (versioned
     * snapshot under `v=<N>/` + `_LATEST`) into the flat append files.
     * Ordering: stage → rename-up (deterministic `legacy_*` names,
-    * overwrite) → delete version dirs OLDEST-FIRST → pointer last. A
-    * crash anywhere leaves a state from which both [[read]] and a retry
-    * are correct: while any committed `v=` dir survives, the versioned
-    * branch of [[read]] still resolves (and a retry re-stages from the
-    * NEWEST surviving snapshot — oldest-first deletion keeps that the
-    * true newest); once only the stale pointer survives, the already-
-    * folded `legacy_*` files are the source of truth and the pointer is
-    * simply dropped. */
+    * overwrite) → delete the `_LATEST` pointer → delete version dirs
+    * OLDEST-FIRST. A crash anywhere leaves a state from which both
+    * [[read]] and a retry are correct: while any committed `v=` dir
+    * survives, the versioned branch of [[read]] still resolves — with
+    * the pointer via `_LATEST`, without it via AtomicRewrite's
+    * `_COMMITTED` fallback (and a retry re-stages from the NEWEST
+    * surviving snapshot — oldest-first deletion keeps that the true
+    * newest); once the last dir is gone, `exists()` is false and the
+    * already-folded `legacy_*` files are the source of truth. */
   private def migrateLegacy(spark: SparkSession, logRoot: String): Unit = {
     if (!AtomicRewrite.exists(spark, logRoot)) return
     val root = new Path(logRoot)
@@ -211,13 +247,19 @@ object AppendLog {
       }
     legacyRows.foreach(rows =>
       stageAndRename(spark, logRoot, rows, i => s"legacy${suffix(i)}"))
-    f.listStatus(root).filter(_.getPath.getName.startsWith("v="))
-      .sortBy(_.getPath.getName.stripPrefix("v=").toLong)
-      .foreach(s => f.delete(s.getPath, true))
+    // pointer FIRST: while any v= dir survives, AtomicRewrite's
+    // _COMMITTED fallback keeps the versioned branch of [[read]]
+    // resolving without it; once the dirs are gone, exists() is false
+    // and the folded legacy_* files are read. (Dirs-then-pointer would
+    // leave a crash state — all dirs gone, pointer present — where
+    // every read throws until the next append retries the migration.)
     f.listStatus(root).filter { s =>
       val n = s.getPath.getName
       n == "_LATEST" || n.startsWith("._LATEST")
     }.foreach(s => f.delete(s.getPath, false))
+    f.listStatus(root).filter(_.getPath.getName.startsWith("v="))
+      .sortBy(_.getPath.getName.stripPrefix("v=").toLong)
+      .foreach(s => f.delete(s.getPath, true))
   }
 
   /** Whether any rows have ever been appended (legacy layout counts). */
@@ -232,27 +274,56 @@ object AppendLog {
   /** Read the full log (a pre-migration legacy layout is still
     * readable, and a mid-fold state never double-counts: sources listed
     * in the fold marker are excluded only once their folded target
-    * exists). */
+    * exists).
+    *
+    * The file set is resolved CONSISTENTLY against a concurrent fold:
+    * the (marker bytes, directory listing) pair is snapshotted twice and
+    * accepted only when both snapshots agree — a fold mutating the log
+    * between the probes changes one of them and forces a retry — and the
+    * resulting explicit file list is what Spark plans over, so the scan
+    * never re-lists the directory at execution-planning time. Residual
+    * (documented) assumption: a reader that resolved its file set and
+    * then idles while a LATER append's fold deletes those sources can
+    * still hit missing files at task time; the engine runs reads and
+    * appends of one log from a single process, where [[append]] and
+    * [[read]] never interleave mid-job. */
   def read(spark: SparkSession, root: String): DataFrame =
     if (AtomicRewrite.exists(spark, root)) AtomicRewrite.read(spark, root)
     else {
       val p = new Path(root)
       val f = fs(spark, p)
       val marker = new Path(root, FoldMarker)
+      def snapshot(): (Option[String], Seq[String]) = {
+        val m = if (f.exists(marker)) Some(readText(f, marker)) else None
+        (m, partFiles(spark, root))
+      }
+      var state = snapshot()
+      var settled = false
+      var attempts = 0
+      while (!settled) {
+        val again = snapshot()
+        if (again == state) settled = true
+        else {
+          state = again
+          attempts += 1
+          if (attempts > 50) throw new IllegalStateException(
+            s"append-log $root kept changing across 50 listing attempts")
+        }
+      }
+      val (markerBytes, files) = state
+      val lines = markerBytes.toSeq
+        .flatMap(_.split("\n").toSeq).filter(_.nonEmpty)
+      // an empty/absent marker means no fold is mid-flight: every
+      // listed file is live
+      val selected =
+        if (lines.isEmpty) files
+        else {
+          val (target, sources) = (lines.head, lines.tail.toSet)
+          if (files.contains(target)) files.filterNot(sources) else files
+        }
       // mergeSchema: the log's files may carry evolved schemas
       val reader = spark.read.option("mergeSchema", "true")
-      if (!f.exists(marker)) reader.parquet(root)
-      else {
-        val lines = readText(f, marker).split("\n").toSeq.filter(_.nonEmpty)
-        val files = partFiles(spark, root)
-        // an empty marker is an aborted fold: nothing was renamed
-        val selected =
-          if (lines.isEmpty) files
-          else {
-            val (target, sources) = (lines.head, lines.tail.toSet)
-            if (files.contains(target)) files.filterNot(sources) else files
-          }
-        reader.parquet(selected.map(n => s"$root/$n"): _*)
-      }
+      if (selected.isEmpty) reader.parquet(root) // surface the usual empty-dir error
+      else reader.parquet(selected.map(n => s"$root/$n"): _*)
     }
 }

@@ -106,12 +106,60 @@ object AtomicRewrite {
     * literal predicate prunes at PLAN time, unconditionally (and `<=>`
     * keeps NULL partition values matchable). Rows must be few — they
     * inline into the plan. */
+  /** Ceiling on inlined OR-of-AND terms: beyond this a predicate stops
+    * being a pruning hint and becomes an analysis/codegen liability (a
+    * catch-up run whose affected set is "every partition" would inline
+    * thousands of terms). Callers with a bigger set should read the
+    * whole table instead — at that spread a full scan IS the right
+    * plan. */
+  val MaxInlinedPartitionTerms = 4096
+
   def partitionPredicate(cols: Seq[String],
                          rows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
     require(rows.nonEmpty, "partitionPredicate needs at least one row")
-    rows.map(r => cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
-      .reduce(_ && _)).reduce(_ || _)
+    require(rows.size <= MaxInlinedPartitionTerms,
+      s"partitionPredicate over ${rows.size} partition rows exceeds " +
+        s"$MaxInlinedPartitionTerms inlined terms; an affected set this " +
+        "wide should read the full table (or semi-join), not inline a plan")
+    if (cols.lengthCompare(1) == 0) {
+      // single column: one IN list instead of N ORed equalities —
+      // Catalyst converts a large IN to an O(1)-lookup InSet, so
+      // thousands of values stay plan- and codegen-cheap. isin uses `=`
+      // (NULL never matches), so a NULL partition value — legal, maps
+      // to __HIVE_DEFAULT_PARTITION__ — gets an explicit isNull arm to
+      // keep the `<=>` semantics.
+      val values = rows.map(_.get(0))
+      val nonNull = values.filter(_ != null)
+      val in =
+        if (nonNull.isEmpty) lit(false)
+        else col(cols.head).isin(nonNull: _*)
+      if (values.contains(null)) in || col(cols.head).isNull else in
+    } else {
+      rows.map(r => cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)).reduce(_ || _)
+    }
+  }
+
+  /** Version-keyed driver cache of resolved read plans: constructing a
+    * manifest-resolved DataFrame lists every partition dir and reads
+    * parquet footers for schema — a pipeline batch re-reads the same
+    * (table, version) several times (silver feeds dims, fact, dim_date).
+    * A committed version is immutable, so the plan can be reused until
+    * the version moves; one entry per (session, table), evicted on
+    * version change. */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long, DataFrame)]()
+
+  /** Same-version revalidation token: the commit marker's mtime. A table
+    * DELETED and rebuilt at the same path lands on version 0 again — the
+    * version number alone would serve a plan over the dead files. */
+  private[tx] def versionToken(f: FileSystem, root: String, v: Long): Long = {
+    def mtime(p: Path): Option[Long] =
+      try Some(f.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    mtime(new Path(root, s"v=$v/$CommittedMarker"))
+      .orElse(mtime(new Path(root, s"v=$v"))).getOrElse(-1L)
   }
 
   /** Read the latest committed snapshot (manifest-resolved if the table
@@ -119,7 +167,15 @@ object AtomicRewrite {
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"graft table does not exist: $root"))
-    readVersion(spark, root, v)
+    val key = (System.identityHashCode(spark), root)
+    val tok = versionToken(fs(spark, new Path(root)), root, v)
+    val hit = readCache.get(key)
+    if (hit != null && hit._1 == v && hit._2 == tok) hit._3
+    else {
+      val df = readVersion(spark, root, v)
+      readCache.put(key, (v, tok, df))
+      df
+    }
   }
 
   /** Commit `df` as the next full snapshot of the table.
@@ -132,11 +188,16 @@ object AtomicRewrite {
     * partitioned table. */
   def write(spark: SparkSession, root: String, df: DataFrame,
             partitionBy: Seq[String] = Nil, keepVersions: Int = 2,
-            sortBy: Seq[String] = Nil): Unit = {
+            sortBy: Seq[String] = Nil,
+            bucketCount: Option[Int] = None): Unit = {
     val effective =
       if (partitionBy.nonEmpty) partitionBy
       else partitionColsOf(spark, root).filter(_.forall(df.columns.contains))
         .getOrElse(Nil)
+    // a full rewrite is the one legal way to CHANGE the bucket count;
+    // a layout-oblivious caller (no bucketCount) must not silently drop
+    // the recorded one, so it carries forward
+    val effectiveBuckets = bucketCount.orElse(bucketCountOf(spark, root))
     val f = fs(spark, new Path(root))
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
@@ -159,7 +220,8 @@ object AtomicRewrite {
       } else {
         // full snapshot: the manifest lists ONLY this version (no carry)
         // — written so later partition-level commits know the layout
-        writeManifest(f, target, effective, newParts.map(_ -> next).toMap)
+        writeManifest(f, target, effective, newParts.map(_ -> next).toMap,
+          effectiveBuckets)
       }
     }
     commitPointer(spark, root, next)
@@ -193,7 +255,8 @@ object AtomicRewrite {
   def writePartitions(spark: SparkSession, root: String, df: DataFrame,
                       partitionBy: Seq[String],
                       replaced: Option[DataFrame] = None,
-                      keepVersions: Int = 2): Unit = {
+                      keepVersions: Int = 2,
+                      bucketCount: Option[Int] = None): Unit = {
     require(partitionBy.nonEmpty, "writePartitions needs partition columns")
     val f = fs(spark, new Path(root))
     val cur = currentVersion(spark, root)
@@ -203,6 +266,15 @@ object AtomicRewrite {
     cur.flatMap(v => manifestCols(f, root, v)).foreach(recorded =>
       require(recorded == partitionBy,
         s"$root is partition-committed by $recorded, not $partitionBy"))
+    // same for the hash-bucket count: a partition-sliced merge computed
+    // with a different count remaps keys across dirs and corrupts the
+    // table silently — only a full rewrite may change it
+    val recordedBuckets = cur.flatMap(v => manifestBuckets(f, root, v))
+    for (r <- recordedBuckets; b <- bucketCount)
+      require(b == r,
+        s"$root is hash-bucketed with $r buckets, not $b; the bucket " +
+          "count is a table-lifetime constant — migrate via a full rewrite")
+    val effectiveBuckets = bucketCount.orElse(recordedBuckets)
     val next = cur.map(_ + 1).getOrElse(0L)
     val target = new Path(root, s"v=$next")
     partitionAligned(df, partitionBy,
@@ -248,7 +320,7 @@ object AtomicRewrite {
       f.delete(target, true)
       df.write.mode(SaveMode.Overwrite).parquet(target.toString)
     } else {
-      writeManifest(f, target, partitionBy, merged)
+      writeManifest(f, target, partitionBy, merged, effectiveBuckets)
     }
     commitPointer(spark, root, next)
     vacuum(spark, root, keepVersions)
@@ -256,10 +328,27 @@ object AtomicRewrite {
 
   private def writeManifest(f: FileSystem, versionDir: Path,
                             partitionBy: Seq[String],
-                            entries: Map[String, Long]): Unit =
+                            entries: Map[String, Long],
+                            buckets: Option[Int] = None): Unit = {
+    val headers = s"#cols=${partitionBy.mkString(",")}" +:
+      buckets.map(b => s"#buckets=$b").toSeq
     writeText(f, new Path(versionDir, ManifestFile),
-      (s"#cols=${partitionBy.mkString(",")}" +:
-        entries.toSeq.sorted.map { case (d, v) => s"$v\t$d" }).mkString("\n"))
+      (headers ++ entries.toSeq.sorted.map { case (d, v) => s"$v\t$d" })
+        .mkString("\n"))
+  }
+
+  /** Hash-bucket count recorded in a version's manifest header — a
+    * TABLE-LIFETIME constant for hash-bucketed layouts (hive-bucketing
+    * semantics: a different count remaps keys across dirs). */
+  private def manifestBuckets(f: FileSystem, root: String, v: Long): Option[Int] =
+    manifestLines(f, root, v).flatMap(_.find(_.startsWith("#buckets="))
+      .map(_.stripPrefix("#buckets=").trim.toInt))
+
+  /** The current version's recorded hash-bucket count, if any. */
+  def bucketCountOf(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, new Path(root))
+    currentVersion(spark, root).flatMap(v => manifestBuckets(f, root, v))
+  }
 
   /** Atomic pointer swap: write sidecar then rename OVER the live
     * _LATEST in one FS op (FileContext + Rename.OVERWRITE), then drop the
@@ -298,10 +387,15 @@ object AtomicRewrite {
   private def partitionAligned(df: DataFrame, partitionBy: Seq[String],
                                sortBy: Seq[String] = Nil,
                                salted: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id}
+    import org.apache.spark.sql.functions.col
+    // REBALANCE, not a fixed salt: AQE sizes the write tasks from the
+    // actual shuffle bytes — a tiny batch coalesces to a handful of
+    // files instead of salt× per dir, a skewed partition splits into
+    // advisory-sized tasks instead of 1/salt-th. Hash-bucketed layouts
+    // (salted=false) keep one task per bucket — the dir IS the
+    // parallelism grain there.
     val aligned =
-      if (salted) df.repartition(
-        (partitionBy.map(col) :+ pmod(spark_partition_id(), lit(8))): _*)
+      if (salted) df.hint("rebalance", partitionBy.map(col): _*)
       else df.repartition(partitionBy.map(col): _*)
     // cluster-sort must happen AFTER the aligning exchange or the order
     // is destroyed by the shuffle

@@ -26,26 +26,60 @@ object Watermarks {
       AtomicRewrite.write(spark, root,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
-  def read(spark: SparkSession, root: String, job: String): Option[Timestamp] = {
-    if (!AtomicRewrite.exists(spark, root)) None
-    else AtomicRewrite.read(spark, root)
-      .filter(col("job_name") === job)
-      .select("last_loaded_ts").collect()
-      .headOption.flatMap(r => Option(r.getTimestamp(0)))
-  }
+  /** Version-keyed driver cache of control-table contents. The table is
+    * tiny by definition (one row per job name), yet a pipeline batch
+    * probes it ~2× per stage — each probe a full Spark job without the
+    * cache, a pure driver lookup with it. Keyed by the table's committed
+    * VERSION (an O(1) filesystem probe), so any writer going through
+    * AtomicRewrite — this session or not — invalidates it for free. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Row])]()
+
+  private def tableRows(spark: SparkSession, root: String): Seq[Row] =
+    AtomicRewrite.currentVersion(spark, root) match {
+      case None => Nil
+      case Some(v) =>
+        // version + commit-marker mtime: a control table deleted and
+        // rebuilt at the same path must never serve the old rows
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tok = AtomicRewrite.versionToken(f, root, v)
+        val hit = cache.get(root)
+        if (hit != null && hit._1 == v && hit._2 == tok) hit._3
+        else {
+          val rows = AtomicRewrite.read(spark, root).collect().toSeq
+          cache.put(root, (v, tok, rows))
+          rows
+        }
+    }
+
+  def read(spark: SparkSession, root: String, job: String): Option[Timestamp] =
+    tableRows(spark, root).find(_.getString(0) == job)
+      .flatMap(r => Option(r.getTimestamp(1)))
 
   /** Advance (or record a failed run for) one job. NULL `ts` never regresses
-    * the stored watermark. */
+    * the stored watermark.
+    *
+    * The merge runs DRIVER-SIDE over the collected rows: a shuffle-join
+    * upsert of a one-row source into a ten-row table costs several Spark
+    * jobs per stage for no distribution benefit (round-6 q26 profile:
+    * control-plane jobs were a quarter of the E2E wall). */
   def advance(spark: SparkSession, root: String, job: String,
               ts: Option[Timestamp], status: String, runAt: Timestamp): Unit = {
-    bootstrap(spark, root)
-    val target = AtomicRewrite.read(spark, root)
-    val source = spark.createDataFrame(
-      java.util.Collections.singletonList(Row(job, ts.orNull, runAt, status)), schema)
-    val merged = Upsert.scd1(target, source, Seq("job_name"),
-      resolve = Map("last_loaded_ts" -> ((t, s) => coalesce(s, t))))
+    val rows = tableRows(spark, root)
+    val prevTs = rows.find(_.getString(0) == job)
+      .flatMap(r => Option(r.getTimestamp(1)))
+    val next = Row(job, ts.orElse(prevTs).orNull, runAt, status)
+    val merged = rows.filterNot(_.getString(0) == job) :+ next
     // control tables are tiny by definition: one output file, not one per
     // shuffle partition (32 near-empty files per advance otherwise)
-    AtomicRewrite.write(spark, root, merged.coalesce(1))
+    AtomicRewrite.write(spark, root,
+      spark.createDataFrame(java.util.Arrays.asList(merged: _*), schema)
+        .coalesce(1))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicRewrite.currentVersion(spark, root)
+      .foreach(v => cache.put(root,
+        (v, AtomicRewrite.versionToken(f, root, v), merged)))
   }
 }

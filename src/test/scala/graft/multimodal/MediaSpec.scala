@@ -62,6 +62,44 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG encode -> real JPEG decode round-trips every gray level exactly") {
+    // the exactness claim the whole video-oracle rests on: a uniform-gray
+    // quality-1.0 JPEG decodes back to the SAME level for ALL 256 levels
+    // 37 is odd -> invertible mod 256 (37 * 173 ≡ 1), so id = level * 173
+    // gives frameLevel(id, 0) == level for every level
+    for (level <- 0 until 256) {
+      val id = level.toLong * 173 % 256
+      assert(Media.frameLevel(id, 0) == level)
+      val bytes = Media.encodeMjpeg(id, 1)
+      val frames = Media.splitMjpegFrames(bytes)
+      assert(frames.size == 1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frames.head))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(img.getRaster.getSample(x, y, 0) == level,
+          s"level $level pixel ($x,$y) lost in the JPEG round-trip")
+    }
+  }
+
+  test("MJPEG frame split + distributed decode matches the frame formula") {
+    val ids = Seq(3L, 4L, 5L, 6L)
+    val media = ids.toDS().map(id =>
+      Media.MediaRow(id, "video", Media.encodeMjpeg(id, 3 + (id % 4).toInt),
+        Media.MediaMeta("video/x-motion-jpeg", 8, 8, 0L)))
+    val stats = Media.decodeVideoStats(media).collect().map(s => s.media_id -> s).toMap
+    for (id <- ids) {
+      val n = 3 + (id % 4).toInt
+      val ls = (0 until n).map(Media.frameLevel(id, _))
+      val s = stats(id)
+      assert(s.n_frames == n && s.frame_w == 8 && s.frame_h == 8,
+        s"clip $id shape: $s")
+      assert(s.level_sum == ls.map(_.toLong).sum && s.level_min == ls.min &&
+        s.level_max == ls.max && s.first_level == Media.frameLevel(id, 0),
+        s"clip $id stats: $s vs levels $ls")
+    }
+  }
+
   test("decodeStub is deterministic and normalized") {
     val a = Media.decodeStub(payload, 8)
     val b = Media.decodeStub(payload, 8)

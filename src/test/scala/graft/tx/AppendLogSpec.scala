@@ -117,6 +117,56 @@ class AppendLogSpec extends SparkSpec {
     assert(AppendLog.tagged(spark, root, "v1"))
   }
 
+  test("tagged() stays true after a fold absorbs the tag; replay never re-inserts") {
+    val root = Files.createTempDirectory("graft-alog-tags").toString + "/log"
+    for (i <- 1 to 4)
+      AppendLog.append(spark, root, Seq((i.toLong, s"r$i")).toDF("v", "x"),
+        tag = Some(s"v$i"), foldThreshold = 99)
+    // an UNTAGGED append over threshold folds every tagged file away
+    AppendLog.append(spark, root, Seq((5L, "r5")).toDF("v", "x"),
+      foldThreshold = 2)
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(!files.exists(_.startsWith("log_v1")),
+      s"fold should have absorbed the tagged files: ${files.toSeq}")
+    // the absorbed tags are still recorded...
+    for (i <- 1 to 4)
+      assert(AppendLog.tagged(spark, root, s"v$i"), s"v$i lost across fold")
+    assert(!AppendLog.tagged(spark, root, "v9"))
+    // ...and a replayed tagged append is a no-op, not a second copy
+    AppendLog.append(spark, root, Seq((2L, "r2")).toDF("v", "x"),
+      tag = Some("v2"))
+    val rows = AppendLog.read(spark, root).select("v").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${rows.toSeq}")
+  }
+
+  test("migration crash after the pointer delete leaves every reader working") {
+    val root = Files.createTempDirectory("graft-alog-ptr").toString + "/log"
+    AtomicRewrite.write(spark, root,
+      Seq((1L, "old1"), (2L, "old2")).toDF("v", "x").coalesce(1))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: legacy rows staged+renamed, _LATEST pointer deleted,
+    // crash BEFORE the v= dirs are deleted
+    val staged = new org.apache.hadoop.fs.Path(root, ".stage")
+    AtomicRewrite.read(spark, root).coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    f.listStatus(staged).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => f.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(root, "legacy.parquet")))
+    f.delete(staged, true)
+    f.delete(new org.apache.hadoop.fs.Path(root, "_LATEST"), false)
+    // the _COMMITTED fallback keeps the versioned branch resolving —
+    // no exception, no double count
+    assert(AtomicRewrite.exists(spark, root), "committed v= dir must resolve")
+    assert(AppendLog.read(spark, root).count() == 2)
+    // the retry finishes the migration and appends
+    AppendLog.append(spark, root, Seq((3L, "new")).toDF("v", "x"))
+    assert(!AtomicRewrite.exists(spark, root))
+    val out = AppendLog.read(spark, root).select("x").as[String].collect().toSet
+    assert(out == Set("old1", "old2", "new"), s"got $out")
+  }
+
   test("legacy fold-in: reads stay correct mid-migration; retry never duplicates") {
     val root = Files.createTempDirectory("graft-alog-mig").toString + "/log"
     AtomicRewrite.write(spark, root,

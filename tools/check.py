@@ -14,16 +14,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(repr(r[i]) for i in idx))
     out.sort()
-    return [c for c in sorted(cols)], out
+    return [c for c in sorted(cols)], out, [str(types[i]) for i in idx]
+
+
+def selftest():
+    """Prove the type compare catches what repr() cannot: an uncast DuckDB
+    sum() (HUGEINT) vs the BIGINT Spark writes to parquet. Exits 0 iff the
+    divergence is detected."""
+    con = duckdb.connect()
+    got = con.sql("SELECT CAST(6 AS BIGINT) AS sum_k")          # Spark side
+    exp = con.sql("SELECT sum(x) AS sum_k FROM (VALUES (1),(2),(3)) t(x)")
+    _, grows, gtypes = canon(got.fetchall(), list(got.columns), got.types)
+    _, erows, etypes = canon(exp.fetchall(), list(exp.columns), exp.types)
+    assert grows == erows, "selftest broken: values should repr()-match"
+    assert gtypes != etypes, "selftest FAILED: HUGEINT vs BIGINT not detected"
+    print(f"selftest OK: values match ({grows}) but types differ "
+          f"({gtypes} != {etypes}) -> would FAIL")
+    sys.exit(0)
 
 
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -47,10 +65,13 @@ def main():
             ecols, erows = list(exp.columns), exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {str(e)[:200]}"); n_fail += 1; continue
-        gc, gr = canon(grows, gcols)
-        ec, er = canon(erows, ecols)
+        gc, gr, gt = canon(grows, gcols, got.types)
+        ec, er, et = canon(erows, ecols, exp.types)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}"); n_fail += 1; continue
+        if gt != et:
+            diffs = [f"{c}: {a} != {b}" for c, a, b in zip(gc, gt, et) if a != b]
+            print(f"FAIL {name}: types {diffs}"); n_fail += 1; continue
         if len(gr) != len(er):
             print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}"); n_fail += 1; continue
         if gr != er:
