@@ -58,10 +58,20 @@ object Bench {
     // failed runs is listed in "flaky" so a partial failure is visible
     // rather than min-biased.
     val runsPerQuery = 3
+    // JSON-escape for the query_error lines below (same recipe as Verify).
+    def jesc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      var firstErr: Option[Throwable] = None
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { exec(name); true } catch { case _: Throwable => false }
+        val ok = try { exec(name); true } catch {
+          case e: Throwable => if (firstErr.isEmpty) firstErr = Some(e); false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // release any caches a query persisted — in a 50+-query single
         // session, leaked persists compound memory pressure for the rest
@@ -74,7 +84,7 @@ object Bench {
         if (good.isEmpty) -1.0
         else if (good.size % 2 == 1) good(good.size / 2)
         else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
-      (name, med, good.size)
+      (name, med, good.size, firstErr)
     }
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // The capture window that ingests this output keeps only a ~2 kB TAIL:
@@ -85,16 +95,26 @@ object Bench {
     // so it always survives a tail capture intact.
     val parts = results.grouped(12).toSeq
     parts.zipWithIndex.foreach { case (chunk, i) =>
-      val qs = chunk.map { case (n, v, ok) => s""""$n":[${r3(v)},$ok]""" }
+      val qs = chunk.map { case (n, v, ok, _) => s""""$n":[${r3(v)},$ok]""" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"query_medians","part":${i + 1},"of":${parts.size},"runs":$runsPerQuery,"queries":$qs}""")
     }
-    val shortKeys = results.map { case (n, v, _) => n.takeWhile(_ != '_') -> v }
+    // A -1 median with no cause made the r7 events-loader incident
+    // undiagnosable from the artifact alone; one compact error line per
+    // failed query (first exception, truncated), emitted AFTER the medians
+    // so failures sit close to the tail the capture window keeps.
+    results.foreach { case (n, _, _, err) =>
+      err.foreach { e =>
+        val msg = jesc(Option(e.getMessage).getOrElse(e.getClass.getName).take(180))
+        println(s"""{"metric":"query_error","name":"$n","err":"$msg"}""")
+      }
+    }
+    val shortKeys = results.map { case (n, v, _, _) => n.takeWhile(_ != '_') -> v }
     require(shortKeys.map(_._1).distinct.size == shortKeys.size,
       "short query keys must stay unique (qNN prefix)")
     val qs = shortKeys.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val flaky = results.collect { case (n, _, ok) if ok < runsPerQuery =>
+    val flaky = results.collect { case (n, _, ok, _) if ok < runsPerQuery =>
       s""""$n":$ok""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"sf":"$sfDir"}""")

@@ -10,6 +10,15 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata-drift canary: the driver has regenerated /root/testdata
+    // mid-round (r7: events.ts flipped NANOS→MICROS and silently killed 19
+    // queries). Print every table's as-loaded schema so drift shows up in
+    // the round log, not as a dead bench.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    graft.core.Tables.names.foreach { n =>
+      val s = graft.core.Tables.load(spark, sfDir, n).schema.simpleString
+      println(s"[schema] $n ${s.take(300)}")
+    }
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)

@@ -18,7 +18,11 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // stdout, not stderr: the driver's tail capture keeps only stdout,
+        // and r7's 19-query blackout was invisible in the artifacts.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\\r\\n\\t]", " ").take(200)
+        println(s"[verify] $name FAILED: $msg")
       }
       finally spark.catalog.clearCache()
     }
@@ -37,6 +41,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Expected-query manifest: lets the compare side assert that every
+    // selected query produced output (r7 silently dropped 19 of 100 —
+    // a missing dir must fail loudly, by name, not shrink the pass set).
+    val expected = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      expected.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -15,13 +15,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as long and downcast to micros (matches DuckDB's
-    // CAST(ts AS TIMESTAMP) truncation).
+    // Some testdata generations store events.ts as TIMESTAMP(NANOS), which
+    // Spark's parquet reader rejects; with nanosAsLong=true those arrive as
+    // raw LongType nanos and we downcast to micros (matches DuckDB's
+    // CAST(ts AS TIMESTAMP) truncation). Newer generations store
+    // TIMESTAMP_MICROS, which arrives as TIMESTAMP_NTZ and takes the
+    // normalization below instead — branch on the schema actually read so
+    // both generations load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val fixed =
-      if (name == "events")
+      if (df.schema.fields.exists(f =>
+            f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       else df

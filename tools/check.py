@@ -49,7 +49,18 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
+    # A query that throws before writing leaves NO output dir — r7 lost 19
+    # of 100 queries this way and the compare shrank silently. Verify dumps
+    # the selected-query manifest; anything absent fails loudly by name.
+    missing = []
+    manifest = f"{outdir}/query_names.json"
+    if os.path.exists(manifest):
+        expected = json.load(open(manifest))
+        missing = sorted(set(expected) - set(names))
     n_pass = n_fail = n_rowsonly = 0
+    for name in missing:
+        print(f"FAIL {name}: MISSING (no output dir — query threw in Verify)")
+        n_fail += 1
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
@@ -80,7 +91,8 @@ def main():
             n_fail += 1; continue
         print(f"PASS {name} ({len(gr)} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail, "
+          f"missing: {missing} ==")
     sys.exit(1 if n_fail else 0)
 
 

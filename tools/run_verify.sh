@@ -9,4 +9,5 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT" 2>&1 | grep -vE "^\s*$|WARN |INFO " | tail -20
+python3 /root/repo/tools/check.py --selftest   # prove the type-compare still bites
 python3 /root/repo/tools/check.py "$SF" "$OUT"
