@@ -8,29 +8,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through here so the read path (format, options) is centralized. At 100 TB
   * these would be partitioned/bucketed table roots rather than single files;
   * the loader is the one place that would change.
+  *
+  * Timestamp handling is generation-proof: driver testdata regenerations
+  * have shipped `events.ts` as both TIMESTAMP(NANOS) and TIMESTAMP_MICROS
+  * (the r7 incident). Rather than special-casing one column, the loader
+  * reads the parquet footer and rewrites exactly the columns the file
+  * declares as nano-precision (which arrive as raw longs under
+  * `nanosAsLong=true`); everything else falls through untouched, so a
+  * genuine long column named `ts` is never corrupted.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Columns the parquet footer declares as TIMESTAMP with NANOS unit.
+    * One footer read of one file — all parts of a table share a schema.
+    */
+  private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Some(p)
+    file match {
+      case None => Set.empty
+      case Some(f) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+            case fld if Option(fld.getLogicalTypeAnnotation).exists {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                case _ => false
+              } => fld.getName
+          }.toSet
+        } finally reader.close()
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Some testdata generations store events.ts as TIMESTAMP(NANOS), which
-    // Spark's parquet reader rejects; with nanosAsLong=true those arrive as
-    // raw LongType nanos and we downcast to micros (matches DuckDB's
-    // CAST(ts AS TIMESTAMP) truncation). Newer generations store
-    // TIMESTAMP_MICROS, which arrives as TIMESTAMP_NTZ and takes the
-    // normalization below instead — branch on the schema actually read so
-    // both generations load.
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // Nano-precision timestamps would otherwise fail the read outright;
+    // with this flag they arrive as raw longs and are rewritten below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val fixed =
-      if (df.schema.fields.exists(f =>
-            f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
-    // The testdata parquet stores TIMESTAMP_NTZ; normalize to TIMESTAMP
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val nanos = nanosTimestampCols(spark, path)
+    val fixed = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (nanos(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
+        // nanos → micros truncation (matches DuckDB's CAST(ts AS TIMESTAMP))
+        d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else d
+    }
+    // Micros-generation parquet stores TIMESTAMP_NTZ; normalize to TIMESTAMP
     // (session TZ is UTC, so the cast is value-preserving) so downstream
     // code sees one timestamp type everywhere.
     fixed.schema.fields.collect {

@@ -40,12 +40,38 @@ class TablesDriftSpec extends SparkSpec {
     loadFixture(df)
   }
 
-  test("nanos generation (LongType read) loads as TIMESTAMP via div-1000") {
-    // Under nanosAsLong=true a TIMESTAMP(NANOS) column arrives as raw long
-    // nanos — indistinguishable from a plain INT64 at read time, so a long
-    // column exercises the identical loader branch.
-    val df = Seq((1L, micros * 1000L)).toDF("event_id", "ts")
-    loadFixture(df)
+  test("nanos generation (true TIMESTAMP(NANOS) file) loads as TIMESTAMP via div-1000") {
+    // Spark cannot WRITE nano-precision parquet, so build the fixture with
+    // parquet-mr directly — the loader must see the NANOS annotation in the
+    // footer and rewrite, exactly as with the pre-r7 driver testdata.
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val schema = MessageTypeParser.parseMessageType(
+      "message events { required int64 event_id; required int64 ts (TIMESTAMP(NANOS,false)); }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(conf).withType(schema).build()
+    val g = new SimpleGroup(schema)
+    g.add("event_id", 1L); g.add("ts", micros * 1000L)
+    w.write(g); w.close()
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType === TimestampType)
+    assert(got.select(unix_micros($"ts")).as[Long].head() === micros)
+  }
+
+  test("a genuine long column named ts is NOT rewritten") {
+    // The footer-driven detection must never corrupt a real epoch-long
+    // column just because it shares the name.
+    val dir = Files.createTempDirectory("graft-drift").toString
+    Seq((1L, 42L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType === LongType)
+    assert(got.select($"ts").as[Long].head() === 42L)
   }
 
   test("tables without a ts column are untouched by the rewrite") {
