@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Enforced physical-plan properties for flagship queries — the 100 TB
+  * story as assertions, not prose. The DuckDB oracle proves WHAT each
+  * query returns; this spec pins HOW: filters reach the parquet scan,
+  * small dims broadcast instead of shuffling, the custom operators are
+  * actually planned, and the hot paths stay inside whole-stage codegen.
+  * A refactor that silently de-optimizes a plan fails here even though
+  * every value still matches.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (so AQE finalizes its plan) and return the physical plan text. */
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    s
+  }
+
+  test("q02: the filter is pushed into the parquet scan") {
+    val p = planOf("q02_filter_project")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).mkString
+    assert(pushed.nonEmpty, s"no PushedFilters line in:\n$p")
+    assert(!pushed.contains("PushedFilters: []"),
+      s"scan reads unfiltered — predicate not pushed:\n$pushed")
+  }
+
+  test("q02: the scan reads only the projected columns") {
+    val p = planOf("q02_filter_project")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // the source table is 7 columns wide; the query needs far fewer
+    assert(read.nonEmpty && !read.contains("c_comment"),
+      s"column pruning lost — scan reads more than the projection:\n$read")
+  }
+
+  test("q07: the dimension side of the validation join broadcasts") {
+    val p = planOf("q07_key_validation")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim join should broadcast, not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"unexpected sort-merge join in a broadcastable dim join:\n${p.take(2000)}")
+  }
+
+  test("q08/q09: semi and anti joins broadcast the filter side") {
+    val semi = planOf("q08_semi_join")
+    assert(semi.contains("BroadcastHashJoin") && semi.contains("LeftSemi"), semi.take(2000))
+    val anti = planOf("q09_anti_join")
+    assert(anti.contains("LeftAnti"), anti.take(2000))
+  }
+
+  test("q80: the custom TopKPerKey physical operator is planned") {
+    val p = planOf("q80_topk_per_key")
+    assert(p.contains("TopKPerKey"),
+      s"TopKPerKeyExec missing — strategy not applied:\n${p.take(2000)}")
+    // the whole point: no per-group global sort before the limit
+    assert(!p.contains("Window"), s"fell back to a window plan:\n${p.take(2000)}")
+  }
+
+  test("q93: the native as-of join operator is planned") {
+    val p = planOf("q93_asof_native")
+    assert(p.contains("AsOfJoin"),
+      s"AsOfJoinExec missing — strategy not applied:\n${p.take(2000)}")
+  }
+
+  test("q39: ANN scoring runs through the codegen cosine expression") {
+    val p = planOf("q39_ann_topk")
+    assert(p.contains("graft_cosine") || p.contains("CosineSimilarity"),
+      s"native cosine expression missing from the plan:\n${p.take(2000)}")
+  }
+
+  test("q01: the cleansing projection stays inside whole-stage codegen") {
+    val p = planOf("q01_clean_project")
+    // the simple-form plan marks whole-stage-codegen spans with a `*(n)`
+    // prefix on each fused operator
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"narrow map fell out of codegen:\n${p.take(2000)}")
+  }
+
+  test("q23: TPC-H pricing pushes the date filter to the scan") {
+    val p = planOf("q23_tpch_pricing")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).mkString
+    assert(pushed.nonEmpty && !pushed.replaceAll("\\s", "").contains("PushedFilters:[]"),
+      s"shipdate filter not pushed:\n$pushed")
+  }
+}
