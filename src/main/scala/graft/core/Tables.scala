@@ -70,8 +70,20 @@ object Tables {
     // Micros-generation parquet stores TIMESTAMP_NTZ; normalize to TIMESTAMP
     // (session TZ is UTC, so the cast is value-preserving) so downstream
     // code sees one timestamp type everywhere.
-    fixed.schema.fields.collect {
+    val normalized = fixed.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
     }.foldLeft(fixed)((d, c) => d.withColumn(c, d(c).cast("timestamp")))
+    // The embedding contract is array<float> (the native codegen vector
+    // expressions bind on it); a regeneration that ships float64 must
+    // narrow at the scan, not black out the vector family at bind time.
+    if (name == "embeddings")
+      normalized.schema.fields.collect {
+        case f if f.dataType ==
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, true) ||
+          f.dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false) => f.name
+      }.foldLeft(normalized)((d, c) => d.withColumn(c, d(c).cast("array<float>")))
+    else normalized
   }
 }

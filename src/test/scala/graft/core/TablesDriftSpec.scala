@@ -74,6 +74,15 @@ class TablesDriftSpec extends SparkSpec {
     assert(got.select($"ts").as[Long].head() === 42L)
   }
 
+  test("a float64 embeddings regeneration narrows to array<float> at load") {
+    val dir = Files.createTempDirectory("graft-drift").toString
+    Seq((1L, Seq(0.25d, -1.5d), 3)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Tables.load(spark, dir, "embeddings")
+    assert(got.schema("embedding").dataType === ArrayType(FloatType, containsNull = true))
+    assert(got.select($"embedding").as[Seq[Float]].head() === Seq(0.25f, -1.5f))
+  }
+
   test("tables without a ts column are untouched by the rewrite") {
     val dir = Files.createTempDirectory("graft-drift").toString
     Seq((1L, "a")).toDF("r_regionkey", "r_name")
