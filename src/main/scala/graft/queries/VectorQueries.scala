@@ -140,11 +140,21 @@ object VectorQueries {
     "q59_kmeans_step" -> ((s, dir) => {
       val e = emb(s, dir)
       val cells = assign(e, centroids(e), "vec_id")
+      // The mean is rounded in integer micro-unit space: sum the exact
+      // 6-decimal element values as micro-unit longs, then half-away-from-
+      // zero divide by n with pure integer arithmetic. round(double, 6)
+      // here would diverge cross-engine on exact .5 boundary means (Spark
+      // rounds the shortest-string repr, DuckDB the raw binary double —
+      // observed at sf0.1).
       cells.select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
         .agg(count(lit(1)).as("n_members"),
-          round((sum(col("col").cast("double").cast(DecimalType(38, 6)))
-            .cast("double") / count(lit(1))), 6).as("new_value"))
+          sum((col("col").cast("double").cast(DecimalType(38, 6)) * 1000000)
+            .cast("long")).as("__s"))
+        .select(col("centroid_id"), col("dim"), col("n_members"),
+          expr("cast(cast(signum(__s) as bigint) * " +
+            "((abs(__s) * 2 + n_members) div (n_members * 2)) as double) / 1000000")
+            .as("new_value"))
     }),
 
     // IVF with nprobe=2: queries probe their TWO nearest centroids' cells
@@ -476,11 +486,17 @@ object VectorQueries {
          |x AS (SELECT centroid_id,
          |        generate_subscripts(embedding, 1) AS dim,
          |        unnest(embedding::DOUBLE[]) AS val
-         |      FROM cells)
-         |SELECT centroid_id, CAST(dim AS INT) AS dim, count(*) AS n_members,
-         |       round(CAST(sum(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
-         |         AS new_value
-         |FROM x GROUP BY 1, 2""".stripMargin,
+         |      FROM cells),
+         |g AS (SELECT centroid_id, CAST(dim AS INT) AS dim,
+         |        count(*) AS n_members,
+         |        CAST(sum(CAST(CAST(val AS DECIMAL(38,6)) * 1000000 AS BIGINT))
+         |          AS BIGINT) AS s
+         |      FROM x GROUP BY 1, 2)
+         |SELECT centroid_id, dim, n_members,
+         |       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+         |         ((abs(s) * 2 + n_members) // (n_members * 2)) AS DOUBLE)
+         |         / 1000000 AS new_value
+         |FROM g""".stripMargin,
     "q57_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          |c AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qv", "e.embedding")} AS cos_sim
