@@ -26,40 +26,70 @@ object Runner {
       now, batchId)
   }
 
+  /** Daemon pool for independent pipeline branches. Spark's scheduler is
+    * built for concurrent job submission from multiple driver threads —
+    * each branch's jobs interleave across the executor cores instead of
+    * leaving them idle during another branch's narrow stages. Sized small:
+    * branches, not tasks, are the unit of concurrency here. */
+  private lazy val branchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-pipeline-branch")
+        t.setDaemon(true); t
+      }))
+
   /** One pipeline batch from explicit sources (runAll = batch over the sf
     * tables; incremental harnesses feed later batches through the same
-    * path). */
+    * path).
+    *
+    * The entity chains are independent until the fact build (customer:
+    * bronze → silver → SCD1 + SCD3 dims; orders: bronze → silver →
+    * dim_date) and run CONCURRENTLY — the orchestration twin of the
+    * reference's per-entity job scripts, which an external scheduler
+    * would likewise fan out. Correctness: the chains share only the
+    * control table, whose advance is serialized per root inside
+    * [[graft.tx.Watermarks]]; every data table is written by exactly one
+    * chain. */
   def runBatch(spark: SparkSession, root: String, customer: DataFrame,
                orders: DataFrame, now: Timestamp, batchId: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = branchEc
     val paths = Medallion.Paths(root)
 
-    // --- bronze: customer is a static dim source (synthetic updated_at);
-    //     orders uses its event time.
-    Medallion.bronzeLoad(spark, paths, "customer", customer, "updated_at", batchId, now)
-    Medallion.bronzeLoad(spark, paths, "orders", orders, "o_orderdate", batchId, now)
-
-    // --- silver SCD2
-    Medallion.silverScd2(spark, paths, Medallion.SilverConf(
-      entity = "customer",
-      keys = Seq("c_custkey"),
-      businessCols = Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
-      flags = Seq(
-        "missing_name" -> col("c_name").isNull,
-        "negative_balance" -> (col("c_acctbal") < 0))), now)
-    Medallion.silverScd2(spark, paths, Medallion.SilverConf(
-      entity = "orders",
-      keys = Seq("o_orderkey"),
-      businessCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"),
-      flags = Seq(
-        "negative_price" -> (col("o_totalprice") < 0),
-        "unknown_status" -> !col("o_orderstatus").isin("O", "F", "P"))), now)
-
-    // --- gold dims
-    Medallion.goldScd1Snapshot(spark, paths, "customer", Seq("c_custkey"), now)
-    Medallion.goldScd3(spark, paths, "customer", "c_custkey",
-      Seq("c_mktsegment", "c_acctbal"), now)
-    Medallion.goldDimDate(spark, paths,
-      graft.tx.AtomicRewrite.read(spark, paths.silver("orders")), "o_orderdate")
+    val customerChain = Future {
+      Medallion.bronzeLoad(spark, paths, "customer", customer, "updated_at", batchId, now)
+      Medallion.silverScd2(spark, paths, Medallion.SilverConf(
+        entity = "customer",
+        keys = Seq("c_custkey"),
+        businessCols = Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+        flags = Seq(
+          "missing_name" -> col("c_name").isNull,
+          "negative_balance" -> (col("c_acctbal") < 0))), now)
+      // both dims read the same committed silver snapshot — independent
+      val scd1 = Future(
+        Medallion.goldScd1Snapshot(spark, paths, "customer", Seq("c_custkey"), now))
+      Medallion.goldScd3(spark, paths, "customer", "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), now)
+      Await.result(scd1, Duration.Inf)
+    }
+    val ordersChain = Future {
+      Medallion.bronzeLoad(spark, paths, "orders", orders, "o_orderdate", batchId, now)
+      Medallion.silverScd2(spark, paths, Medallion.SilverConf(
+        entity = "orders",
+        keys = Seq("o_orderkey"),
+        businessCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"),
+        flags = Seq(
+          "negative_price" -> (col("o_totalprice") < 0),
+          "unknown_status" -> !col("o_orderstatus").isin("O", "F", "P"))), now)
+      Medallion.goldDimDate(spark, paths,
+        graft.tx.AtomicRewrite.read(spark, paths.silver("orders")), "o_orderdate")
+    }
+    // settle BOTH chains before propagating a failure — never unwind while
+    // the sibling branch is still committing tables
+    val settled = Seq(customerChain, ordersChain)
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.foreach(_.get)
 
     // --- fact: partition-committed on a stored month grain — an
     // incremental batch rewrites only the months it touches, never

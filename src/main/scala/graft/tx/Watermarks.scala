@@ -57,6 +57,15 @@ object Watermarks {
     tableRows(spark, root).find(_.getString(0) == job)
       .flatMap(r => Option(r.getTimestamp(1)))
 
+  /** One lock per control root: independent pipeline branches run their
+    * Spark jobs concurrently (see [[graft.pipeline.Runner.runBatch]]) but
+    * their read-merge-write on the SHARED control table must serialize —
+    * two unsynchronized advances would both stage version v+1 and one
+    * job's watermark would be lost. Driver-side lock is sufficient: every
+    * writer of a given pipeline's control table lives in this JVM. */
+  private val advanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Advance (or record a failed run for) one job. NULL `ts` never regresses
     * the stored watermark.
     *
@@ -65,7 +74,8 @@ object Watermarks {
     * jobs per stage for no distribution benefit (round-6 q26 profile:
     * control-plane jobs were a quarter of the E2E wall). */
   def advance(spark: SparkSession, root: String, job: String,
-              ts: Option[Timestamp], status: String, runAt: Timestamp): Unit = {
+              ts: Option[Timestamp], status: String, runAt: Timestamp): Unit =
+    advanceLocks.computeIfAbsent(root, _ => new Object).synchronized {
     val rows = tableRows(spark, root)
     val prevTs = rows.find(_.getString(0) == job)
       .flatMap(r => Option(r.getTimestamp(1)))
@@ -83,3 +93,4 @@ object Watermarks {
         (v, AtomicRewrite.versionToken(f, root, v), merged)))
   }
 }
+
