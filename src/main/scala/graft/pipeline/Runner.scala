@@ -106,8 +106,17 @@ object Runner {
     // row-level insert/delete counts from AtomicRewrite.diff — the CDF
     // consumer that at scale drives downstream reconciliation. diff prunes
     // to the partitions the commit actually touched (manifest-aware).
+    //
+    // The audit only READS fact versions, so in non-compacting batches it
+    // overlaps the bucketed-write + aggregate path below. In a compacting
+    // batch it must complete first: compaction's vacuum retires the very
+    // version (v-1) the diff reads.
     val factRoot = paths.gold("fact_orders")
-    val factV = recordFactChanges(spark, paths, "fact_orders")
+    val factV = graft.tx.AtomicRewrite.currentVersion(spark, factRoot).getOrElse(0L)
+    val willCompact = factV > 0 && factV % CompactEveryVersions == 0
+    val auditF =
+      if (willCompact) { recordFactChanges(spark, paths, "fact_orders"); None }
+      else Some(Future(recordFactChanges(spark, paths, "fact_orders")))
 
     // bucketed gold fact: shuffled on the aggregation grain at WRITE time
     // so date_key rollups/equi-joins over the full fact run with zero
@@ -116,7 +125,7 @@ object Runner {
     // the bucketed copy rides along free; between compactions incremental
     // aggregates read the plain snapshot, whose date_key hive layout
     // prunes to the affected partitions.
-    val compacted = factV > 0 && factV % CompactEveryVersions == 0 && {
+    val compacted = willCompact && {
       graft.tx.AtomicRewrite.compact(spark, factRoot,
         clusterBy = Seq("o_custkey"), partitionBy = Seq("month_key"))
       true
@@ -152,6 +161,7 @@ object Runner {
         decorate = _.join(dimDate, Seq("date_key"), "left"))
     }
 
+    auditF.foreach(f => Await.result(f, Duration.Inf))
     graft.tx.AtomicRewrite.read(spark, paths.gold("agg_orders_daily"))
   }
 
