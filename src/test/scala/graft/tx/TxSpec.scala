@@ -280,4 +280,26 @@ class WatermarksSpec extends SparkSpec {
     assert(Watermarks.read(spark, root, "job").contains(t1))
     assert(Watermarks.read(spark, root, "job2").contains(runAt))
   }
+
+  test("concurrent advances from parallel pipeline branches never drop a watermark") {
+    // Runner.runBatch fans independent entity chains out to driver
+    // threads; every chain advances its jobs in the SAME control table.
+    // Without the per-root lock, two read-merge-write cycles both stage
+    // version v+1 and one job's row vanishes.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft-wm").toString + "/ctl"
+    val runAt = Timestamp.valueOf("2024-01-02 00:00:00")
+    val jobs = (1 to 8).map(i => s"job$i")
+    val fs = jobs.map { j =>
+      Future(Watermarks.advance(spark, root, j,
+        Some(Timestamp.valueOf("2024-01-01 00:00:00")), "OK", runAt))
+    }
+    fs.foreach(Await.result(_, Duration.Inf))
+    jobs.foreach { j =>
+      assert(Watermarks.read(spark, root, j).nonEmpty,
+        s"$j lost its watermark under concurrent advances")
+    }
+  }
 }
