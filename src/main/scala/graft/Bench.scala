@@ -58,13 +58,6 @@ object Bench {
     // failed runs is listed in "flaky" so a partial failure is visible
     // rather than min-biased.
     val runsPerQuery = 3
-    // JSON-escape for the query_error lines below (same recipe as Verify).
-    def jesc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       var firstErr: Option[Throwable] = None
       val times = (1 to runsPerQuery).map { _ =>
@@ -105,8 +98,9 @@ object Bench {
     // so failures sit close to the tail the capture window keeps.
     results.foreach { case (n, _, _, err) =>
       err.foreach { e =>
-        val msg = jesc(Option(e.getMessage).getOrElse(e.getClass.getName).take(180))
-        println(s"""{"metric":"query_error","name":"$n","err":"$msg"}""")
+        val msg = graft.core.JsonText.escape(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(180))
+        println(s"""{"metric":"query_error","name":"$n","err":$msg}""")
       }
     }
     val shortKeys = results.map { case (n, v, _, _) => n.takeWhile(_ != '_') -> v }

@@ -14,6 +14,15 @@ object Verify {
     val spark = graft.core.SparkSessionFactory.fromEnv("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    import graft.core.JsonText.{escape => q}
+    // Expected-query manifest, written BEFORE the loop: if this process
+    // dies mid-run the compare must still see the full selected set and
+    // flag every absent query as MISSING (r7 silently dropped 19 of 100;
+    // a post-loop manifest would vanish with the process and re-open the
+    // silent-shrink hole).
+    val expected = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      expected.map(q).mkString("[", ",", "]"))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -26,27 +35,9 @@ object Verify {
       }
       finally spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Expected-query manifest: lets the compare side assert that every
-    // selected query produced output (r7 silently dropped 19 of 100 —
-    // a missing dir must fail loudly, by name, not shrink the pass set).
-    val expected = SparkEntry.queries.keys.filter(keep).toSeq.sorted
-    Files.writeString(Paths.get(s"$outDir/query_names.json"),
-      expected.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

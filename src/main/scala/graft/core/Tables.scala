@@ -24,33 +24,40 @@ object Tables {
 
   /** Columns the parquet footer declares as TIMESTAMP with NANOS unit.
     * One footer read of one file — all parts of a table share a schema.
+    * Recurses into partition subdirectories so a hive-layout table root
+    * gets the same treatment as a flat file; a table with no parquet file
+    * at all fails loudly rather than silently skipping the rewrite.
     */
   private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    def firstParquet(d: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val (dirs, files) = fs.listStatus(d)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .partition(_.isDirectory)
+      files.map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .orElse(dirs.sortBy(_.getPath.getName).iterator
+          .map(s => firstParquet(s.getPath)).collectFirst { case Some(f) => f })
+    }
     val file =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      else Some(p)
-    file match {
-      case None => Set.empty
-      case Some(f) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          import scala.jdk.CollectionConverters._
-          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
-            case fld if Option(fld.getLogicalTypeAnnotation).exists {
-                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                  t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-                case _ => false
-              } => fld.getName
-          }.toSet
-        } finally reader.close()
-    }
+        firstParquet(p).getOrElse(throw new IllegalStateException(
+          s"no parquet file found under table root $path"))
+      else p
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+        case fld if Option(fld.getLogicalTypeAnnotation).exists {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          } => fld.getName
+      }.toSet
+    } finally reader.close()
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -60,7 +67,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
     val df = spark.read.parquet(path)
-    val nanos = nanosTimestampCols(spark, path)
+    // nano columns can only surface as LongType under nanosAsLong=true —
+    // skip the footer probe entirely when nothing read as a long
+    val nanos =
+      if (df.schema.fields.exists(_.dataType == org.apache.spark.sql.types.LongType))
+        nanosTimestampCols(spark, path)
+      else Set.empty[String]
     val fixed = df.schema.fields.foldLeft(df) { (d, f) =>
       if (nanos(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
         // nanos → micros truncation (matches DuckDB's CAST(ts AS TIMESTAMP))

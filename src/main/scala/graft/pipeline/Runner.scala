@@ -66,12 +66,16 @@ object Runner {
         flags = Seq(
           "missing_name" -> col("c_name").isNull,
           "negative_balance" -> (col("c_acctbal") < 0))), now)
-      // both dims read the same committed silver snapshot — independent
+      // both dims read the same committed silver snapshot — independent;
+      // settle the nested future even when SCD3 throws, so the chain never
+      // exits while its sibling writer is still committing
       val scd1 = Future(
         Medallion.goldScd1Snapshot(spark, paths, "customer", Seq("c_custkey"), now))
-      Medallion.goldScd3(spark, paths, "customer", "c_custkey",
-        Seq("c_mktsegment", "c_acctbal"), now)
-      Await.result(scd1, Duration.Inf)
+      val scd3 = scala.util.Try(
+        Medallion.goldScd3(spark, paths, "customer", "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), now))
+      val scd1Settled = scala.util.Try(Await.result(scd1, Duration.Inf))
+      scd3.get; scd1Settled.get
     }
     val ordersChain = Future {
       Medallion.bronzeLoad(spark, paths, "orders", orders, "o_orderdate", batchId, now)
@@ -118,6 +122,11 @@ object Runner {
       if (willCompact) { recordFactChanges(spark, paths, "fact_orders"); None }
       else Some(Future(recordFactChanges(spark, paths, "fact_orders")))
 
+    // the downstream path settles the audit future even on failure: an
+    // unwound runBatch must never leave a detached AppendLog writer racing
+    // a retry of the batch
+    val tail = scala.util.Try {
+
     // bucketed gold fact: shuffled on the aggregation grain at WRITE time
     // so date_key rollups/equi-joins over the full fact run with zero
     // exchanges (RunnerSpec proves the plan). Refreshed on COMPACTION
@@ -161,7 +170,10 @@ object Runner {
         decorate = _.join(dimDate, Seq("date_key"), "left"))
     }
 
-    auditF.foreach(f => Await.result(f, Duration.Inf))
+    }
+    val auditSettled = scala.util.Try(
+      auditF.foreach(f => Await.result(f, Duration.Inf)))
+    tail.get; auditSettled.get
     graft.tx.AtomicRewrite.read(spark, paths.gold("agg_orders_daily"))
   }
 
