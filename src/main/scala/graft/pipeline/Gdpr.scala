@@ -121,6 +121,55 @@ object Gdpr {
     audit
   }
 
+  /** One derived corpus store's erasure hook: the audit name it is
+    * recorded under, the artifact kinds being scrubbed (fingerprints,
+    * signatures, embeddings — the audit's columns_scrubbed analog), and
+    * the forget action, which receives the distinct subject ids as a
+    * one-column `subject_id` frame and closes over the store root plus
+    * whatever id/fingerprint derivation the store keys on. */
+  case class StoreErasure(store: String, artifacts: Seq[String],
+                          forget: DataFrame => Unit)
+
+  /** Propagate right-to-be-forgotten across the DERIVED corpus stores —
+    * the LLM-pipeline twin of [[propagate]]: where propagate scrubs PII
+    * columns in the relational tables, this removes a subject's derived
+    * artifacts from the dedup fingerprint store
+    * ([[DedupStore.forget]]), the MinHash signature store
+    * ([[NearDupStore.forget]]), and the ANN index
+    * ([[AnnIndexStore.forget]]) — each partition-aware, each leaving no
+    * trace that would keep erased content matchable or retrievable.
+    * Appends one audit row per (subject, store), the same irreversible
+    * salted-fingerprint record [[propagate]] writes (reference:
+    * gdpr/gdpr_propagate_erasure.py's propagate-everywhere contract
+    * extended to the similarity layer). Returns the audit rows written. */
+  def forgetStores(spark: SparkSession, subjects: DataFrame,
+                   subjectType: String, stores: Seq[StoreErasure],
+                   auditRoot: String, salt: String,
+                   now: Timestamp): DataFrame = {
+    val ids = subjects.toDF("subject_id").distinct().cache()
+    if (ids.isEmpty || stores.isEmpty) {
+      ids.unpersist()
+      return ids.limit(0).select(
+        lit("").as("subject_fingerprint"), lit(subjectType).as("subject_type"),
+        lit("").as("table_name"),
+        array().cast("array<string>").as("columns_scrubbed"),
+        lit(now).as("erased_at"))
+    }
+    stores.foreach(s => s.forget(ids))
+    val audit = stores.map { s =>
+      ids.select(
+        ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
+          .as("subject_fingerprint"),
+        lit(subjectType).as("subject_type"),
+        lit(s.store).as("table_name"),
+        array(s.artifacts.sorted.map(lit): _*).as("columns_scrubbed"),
+        lit(now).as("erased_at"))
+    }.reduce(_ unionByName _)
+    appendAudit(spark, auditRoot, audit)
+    ids.unpersist()
+    audit
+  }
+
   /** Append one run's audit rows as ONE new parquet file — prior runs'
     * files are never rewritten, so the write is O(this run) while the
     * log holds O(all-time erasures); the read path stays a plain scan.

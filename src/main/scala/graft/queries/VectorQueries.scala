@@ -277,6 +277,30 @@ object VectorQueries {
       graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 2)
     }),
 
+    // GDPR erasure through the persisted IVF index: build, FORGET a
+    // deterministic subject set, then answer the q83 probe — erased
+    // vec_ids must be unretrievable while every survivor's ranking is
+    // unchanged (the oracle recomputes the IVF query over the surviving
+    // cells directly). The forget itself is partition-aware: only the
+    // cells holding a forgotten id are rewritten (AnnIndexStoreSpec pins
+    // the untouched-cell bytes), which is what keeps erasure O(touched
+    // cells) on a 100 TB index.
+    "q101_ann_forget" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivff_$safe"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Tables.load(s, dir, "embeddings")
+      graft.pipeline.AnnIndexStore.build(s, root,
+        e.select(col("vec_id"), col("embedding")), centroidEvery = 50)
+      graft.pipeline.AnnIndexStore.forget(s, root,
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 1)
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -294,14 +318,19 @@ object VectorQueries {
     }))
 
   // Sequential-fold cosine, mirroring VectorOps exactly (double throughout).
+  // The ::FLOAT[] hop before ::DOUBLE[] mirrors Tables.load's array<float>
+  // narrowing: on the shipped float32 data it is an exact no-op, and under
+  // a float64 regeneration of embeddings.parquet both engines compute on
+  // the same narrowed values instead of Spark-on-floats vs DuckDB-on-
+  // doubles (the one oracle asymmetry the loader hardening left open).
   private def dotSql(a: String, b: String) =
-    s"list_reduce(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), x -> x[1] * x[2]), (p, q) -> p + q)"
+    s"list_reduce(list_transform(list_zip($a::FLOAT[]::DOUBLE[], $b::FLOAT[]::DOUBLE[]), x -> x[1] * x[2]), (p, q) -> p + q)"
   private def normSql(a: String) =
-    s"list_reduce(list_transform($a::DOUBLE[], x -> x * x), (p, q) -> p + q)"
+    s"list_reduce(list_transform($a::FLOAT[]::DOUBLE[], x -> x * x), (p, q) -> p + q)"
   private def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${normSql(a)}) * sqrt(${normSql(b)})), 6)"
   private val BucketSql = (1 to 8).map(i =>
-    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    s"CASE WHEN (embedding::FLOAT[])[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
 
   /** One Lloyd round in SQL: assign the corpus to `c<i-1>`, then per-
     * (centroid, dim) exact-decimal mean rounded to 6 and cast REAL —
@@ -314,7 +343,7 @@ object VectorQueries {
        |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
        |       FROM embeddings e, c$p c),
        |x$i AS (SELECT centroid_id, generate_subscripts(embedding, 1) AS dim,
-       |         unnest(embedding::DOUBLE[]) AS val
+       |         unnest(embedding::FLOAT[]::DOUBLE[]) AS val
        |       FROM a$i WHERE rn = 1),
        |s$i AS (SELECT centroid_id, dim, sum(CAST(val AS DECIMAL(38,6))) AS sd,
        |         count(*) AS cnt FROM x$i GROUP BY 1, 2),
@@ -387,10 +416,10 @@ object VectorQueries {
          |FROM r WHERE rank <= 3""".stripMargin,
     "q49_ann_quantized" -> {
       val q8 =
-        """list_transform(embedding::DOUBLE[],
+        """list_transform(embedding::FLOAT[]::DOUBLE[],
           |   x -> CAST(round((x * 127.0) / mx) AS INT))""".stripMargin.replace("\n", " ")
       s"""WITH m AS (SELECT vec_id,
-         |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx,
+         |  list_max(list_transform(embedding::FLOAT[]::DOUBLE[], x -> abs(x))) AS mx,
          |  embedding FROM embeddings),
          |e AS (SELECT vec_id, $q8 AS qv8 FROM m),
          |q AS (SELECT vec_id AS query_id, qv8 AS q8 FROM e WHERE vec_id % 50 = 0),
@@ -416,6 +445,28 @@ object VectorQueries {
          |           ${cosSql("q.qv", "cells.embedding")} AS cos_sim
          |         FROM q JOIN cells USING (centroid_id)
          |         WHERE cells.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // q83's IVF query recomputed over the SURVIVING cells: the forgotten
+    // set (vec_id % 7 = 3) is gone from the candidate side, while query
+    // probes still assign against the (untouched) centroid set — so a
+    // forgotten vector can still ASK, but can never be RETRIEVED.
+    "q101_ann_forget" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |kept AS (SELECT * FROM cells WHERE vec_id % 7 <> 3),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+         |      FROM cells WHERE vec_id % 50 = 0),
+         |cand AS (SELECT q.query_id, kept.vec_id AS neighbor_id,
+         |           ${cosSql("q.qv", "kept.embedding")} AS cos_sim
+         |         FROM q JOIN kept USING (centroid_id)
+         |         WHERE kept.vec_id <> q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
@@ -485,7 +536,7 @@ object VectorQueries {
          |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
          |x AS (SELECT centroid_id,
          |        generate_subscripts(embedding, 1) AS dim,
-         |        unnest(embedding::DOUBLE[]) AS val
+         |        unnest(embedding::FLOAT[]::DOUBLE[]) AS val
          |      FROM cells),
          |g AS (SELECT centroid_id, CAST(dim AS INT) AS dim,
          |        count(*) AS n_members,

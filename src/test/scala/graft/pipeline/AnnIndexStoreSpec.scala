@@ -238,6 +238,66 @@ class AnnIndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("forget: erased ids unretrievable, untouched cells byte-identical, emptied cell vanishes") {
+    val root = Files.createTempDirectory("graft-ivf-forget").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    val v0 = AtomicRewrite.currentVersion(spark, p.cells).get
+
+    // ids nobody holds: a no-op forget must burn no version
+    AnnIndexStore.forget(spark, root, Seq(9999L).toDF("vec_id"))
+    assert(AtomicRewrite.currentVersion(spark, p.cells).contains(v0),
+      "forgetting absent ids must not commit a version")
+
+    // bystander cells' files must never be restaged
+    def files(cell: Int) = {
+      val d = new java.io.File(s"${p.cells}/v=$v0/centroid_id=$cell")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val (c51, c151) = (files(51), files(151))
+
+    // forget id 3 (cell 1 partial) + ALL of block 2 (cell 101 empties)
+    val gone = Seq(3L) ++ (101L to 150L)
+    AnnIndexStore.forget(spark, root, gone.toDF("vec_id"))
+    val v1 = AtomicRewrite.currentVersion(spark, p.cells).get
+    assert(v1 == v0 + 1, "one forget = one commit")
+    // only the touched cell was staged in the new version
+    val staged = new java.io.File(s"${p.cells}/v=$v1").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+    assert(staged == Set("centroid_id=1"), s"staged $staged")
+    assert(files(51) == c51 && files(151) == c151,
+      "untouched cells' files were rewritten")
+
+    val cells = AtomicRewrite.read(spark, p.cells)
+    assert(cells.count() == 200 - gone.size)
+    assert(cells.join(gone.toDF("vec_id"), Seq("vec_id"), "left_semi").count() == 0,
+      "no derived trace of a forgotten id may survive")
+    assert(cells.filter(col("centroid_id") === 101).count() == 0,
+      "the emptied cell must vanish from the manifest")
+
+    // an erased vector is unretrievable: the block-2 probe finds nothing
+    val q2 = Seq((999L, vec(103L))).toDF("query_id", "qv")
+    assert(AnnIndexStore.query(spark, root, q2, k = 3).isEmpty,
+      "erased block must return no neighbors")
+    // survivors' rankings are unchanged (block 3 forgot nobody)
+    val q3 = Seq((998L, vec(153L))).toDF("query_id", "qv")
+    val got = AnnIndexStore.query(spark, root, q3, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val expected = (151L to 200L)
+      .map(id => id -> vec(id).zip(vec(153L)).map { case (a, b) => a * b }.sum /
+        (math.sqrt(vec(id).map(x => x * x).sum) *
+          math.sqrt(vec(153L).map(x => x * x).sum)))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    assert(got == expected, s"survivor ranking changed: got $got expected $expected")
+
+    // deleted-then-reingested: a re-append of an erased id is accepted
+    AnnIndexStore.append(spark, root, corpus(Seq(103L)))
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("vec_id") === 103L).count() == 1)
+    spark.catalog.clearCache()
+  }
+
   test("nprobe=2 reaches a second cell when the query sits between blocks") {
     val root = Files.createTempDirectory("graft-ivf2").toString + "/index"
     AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
