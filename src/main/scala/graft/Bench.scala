@@ -77,7 +77,14 @@ object Bench {
         if (good.isEmpty) -1.0
         else if (good.size % 2 == 1) good(good.size / 2)
         else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
-      (name, med, good.size, firstErr)
+      // the MIN travels with the median: on a steal-prone shared host the
+      // median of 3 can still be 10x+ over-read (two bad draws), while the
+      // min is steal-robust — two rounds of phantom "regressions" were
+      // adjudicated by hand-rerunning IsoBench because the artifact alone
+      // couldn't tell steal from real work. min >> baseline means real
+      // work; median >> min ≈ baseline means the host stole the round.
+      val mn = if (good.isEmpty) -1.0 else good.head
+      (name, med, mn, good.size, firstErr)
     }
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // The capture window that ingests this output keeps only a ~2 kB TAIL:
@@ -86,9 +93,12 @@ object Bench {
     // well under 1 kB each, and (b) the machine-parsed summary line goes
     // LAST and stays compact (~1.5 kB: short qNN keys, 3-decimal medians)
     // so it always survives a tail capture intact.
+    // per-query triples [median, min, n_good_runs] — see the min rationale
+    // at the measurement site above
     val parts = results.grouped(12).toSeq
     parts.zipWithIndex.foreach { case (chunk, i) =>
-      val qs = chunk.map { case (n, v, ok, _) => s""""$n":[${r3(v)},$ok]""" }
+      val qs = chunk.map { case (n, v, mn, ok, _) =>
+        s""""$n":[${r3(v)},${r3(mn)},$ok]""" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"query_medians","part":${i + 1},"of":${parts.size},"runs":$runsPerQuery,"queries":$qs}""")
     }
@@ -96,19 +106,19 @@ object Bench {
     // undiagnosable from the artifact alone; one compact error line per
     // failed query (first exception, truncated), emitted AFTER the medians
     // so failures sit close to the tail the capture window keeps.
-    results.foreach { case (n, _, _, err) =>
+    results.foreach { case (n, _, _, _, err) =>
       err.foreach { e =>
         val msg = graft.core.JsonText.escape(
           Option(e.getMessage).getOrElse(e.getClass.getName).take(180))
         println(s"""{"metric":"query_error","name":"$n","err":$msg}""")
       }
     }
-    val shortKeys = results.map { case (n, v, _, _) => n.takeWhile(_ != '_') -> v }
+    val shortKeys = results.map { case (n, v, _, _, _) => n.takeWhile(_ != '_') -> v }
     require(shortKeys.map(_._1).distinct.size == shortKeys.size,
       "short query keys must stay unique (qNN prefix)")
     val qs = shortKeys.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val flaky = results.collect { case (n, _, ok, _) if ok < runsPerQuery =>
+    val flaky = results.collect { case (n, _, _, ok, _) if ok < runsPerQuery =>
       s""""$n":$ok""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"sf":"$sfDir"}""")
