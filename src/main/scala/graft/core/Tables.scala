@@ -23,41 +23,54 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Columns the parquet footer declares as TIMESTAMP with NANOS unit.
-    * One footer read of one file — all parts of a table share a schema.
-    * Recurses into partition subdirectories so a hive-layout table root
-    * gets the same treatment as a flat file; a table with no parquet file
-    * at all fails loudly rather than silently skipping the rewrite.
+    * Probes the FIRST and LAST parquet file (by path order) and fails
+    * loudly when they disagree: a partially regenerated table with
+    * mixed-generation part files would otherwise decide the nanos rewrite
+    * from whichever file happens to sort first and silently corrupt the
+    * other generation's columns. Recurses into partition subdirectories so
+    * a hive-layout table root gets the same treatment as a flat file; a
+    * table with no parquet file at all fails loudly rather than silently
+    * skipping the rewrite.
     */
   private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    def firstParquet(d: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    def parquets(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val (dirs, files) = fs.listStatus(d)
         .filterNot(_.getPath.getName.startsWith("_"))
         .partition(_.isDirectory)
-      files.map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .orElse(dirs.sortBy(_.getPath.getName).iterator
-          .map(s => firstParquet(s.getPath)).collectFirst { case Some(f) => f })
+      files.map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq ++
+        dirs.sortBy(_.getPath.getName).toSeq.flatMap(s => parquets(s.getPath))
     }
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        firstParquet(p).getOrElse(throw new IllegalStateException(
-          s"no parquet file found under table root $path"))
-      else p
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      import scala.jdk.CollectionConverters._
-      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
-        case fld if Option(fld.getLogicalTypeAnnotation).exists {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-            case _ => false
-          } => fld.getName
-      }.toSet
-    } finally reader.close()
+    def footerNanos(file: org.apache.hadoop.fs.Path): Set[String] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case fld if Option(fld.getLogicalTypeAnnotation).exists {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            } => fld.getName
+        }.toSet
+      } finally reader.close()
+    }
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val all = parquets(p).sortBy(_.toString)
+        if (all.isEmpty) throw new IllegalStateException(
+          s"no parquet file found under table root $path")
+        Seq(all.head, all.last).distinct
+      } else Seq(p)
+    val probed = files.map(f => f -> footerNanos(f))
+    if (probed.map(_._2).distinct.size > 1)
+      throw new IllegalStateException(
+        s"mixed-generation table at $path: nano-timestamp columns differ " +
+          probed.map { case (f, s) => s"${f.getName}=$s" }.mkString("across probed files (", " vs ", ")"))
+    probed.head._2
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -73,6 +86,16 @@ object Tables {
       if (df.schema.fields.exists(_.dataType == org.apache.spark.sql.types.LongType))
         nanosTimestampCols(spark, path)
       else Set.empty[String]
+    // footer/schema agreement: a footer-declared nanos column can ONLY
+    // arrive as a raw long under nanosAsLong=true — anything else means
+    // the probed footer and the resolved schema come from different
+    // generations, which must fail loudly, not silently skip the rewrite
+    nanos.foreach { c =>
+      val dt = df.schema.fields.find(_.name == c).map(_.dataType)
+      require(dt.contains(org.apache.spark.sql.types.LongType),
+        s"$path: footer declares '$c' TIMESTAMP(NANOS) but the read schema " +
+          s"resolved it as ${dt.getOrElse("<absent>")} — mixed-generation drift")
+    }
     val fixed = df.schema.fields.foldLeft(df) { (d, f) =>
       if (nanos(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
         // nanos → micros truncation (matches DuckDB's CAST(ts AS TIMESTAMP))

@@ -35,7 +35,15 @@ object Watermarks {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Row])]()
 
+  /** Reads serialize on the same per-root lock as [[advance]]: a read
+    * resolves a version and then collects its files, while a concurrent
+    * advance's housekeeping vacuum (keepVersions=2) can delete that very
+    * version dir between the two steps — two quick sibling-chain advances
+    * were enough to turn a reader's resolved snapshot into a spurious
+    * FileNotFound that failSafe records as a batch FAIL. The table is a
+    * handful of rows, so serializing reads with writes costs nothing. */
   private def tableRows(spark: SparkSession, root: String): Seq[Row] =
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
     AtomicRewrite.currentVersion(spark, root) match {
       case None => Nil
       case Some(v) =>
@@ -52,18 +60,22 @@ object Watermarks {
           rows
         }
     }
+    }
 
   def read(spark: SparkSession, root: String, job: String): Option[Timestamp] =
     tableRows(spark, root).find(_.getString(0) == job)
       .flatMap(r => Option(r.getTimestamp(1)))
 
-  /** One lock per control root: independent pipeline branches run their
-    * Spark jobs concurrently (see [[graft.pipeline.Runner.runBatch]]) but
-    * their read-merge-write on the SHARED control table must serialize —
-    * two unsynchronized advances would both stage version v+1 and one
-    * job's watermark would be lost. Driver-side lock is sufficient: every
-    * writer of a given pipeline's control table lives in this JVM. */
-  private val advanceLocks =
+  /** One lock per control root, shared by reads AND advances: independent
+    * pipeline branches run their Spark jobs concurrently (see
+    * [[graft.pipeline.Runner.runBatch]]) but their read-merge-write on the
+    * SHARED control table must serialize — two unsynchronized advances
+    * would both stage version v+1 and one job's watermark would be lost —
+    * and an unsynchronized read could resolve a version the other
+    * advance's vacuum deletes mid-collect (see [[tableRows]]). Driver-side
+    * lock is sufficient: every reader/writer of a given pipeline's control
+    * table lives in this JVM. */
+  private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Advance (or record a failed run for) one job. NULL `ts` never regresses
@@ -75,7 +87,7 @@ object Watermarks {
     * control-plane jobs were a quarter of the E2E wall). */
   def advance(spark: SparkSession, root: String, job: String,
               ts: Option[Timestamp], status: String, runAt: Timestamp): Unit =
-    advanceLocks.computeIfAbsent(root, _ => new Object).synchronized {
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
     val rows = tableRows(spark, root)
     val prevTs = rows.find(_.getString(0) == job)
       .flatMap(r => Option(r.getTimestamp(1)))
