@@ -83,6 +83,26 @@ class PlanAssertionsSpec extends SparkSpec {
       s"narrow map fell out of codegen:\n${p.take(2000)}")
   }
 
+  test("q83: store probes prune the cell table to the probed hive partitions") {
+    // the ANN store's 100 TB contract: a probe reads O(probed cells), not
+    // the corpus — enforced here as a PartitionFilters property on every
+    // scan of the cell table (both the int8 candidate pass and the exact
+    // rerank pass must carry the centroid_id pruning predicate)
+    val p = planOf("q83_ann_index_store")
+    // cell-table scans are identified by the store path (the centroids
+    // table also carries a centroid_id DATA column, so the column name
+    // alone can't tell the two apart)
+    val cellScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/cells/")).toSeq
+    assert(cellScans.size >= 2,
+      s"expected the candidate + rerank cell scans, got:\n${cellScans.mkString("\n")}\nplan:\n${p.take(3000)}")
+    assert(cellScans.forall(l => l.contains("PartitionFilters: [") &&
+      !l.replaceAll("\\s", "").contains("PartitionFilters:[]")),
+      s"a cell scan reads ALL partitions — probe pruning lost:\n${cellScans.mkString("\n")}")
+    assert(cellScans.forall(_.contains("centroid_id#")),
+      s"cell scans must prune on centroid_id:\n${cellScans.mkString("\n")}")
+  }
+
   test("q23: TPC-H pricing pushes the date filter to the scan") {
     val p = planOf("q23_tpch_pricing")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).mkString
