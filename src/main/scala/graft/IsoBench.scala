@@ -13,6 +13,10 @@ object IsoBench {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"$q run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same discipline as Bench: queries that persist shared subplans
+      // must not hand their cache to the next run, or runs 2-3 measure
+      // cache reads instead of the query
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
