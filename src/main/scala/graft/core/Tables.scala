@@ -23,14 +23,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Columns the parquet footer declares as TIMESTAMP with NANOS unit.
-    * Probes the FIRST and LAST parquet file (by path order) and fails
-    * loudly when they disagree: a partially regenerated table with
-    * mixed-generation part files would otherwise decide the nanos rewrite
-    * from whichever file happens to sort first and silently corrupt the
-    * other generation's columns. Recurses into partition subdirectories so
-    * a hive-layout table root gets the same treatment as a flat file; a
-    * table with no parquet file at all fails loudly rather than silently
-    * skipping the rewrite.
+    * Probes EVERY parquet file under the root and fails loudly when any
+    * two disagree: a partially regenerated table with mixed-generation
+    * part files would otherwise decide the nanos rewrite from whichever
+    * file happens to be probed and silently corrupt the other
+    * generation's columns (div-1000 applied to micros, or nanos left
+    * unrewritten). Footers are a few KB each, so the sweep is noise next
+    * to the scan itself at these fixture scales; a 100 TB deployment
+    * would pin the generation in table metadata instead — this loader is
+    * the one place that would change. Recurses into partition
+    * subdirectories so a hive-layout table root gets the same treatment
+    * as a flat file; a table with no parquet file at all fails loudly
+    * rather than silently skipping the rewrite.
     */
   private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -63,7 +67,7 @@ object Tables {
         val all = parquets(p).sortBy(_.toString)
         if (all.isEmpty) throw new IllegalStateException(
           s"no parquet file found under table root $path")
-        Seq(all.head, all.last).distinct
+        all
       } else Seq(p)
     val probed = files.map(f => f -> footerNanos(f))
     if (probed.map(_._2).distinct.size > 1)
@@ -80,12 +84,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
     val df = spark.read.parquet(path)
-    // nano columns can only surface as LongType under nanosAsLong=true —
-    // skip the footer probe entirely when nothing read as a long
-    val nanos =
-      if (df.schema.fields.exists(_.dataType == org.apache.spark.sql.types.LongType))
-        nanosTimestampCols(spark, path)
-      else Set.empty[String]
+    // the footer probe runs UNCONDITIONALLY: gating it on "some column
+    // read as a long" would let a mixed-generation table whose resolved
+    // schema happens to carry no LongType slip past both the rewrite and
+    // the agreement check below — the probe is a few KB of footer reads,
+    // the silent-skip hole it closes blacked out 19 queries in round 7
+    val nanos = nanosTimestampCols(spark, path)
     // footer/schema agreement: a footer-declared nanos column can ONLY
     // arrive as a raw long under nanosAsLong=true — anything else means
     // the probed footer and the resolved schema come from different

@@ -189,12 +189,13 @@ object AnnIndexStore {
     * the reference's propagate-everywhere erasure contract
     * (gdpr/gdpr_propagate_erasure.py:360-719) for the similarity layer.
     *
-    * Partition-aware, the same bounded shape as [[append]]: a semi-join
-    * finds the (few) cells holding a forgotten id, only those hive
-    * partitions are rewritten, every other cell rides the manifest by
-    * reference — O(touched cells), never O(index). A cell emptied by the
-    * erasure vanishes from the manifest (its dir is in `replaced` but
-    * absent from the rewrite), so no ghost partition lingers.
+    * Partition-aware ([[AtomicRewrite.deleteMatching]]), the same bounded
+    * shape as [[append]]: a semi-join finds the (few) cells holding a
+    * forgotten id, only those hive partitions are rewritten, every other
+    * cell rides the manifest by reference — O(touched cells), never
+    * O(index). A cell emptied by the erasure vanishes from the manifest,
+    * so no ghost partition lingers. Returns whether anything was
+    * rewritten.
     *
     * Centroids are untouched: [[trainCentroids]] vectors are corpus-wide
     * MEANS (aggregates, not personal data), so the production fixed-K
@@ -203,24 +204,8 @@ object AnnIndexStore {
     * retain a subject's embedding as a cluster center — full erasure
     * there means retraining/rebuilding the index; production indexes
     * should train their centroids for this reason too. */
-  def forget(spark: SparkSession, root: String, ids: DataFrame): Unit = {
-    val p = Paths(root)
-    if (!AtomicRewrite.exists(spark, p.cells)) return
-    val vs = ids.select(col("vec_id")).distinct()
-    val cells = AtomicRewrite.read(spark, p.cells)
-    val touched = cells.join(vs, Seq("vec_id"), "left_semi")
-      .select("centroid_id").distinct().persist()
-    if (!touched.isEmpty) {
-      // collect the (few) touched cell ids: static partition pruning on
-      // the keep-side read + severed lineage for the replaced set
-      val cellIds = touched.collect().map(_.getInt(0)).toSeq
-      val keep = cells.filter(col("centroid_id").isin(cellIds: _*))
-        .join(vs, Seq("vec_id"), "left_anti")
-      AtomicRewrite.writePartitions(spark, p.cells, keep, Seq("centroid_id"),
-        replaced = Some(touched.toDF()))
-    }
-    touched.unpersist()
-  }
+  def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean =
+    AtomicRewrite.deleteMatching(spark, Paths(root).cells, ids, "vec_id")
 
   /** Top-`k` neighbors per query (`query_id`, `qv`), probing each
     * query's `nprobe` nearest cells. Only the probed hive partitions are

@@ -76,27 +76,15 @@ object DedupStore {
     * document survives, and (b) a legitimate re-submission of the same
     * content is no longer blocked by a ghost fingerprint.
     *
-    * Partition-aware: only the `batch_seq` partitions that actually hold
-    * a forgotten fingerprint are rewritten; every other partition rides
-    * the manifest by reference — O(affected partitions), never O(store).
-    * Reference GDPR semantics: the mobility pipeline's hard-delete path
-    * (gdpr/delete_subject.py) applied to the corpus-store layer. */
+    * Partition-aware ([[AtomicRewrite.deleteMatching]]): only the
+    * `batch_seq` partitions that actually hold a forgotten fingerprint
+    * are rewritten; every other partition rides the manifest by
+    * reference — O(affected partitions), never O(store). Returns whether
+    * anything was rewritten. Reference GDPR semantics: the mobility
+    * pipeline's hard-delete path (gdpr/delete_subject.py) applied to the
+    * corpus-store layer. */
   def forget(spark: SparkSession, storeRoot: String,
-             fingerprints: DataFrame): Unit = {
-    if (!AtomicRewrite.exists(spark, storeRoot)) return
-    val fps = fingerprints.select(col("fingerprint")).distinct()
-    val store = AtomicRewrite.read(spark, storeRoot)
-    val affected = store.join(fps, Seq("fingerprint"), "left_semi")
-      .select("batch_seq").distinct().persist()
-    if (!affected.isEmpty) {
-      // severed lineage: collect the (few) partition values so the keep
-      // frame is not a same-lineage self-join of the store
-      val seqs = affected.collect().map(_.getInt(0)).toSeq
-      val keep = store.filter(col("batch_seq").isin(seqs: _*))
-        .join(fps, Seq("fingerprint"), "left_anti")
-      AtomicRewrite.writePartitions(spark, storeRoot, keep, Seq("batch_seq"),
-        replaced = Some(affected.toDF()))
-    }
-    affected.unpersist()
-  }
+             fingerprints: DataFrame): Boolean =
+    AtomicRewrite.deleteMatching(spark, storeRoot,
+      fingerprints, "fingerprint")
 }

@@ -101,34 +101,50 @@ object Gdpr {
       // nothing rewritten → nothing to audit; writing spark.emptyDataFrame
       // (schemaless) to parquet would fail anyway
       ids.unpersist()
-      return ids.limit(0).select(
-        lit("").as("subject_fingerprint"), lit(subjectType).as("subject_type"),
-        lit("").as("table_name"),
-        array().cast("array<string>").as("columns_scrubbed"),
-        lit(now).as("erased_at"))
+      return emptyAudit(ids, subjectType, now)
     }
-    val audit = rewritten.map { p =>
-      ids.select(
-        ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
-          .as("subject_fingerprint"),
-        lit(subjectType).as("subject_type"),
-        lit(p.table).as("table_name"),
-        array(p.setCols.keys.toSeq.sorted.map(lit): _*).as("columns_scrubbed"),
-        lit(now).as("erased_at"))
-    }.reduce(_ unionByName _)
+    val audit = rewritten.map(p =>
+        auditRows(ids, subjectType, p.table, p.setCols.keys.toSeq, salt, now))
+      .reduce(_ unionByName _)
     appendAudit(spark, auditRoot, audit)
     ids.unpersist()
     audit
   }
 
+  /** Zero-row audit frame with the canonical [[AuditCols]] schema. */
+  private def emptyAudit(ids: DataFrame, subjectType: String,
+                         now: Timestamp): DataFrame =
+    ids.limit(0).select(
+      lit("").as("subject_fingerprint"), lit(subjectType).as("subject_type"),
+      lit("").as("table_name"),
+      array().cast("array<string>").as("columns_scrubbed"),
+      lit(now).as("erased_at"))
+
+  /** One audit row per subject for one scrubbed table/store — the single
+    * projection both [[propagate]] and [[forgetStores]] record, so the
+    * [[AuditCols]] schema cannot drift between the two paths. */
+  private def auditRows(ids: DataFrame, subjectType: String, table: String,
+                        scrubbed: Seq[String], salt: String,
+                        now: Timestamp): DataFrame =
+    ids.select(
+      ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
+        .as("subject_fingerprint"),
+      lit(subjectType).as("subject_type"),
+      lit(table).as("table_name"),
+      array(scrubbed.sorted.map(lit): _*).cast("array<string>")
+        .as("columns_scrubbed"),
+      lit(now).as("erased_at"))
+
   /** One derived corpus store's erasure hook: the audit name it is
     * recorded under, the artifact kinds being scrubbed (fingerprints,
     * signatures, embeddings — the audit's columns_scrubbed analog), and
     * the forget action, which receives the distinct subject ids as a
-    * one-column `subject_id` frame and closes over the store root plus
-    * whatever id/fingerprint derivation the store keys on. */
+    * one-column `subject_id` frame, closes over the store root plus
+    * whatever id/fingerprint derivation the store keys on, and returns
+    * whether the store was actually rewritten (every store `forget`
+    * does) — the audit claims rows only for stores that were. */
   case class StoreErasure(store: String, artifacts: Seq[String],
-                          forget: DataFrame => Unit)
+                          forget: DataFrame => Boolean)
 
   /** Propagate right-to-be-forgotten across the DERIVED corpus stores —
     * the LLM-pipeline twin of [[propagate]]: where propagate scrubs PII
@@ -149,22 +165,19 @@ object Gdpr {
     val ids = subjects.toDF("subject_id").distinct().cache()
     if (ids.isEmpty || stores.isEmpty) {
       ids.unpersist()
-      return ids.limit(0).select(
-        lit("").as("subject_fingerprint"), lit(subjectType).as("subject_type"),
-        lit("").as("table_name"),
-        array().cast("array<string>").as("columns_scrubbed"),
-        lit(now).as("erased_at"))
+      return emptyAudit(ids, subjectType, now)
     }
-    stores.foreach(s => s.forget(ids))
-    val audit = stores.map { s =>
-      ids.select(
-        ScdHash.subjectFingerprint(salt, lit(subjectType), col("subject_id"))
-          .as("subject_fingerprint"),
-        lit(subjectType).as("subject_type"),
-        lit(s.store).as("table_name"),
-        array(s.artifacts.sorted.map(lit): _*).as("columns_scrubbed"),
-        lit(now).as("erased_at"))
-    }.reduce(_ unionByName _)
+    // audit rows are claimed ONLY by stores the erasure actually rewrote
+    // (propagate's contract: a row for an untouched store would falsely
+    // record artifacts as scrubbed at `now`)
+    val rewrote = stores.filter(s => s.forget(ids))
+    if (rewrote.isEmpty) {
+      ids.unpersist()
+      return emptyAudit(ids, subjectType, now)
+    }
+    val audit = rewrote.map(s =>
+        auditRows(ids, subjectType, s.store, s.artifacts, salt, now))
+      .reduce(_ unionByName _)
     appendAudit(spark, auditRoot, audit)
     ids.unpersist()
     audit

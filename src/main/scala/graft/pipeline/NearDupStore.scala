@@ -130,21 +130,9 @@ object NearDupStore {
   /** Right-to-be-forgotten for the signature store: drop the given doc
     * ids' MinHash rows (one `doc_id` column) so no derived trace of a
     * deleted document survives and re-submitted content stops matching a
-    * ghost signature. Partition-aware like [[DedupStore.forget]]: only
-    * the `batch_seq` partitions holding a forgotten id are rewritten. */
-  def forget(spark: SparkSession, storeRoot: String, ids: DataFrame): Unit = {
-    if (!AtomicRewrite.exists(spark, storeRoot)) return
-    val ds = ids.select(col("doc_id")).distinct()
-    val store = AtomicRewrite.read(spark, storeRoot)
-    val affected = store.join(ds, Seq("doc_id"), "left_semi")
-      .select("batch_seq").distinct().persist()
-    if (!affected.isEmpty) {
-      val seqs = affected.collect().map(_.getInt(0)).toSeq
-      val keep = store.filter(col("batch_seq").isin(seqs: _*))
-        .join(ds, Seq("doc_id"), "left_anti")
-      AtomicRewrite.writePartitions(spark, storeRoot, keep, Seq("batch_seq"),
-        replaced = Some(affected.toDF()))
-    }
-    affected.unpersist()
-  }
+    * ghost signature. Partition-aware like [[DedupStore.forget]]
+    * ([[AtomicRewrite.deleteMatching]]): only the `batch_seq` partitions
+    * holding a forgotten id are rewritten. Returns whether anything was. */
+  def forget(spark: SparkSession, storeRoot: String, ids: DataFrame): Boolean =
+    AtomicRewrite.deleteMatching(spark, storeRoot, ids, "doc_id")
 }

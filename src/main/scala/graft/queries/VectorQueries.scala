@@ -35,6 +35,18 @@ object VectorQueries {
   private def cosN(a: Column, b: Column) =
     round(graft.functions.GraftFunctions.cosine(a, b), 6)
 
+  /** Fresh tmp root for a store-backed query (one per (query tag, sf
+    * dir) so concurrent suites at different scales never collide);
+    * deletes any prior run's store. */
+  private def tmpStoreRoot(s: SparkSession, dir: String, tag: String): String = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$safe"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
   /** Deterministic centroid subset (every 50th vector, offset 1). */
   private def centroids(e: DataFrame): DataFrame =
     broadcast(e.filter(col("vec_id") % 50 === 1)
@@ -239,11 +251,7 @@ object VectorQueries {
     // the TopKPerKey heap. The oracle is the direct IVF SQL, so the
     // store must return exactly what the index semantics promise.
     "q83_ann_index_store" -> ((s, dir) => {
-      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$safe"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = tmpStoreRoot(s, dir, "ivf")
       val e = Tables.load(s, dir, "embeddings")
       graft.pipeline.AnnIndexStore.build(s, root,
         e.select(col("vec_id"), col("embedding")), centroidEvery = 50)
@@ -263,11 +271,7 @@ object VectorQueries {
     // DECIMAL(38,6) means), which is what makes the production path
     // oracle-provable at all.
     "q94_ann_trained_store" -> ((s, dir) => {
-      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfk_$safe"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = tmpStoreRoot(s, dir, "ivfk")
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val cents = graft.pipeline.AnnIndexStore.trainCentroids(e, k = 16, iters = 2)
@@ -286,11 +290,7 @@ object VectorQueries {
     // the untouched-cell bytes), which is what keeps erasure O(touched
     // cells) on a 100 TB index.
     "q101_ann_forget" -> ((s, dir) => {
-      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivff_$safe"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = tmpStoreRoot(s, dir, "ivff")
       val e = Tables.load(s, dir, "embeddings")
       graft.pipeline.AnnIndexStore.build(s, root,
         e.select(col("vec_id"), col("embedding")), centroidEvery = 50)

@@ -38,10 +38,19 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     val reps = spark.range(factor).select(col("id").cast("int").as("k"))
 
-    val docs = Tables.load(spark, srcDir, "documents")
     // ids can start at 0 — the replica stride is max+1 or ids collide at
-    // the boundary
-    val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // the boundary. The cast keeps the probe working if a regeneration
+    // ships the id as INT32; an empty source fails loudly before any
+    // destination write.
+    def stride(df: org.apache.spark.sql.DataFrame, idCol: String,
+               what: String): Long = {
+      val r = df.agg(max(col(idCol)).cast("long")).head()
+      require(!r.isNullAt(0), s"$what table in $srcDir is empty")
+      r.getLong(0) + 1
+    }
+
+    val docs = Tables.load(spark, srcDir, "documents")
+    val docStride = stride(docs, "doc_id", "documents")
     docs.crossJoin(reps)
       .select(
         (col("doc_id") + col("k") * lit(docStride)).as("doc_id"),
@@ -53,14 +62,17 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
 
     val emb = Tables.load(spark, srcDir, "embeddings")
-    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val vecStride = stride(emb, "vec_id", "embeddings")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    // shift by k mod dims so any factor is legal; replicas a full `dims`
+    // apart share a permutation (still disjoint ids and documents)
+    val shift = pmod(col("k"), lit(dims))
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("k") * lit(vecStride)).as("vec_id"),
         concat(
-          slice(col("embedding"), col("k") + 1, lit(dims) - col("k")),
-          slice(col("embedding"), lit(1), col("k"))).as("embedding"),
+          slice(col("embedding"), shift + 1, lit(dims) - shift),
+          slice(col("embedding"), lit(1), shift)).as("embedding"),
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")

@@ -326,6 +326,42 @@ object AtomicRewrite {
     vacuum(spark, root, keepVersions)
   }
 
+  /** Partition-aware DELETE: remove every row of the table whose `keyCol`
+    * appears in `keys` (one column, same name). The shared shape of every
+    * store's right-to-be-forgotten path: a semi-join finds the (few)
+    * partitions holding a matching row, only those are rewritten
+    * (plan-time pruned via [[partitionPredicate]], lineage severed through
+    * the collected literal set), every other partition rides the manifest
+    * by reference — O(affected partitions), never O(table). A partition
+    * emptied by the delete vanishes from the manifest. Returns whether
+    * anything was rewritten (false = no matching rows, no version burned),
+    * so callers can gate audit records on an actual rewrite. */
+  def deleteMatching(spark: SparkSession, root: String,
+                     keys: DataFrame, keyCol: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    if (!exists(spark, root)) return false
+    val ks = keys.select(col(keyCol)).distinct()
+    val table = read(spark, root)
+    val pcols = partitionColsOf(spark, root).getOrElse {
+      // a table fully emptied by an earlier delete is a plain empty
+      // snapshot (manifests cannot be entry-less) — nothing to delete
+      if (table.isEmpty) return false
+      throw new IllegalStateException(
+        s"$root is not partition-committed; deleteMatching would rewrite " +
+          "the whole table — use write() with a filtered snapshot instead")
+    }
+    val touched = table.join(ks, Seq(keyCol), "left_semi")
+      .select(pcols.map(col): _*).distinct().collect()
+    touched.nonEmpty && {
+      val parts = literalFrame(spark, touched.toSeq,
+        org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))
+      val keep = table.filter(partitionPredicate(pcols, touched.toSeq))
+        .join(ks, Seq(keyCol), "left_anti")
+      writePartitions(spark, root, keep, pcols, replaced = Some(parts))
+      true
+    }
+  }
+
   private def writeManifest(f: FileSystem, versionDir: Path,
                             partitionBy: Seq[String],
                             entries: Map[String, Long],

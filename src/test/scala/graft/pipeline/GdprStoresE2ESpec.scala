@@ -106,6 +106,21 @@ class GdprStoresE2ESpec extends SparkSpec {
     assert(a.select("subject_fingerprint").as[String].collect()
       .forall(_.matches("[0-9a-f]{64}")),
       "audit must carry the salted fingerprint, never the raw id")
+
+    // a subject no store holds claims NO audit rows (propagate's
+    // no-false-audit contract, extended to the store path)
+    val miss = Gdpr.forgetStores(spark, Seq(999L).toDF("subject_id"),
+      "document", Seq(
+        Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
+          ids => NearDupStore.forget(spark, nearRoot,
+            ids.select(col("subject_id").as("doc_id")))),
+        Gdpr.StoreErasure("ann_index", Seq("embedding", "qv8"),
+          ids => AnnIndexStore.forget(spark, annRoot,
+            ids.select(col("subject_id").as("vec_id"))))),
+      audit, "salt", now)
+    assert(miss.isEmpty, "an untouched store must not claim an audit row")
+    assert(Gdpr.readAudit(spark, audit).count() == 4,
+      "the no-op erasure must append nothing")
     spark.catalog.clearCache()
   }
 }
