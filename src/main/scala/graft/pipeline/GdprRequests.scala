@@ -52,12 +52,22 @@ object GdprRequests {
 
   /** One incremental erasure cycle. Returns the number of requests
     * processed; the control watermark advances to max(processed_at) on
-    * success, records FAIL (watermark untouched) on error. */
+    * success, records FAIL (watermark untouched) on error.
+    *
+    * `storesFor` extends the propagation to the DERIVED corpus stores
+    * (dedup fingerprints, MinHash signatures, ANN cells) per subject
+    * type: one incoming erasure request then drives the relational
+    * scrubs AND the store deletes in the same watermarked cycle, with
+    * [[Gdpr.forgetStores]]' per-store audit rows beside the table
+    * rows — the reference's propagate-everywhere contract
+    * (gdpr/gdpr_propagate_erasure.py) at full engine scope. */
   def runIncremental(spark: SparkSession, controlRoot: String,
                      requests: DataFrame,
                      policiesFor: String => Seq[Gdpr.Policy],
                      tableRoot: String => String, auditRoot: String,
-                     salt: String, now: Timestamp): Long = {
+                     salt: String, now: Timestamp,
+                     storesFor: String => Seq[Gdpr.StoreErasure] =
+                       _ => Nil): Long = {
     val wm = Watermarks.read(spark, controlRoot, Job)
     val pending = pendingRequests(requests, wm).cache()
     try {
@@ -73,6 +83,9 @@ object GdprRequests {
           .select("subject_id").distinct()
         Gdpr.propagate(spark, subjects, st, policiesFor(st),
           tableRoot, auditRoot, salt, now)
+        val stores = storesFor(st)
+        if (stores.nonEmpty)
+          Gdpr.forgetStores(spark, subjects, st, stores, auditRoot, salt, now)
       }
       Watermarks.advance(spark, controlRoot, Job,
         Option(stats.getTimestamp(1)), "OK", now)

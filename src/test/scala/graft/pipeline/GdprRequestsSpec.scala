@@ -83,4 +83,46 @@ class GdprRequestsSpec extends SparkSpec {
       .filter(col("passenger_id") === 3L).select("full_name")
       .collect()(0).isNullAt(0))
   }
+
+  test("storesFor extends a request cycle to the derived corpus stores") {
+    val root = Files.createTempDirectory("graft-gdpr-req-stores").toString
+    val control = s"$root/control/gdpr_control"
+    AtomicRewrite.write(spark, s"$root/silver/passengers",
+      Seq((1L, "Alice"), (2L, "Bob")).toDF("passenger_id", "full_name"))
+    // a derived signature store keyed by the subject id
+    val nearRoot = s"$root/stores/neardup"
+    NearDupStore.acceptNew(spark, nearRoot,
+      Seq((1L, "alice writes about the northern line all week"),
+        (2L, "bob prefers the central line in the morning"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+
+    def policiesFor(st: String) = Seq(
+      Gdpr.Policy("silver/passengers", "passenger_id",
+        Map("full_name" -> (_ => lit(null).cast("string")))))
+    def storesFor(st: String) = Seq(
+      Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
+        ids => NearDupStore.forget(spark, nearRoot,
+          ids.select(col("subject_id").as("doc_id")))))
+
+    val n = GdprRequests.runIncremental(spark, control,
+      requests(("r1", None, Some("passenger"), Some(1L), "erasure",
+        "processed", Some("2024-01-01 10:00:00"))),
+      policiesFor, t => s"$root/$t", s"$root/audit", "s",
+      ts("2024-01-02 00:00:00"), storesFor)
+    assert(n == 1L)
+    // the request scrubbed the table AND dropped the store signatures
+    assert(AtomicRewrite.read(spark, s"$root/silver/passengers")
+      .filter(col("passenger_id") === 1L).head().isNullAt(1))
+    assert(AtomicRewrite.read(spark, nearRoot)
+      .filter(col("doc_id") === 1L).isEmpty)
+    assert(AtomicRewrite.read(spark, nearRoot)
+      .filter(col("doc_id") === 2L).count() == 1,
+      "the bystander's signatures must survive")
+    // one audit row for the table, one for the store, same fingerprint
+    val audit = Gdpr.readAudit(spark, s"$root/audit")
+    assert(audit.select("table_name").as[String].collect().sorted.toSeq ==
+      Seq("neardup_store", "silver/passengers"))
+    assert(audit.select("subject_fingerprint").distinct().count() == 1)
+    spark.catalog.clearCache()
+  }
 }
