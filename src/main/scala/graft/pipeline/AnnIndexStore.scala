@@ -207,6 +207,25 @@ object AnnIndexStore {
   def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean =
     AtomicRewrite.deleteMatching(spark, Paths(root).cells, ids, "vec_id")
 
+  /** Retrain the index's centroid set from its OWN surviving corpus and
+    * rebuild the cells around it — the erasure-completion step for
+    * indexes whose centroids were drawn from RAW corpus vectors
+    * ([[sampleCentroids]] / `centroidEvery`): after [[forget]], such a
+    * centroid can still BE a deleted subject's embedding; retraining
+    * replaces every centroid with a corpus-wide mean (an aggregate, not
+    * personal data) computed over the post-erasure corpus only. One
+    * O(index) rebuild by construction — reassignment can move any vector
+    * to a new cell — which is why it runs on cadence/after erasure
+    * batches, not per forget; [[trainCentroids]] keeps the heavy lifting
+    * linear (broadcast-argmax rounds, K-row collects). */
+  def retrain(spark: SparkSession, root: String, k: Int, iters: Int): Unit = {
+    val corpus = AtomicRewrite.read(spark, Paths(root).cells)
+      .select(col("vec_id"), col("embedding"))
+    require(!corpus.isEmpty,
+      s"cannot retrain $root from an empty index — rebuild from a corpus")
+    build(spark, root, corpus, trainCentroids(corpus, k, iters))
+  }
+
   /** Top-`k` neighbors per query (`query_id`, `qv`), probing each
     * query's `nprobe` nearest cells. Only the probed hive partitions are
     * read; ranking is the TopKPerKey heap operator.

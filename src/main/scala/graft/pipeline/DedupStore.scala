@@ -71,6 +71,12 @@ object DedupStore {
   def textFingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
+  /** Fold the per-batch partition history into one dir — see
+    * [[StoreMaintenance.rebaseBatchPartitions]]. Run on cadence once the
+    * accepted-batch count (= partition-dir count) matters. */
+  def compact(spark: SparkSession, storeRoot: String): Unit =
+    StoreMaintenance.rebaseBatchPartitions(spark, storeRoot)
+
   /** Right-to-be-forgotten for the store: remove the given fingerprints
     * (one `fingerprint` column) so (a) no derived trace of a deleted
     * document survives, and (b) a legitimate re-submission of the same

@@ -127,6 +127,12 @@ object NearDupStore {
     out
   }
 
+  /** Fold the per-batch partition history into one dir — see
+    * [[StoreMaintenance.rebaseBatchPartitions]]. Run on cadence once the
+    * accepted-batch count (= partition-dir count) matters. */
+  def compact(spark: SparkSession, storeRoot: String): Unit =
+    StoreMaintenance.rebaseBatchPartitions(spark, storeRoot)
+
   /** Right-to-be-forgotten for the signature store: drop the given doc
     * ids' MinHash rows (one `doc_id` column) so no derived trace of a
     * deleted document survives and re-submitted content stops matching a

@@ -298,6 +298,40 @@ class AnnIndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("retrain after forget: no centroid remains a raw corpus vector; index stays queryable") {
+    val root = Files.createTempDirectory("graft-ivf-rt").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    // centroidEvery copies RAW corpus vectors (ids 1,51,101,151) into the
+    // centroid table — the GDPR caveat retrain exists to close
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    val rawCentroid = vec(51L)
+    assert(AtomicRewrite.read(spark, p.centroids)
+      .filter(col("cv") === typedLit(rawCentroid)).count() == 1,
+      "precondition: centroid 51 IS subject 51's raw embedding")
+
+    AnnIndexStore.forget(spark, root, Seq(51L).toDF("vec_id"))
+    AnnIndexStore.retrain(spark, root, k = 4, iters = 2)
+
+    // the subject's embedding no longer exists anywhere in the index —
+    // not as a cell row (forget) and not as a cluster center (retrain:
+    // every centroid is now a mean over the surviving corpus)
+    val cents = AtomicRewrite.read(spark, p.centroids)
+    assert(cents.count() == 4)
+    assert(cents.filter(col("cv") === typedLit(rawCentroid)).count() == 0,
+      "a raw subject vector must not survive as a cluster center")
+    val cells = AtomicRewrite.read(spark, p.cells)
+    assert(cells.count() == 199 &&
+      cells.filter(col("vec_id") === 51L).count() == 0)
+
+    // the rebuilt index answers queries with block-correct neighbors
+    val got = AnnIndexStore.query(spark, root,
+      Seq((999L, vec(103L))).toDF("query_id", "qv"), k = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length == 3 && got.forall(id => (101L to 150L).contains(id)),
+      s"neighbors must come from the query's block: ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("nprobe=2 reaches a second cell when the query sits between blocks") {
     val root = Files.createTempDirectory("graft-ivf2").toString + "/index"
     AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)

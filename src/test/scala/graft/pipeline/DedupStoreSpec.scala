@@ -85,6 +85,38 @@ class DedupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("compact folds batch history into one dir; dedup, forget and appends keep working") {
+    val root = Files.createTempDirectory("graft-fps5").toString + "/store"
+    def fp = DedupStore.textFingerprint(col("text"))
+    (1L to 4L).foreach(i => DedupStore.acceptNew(spark, root,
+      Seq((i, s"doc number $i")).toDF("doc_id", "text"), "doc_id", fp))
+    def liveDirs = {
+      val v = AtomicRewrite.currentVersion(spark, root).get
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$root/v=$v/_PARTS"))
+        .split("\n").filterNot(_.startsWith("#"))
+        .map(_.split("\t")(1)).toSet
+    }
+    assert(liveDirs.size == 4, s"one dir per accepted batch: $liveDirs")
+
+    DedupStore.compact(spark, root)
+    assert(liveDirs == Set("batch_seq=0"), s"history must fold into one dir: $liveDirs")
+    val stored = AtomicRewrite.read(spark, root)
+    assert(stored.count() == 4 && stored.distinct().count() == 4)
+
+    // semantics survive the rebase: repeats still rejected, new accepted,
+    // forget still partition-aware, later batches land in fresh dirs
+    assert(DedupStore.acceptNew(spark, root,
+      Seq((9L, "DOC NUMBER 2"), (10L, "post compact doc"))
+        .toDF("doc_id", "text"), "doc_id", fp)
+      .select("doc_id").as[Long].collect().toSet == Set(10L))
+    assert(liveDirs.size == 2, "the new batch gets its own dir beside the folded one")
+    assert(DedupStore.forget(spark, root,
+      Seq("doc number 3").toDF("text").select(fp.as("fingerprint"))))
+    assert(AtomicRewrite.read(spark, root).count() == 4)
+    spark.catalog.clearCache()
+  }
+
   test("a crash in the downstream land leaves the store unmarked — replay recovers") {
     val root = Files.createTempDirectory("graft-fps2").toString + "/store"
     def fp = DedupStore.textFingerprint(col("text"))

@@ -77,6 +77,24 @@ class NearDupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("compact folds batch partitions into one; near-dup rejection survives") {
+    val root = Files.createTempDirectory("graft-nds-c").toString + "/store"
+    NearDupStore.acceptNew(spark, root,
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    NearDupStore.acceptNew(spark, root,
+      Seq((2L, other)).toDF("doc_id", "text"), "doc_id", "text")
+    NearDupStore.compact(spark, root)
+    val v = AtomicRewrite.currentVersion(spark, root).get
+    val dirs = new java.io.File(s"$root/v=$v").listFiles()
+      .filter(_.getName.startsWith("batch_seq=")).map(_.getName).toSet
+    assert(dirs == Set("batch_seq=0"), s"history must fold into one dir: $dirs")
+    assert(AtomicRewrite.read(spark, root).count() == 2)
+    // the folded store still rejects near-dups of everything ever accepted
+    assert(NearDupStore.acceptNew(spark, root,
+      Seq((9L, otherNear)).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("a crash in land leaves the store unmarked — replay recovers") {
     val root = Files.createTempDirectory("graft-nds2").toString + "/store"
     val batch = Seq((1L, Some(base))).toDF("doc_id", "text")
