@@ -24,16 +24,31 @@ import org.apache.spark.sql.functions._
   *    cosine is EXACTLY the source's (dot products are permutation-
   *    invariant) while cross-replica similarities are uncorrelated.
   *
-  * Usage: ScaleGen <srcSfDir> <dstDir> <factor>. The output mirrors the
-  * testdata layout (<dst>/documents.parquet, <dst>/embeddings.parquet),
-  * so SPARK_GRAFT_SF_DIR can point straight at it for IsoBench/Bench.
+  * The relational star scales the same way for the pipeline probes:
+  *  - customer: replica k strides `c_custkey`;
+  *  - orders: replica k strides `o_orderkey` AND re-points `o_custkey`
+  *    with the CUSTOMER stride, so every replica is a self-contained
+  *    FK-consistent sub-star (key validation finds its dim row, the
+  *    daily grain keeps the source's ~2400 dates with factor× rows per
+  *    date — the growth shape a larger tenant actually produces).
+  *
+  * Usage: ScaleGen <srcSfDir> <dstDir> <factor> [tables,...]. Default
+  * tables = documents,embeddings (the corpus family); pass e.g.
+  * `customer,orders` for the pipeline family. The output mirrors the
+  * testdata layout (<dst>/<table>.parquet), so SPARK_GRAFT_SF_DIR can
+  * point straight at it for IsoBench/Bench.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <dstDir> <factor>")
+    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <dstDir> <factor> [tables,...]")
     val Array(srcDir, dstDir, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    val tables: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents", "embeddings"))
+    val known = Set("documents", "embeddings", "customer", "orders")
+    require(tables.subsetOf(known), s"unknown tables: ${tables -- known}")
     val spark = graft.core.SparkSessionFactory.fromEnv("graft-scalegen")
     spark.sparkContext.setLogLevel("WARN")
     val reps = spark.range(factor).select(col("id").cast("int").as("k"))
@@ -49,6 +64,32 @@ object ScaleGen {
       r.getLong(0) + 1
     }
 
+    if (tables("customer") || tables("orders")) {
+      // one stride for both tables: orders' FK re-points with the
+      // CUSTOMER stride or replica k's orders would reference replica
+      // 0's dim rows and the key-validation path would measure a
+      // different (all-hot-dim) workload
+      val cust = Tables.load(spark, srcDir, "customer")
+      val custStride = stride(cust, "c_custkey", "customer")
+      if (tables("customer"))
+        cust.crossJoin(reps)
+          .withColumn("c_custkey", col("c_custkey") + col("k") * lit(custStride))
+          .drop("k")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dstDir/customer.parquet")
+      if (tables("orders")) {
+        val orders = Tables.load(spark, srcDir, "orders")
+        val orderStride = stride(orders, "o_orderkey", "orders")
+        orders.crossJoin(reps)
+          .withColumn("o_orderkey", col("o_orderkey") + col("k") * lit(orderStride))
+          .withColumn("o_custkey", col("o_custkey") + col("k") * lit(custStride))
+          .drop("k")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")
+      }
+    }
+
+    if (tables("documents")) {
     val docs = Tables.load(spark, srcDir, "documents")
     val docStride = stride(docs, "doc_id", "documents")
     docs.crossJoin(reps)
@@ -60,7 +101,9 @@ object ScaleGen {
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    }
 
+    if (tables("embeddings")) {
     val emb = Tables.load(spark, srcDir, "embeddings")
     val vecStride = stride(emb, "vec_id", "embeddings")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
@@ -76,8 +119,9 @@ object ScaleGen {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    }
 
-    println(s"[scalegen] wrote ${factor}x documents+embeddings to $dstDir")
+    println(s"[scalegen] wrote ${factor}x ${tables.toSeq.sorted.mkString("+")} to $dstDir")
     spark.stop()
   }
 }
