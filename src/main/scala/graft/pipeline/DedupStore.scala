@@ -55,8 +55,9 @@ object DedupStore {
     // append-only store commit: each batch's fingerprints land in their
     // own batch_seq partition and every earlier partition rides the
     // manifest by reference — O(batch) bytes per commit, never O(store).
-    // Compact on cadence (AtomicRewrite.compact(partitionBy=batch_seq))
-    // when partition count matters.
+    // Fold partition-dir growth on cadence with [[compact]] (a
+    // StoreMaintenance rebase — AtomicRewrite.compact preserves the
+    // hive layout, so it cannot shrink the dir count).
     val seq = AtomicRewrite.currentVersion(spark, storeRoot).map(_ + 1).getOrElse(0L)
     if (seq == 0L || !accepted.isEmpty) // nothing accepted → no store churn
       AtomicRewrite.writePartitions(spark, storeRoot,
@@ -71,11 +72,12 @@ object DedupStore {
   def textFingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
-  /** Fold the per-batch partition history into one dir — see
-    * [[StoreMaintenance.rebaseBatchPartitions]]. Run on cadence once the
+  /** Fold the per-batch partition history into ≤ `buckets` dirs — see
+    * [[StoreMaintenance.rebaseBatchPartitions]] (incl. the dir-count vs
+    * erasure-granularity tradeoff). Run on cadence once the
     * accepted-batch count (= partition-dir count) matters. */
-  def compact(spark: SparkSession, storeRoot: String): Unit =
-    StoreMaintenance.rebaseBatchPartitions(spark, storeRoot)
+  def compact(spark: SparkSession, storeRoot: String, buckets: Int = 16): Unit =
+    StoreMaintenance.rebaseBatchPartitions(spark, storeRoot, buckets)
 
   /** Right-to-be-forgotten for the store: remove the given fingerprints
     * (one `fingerprint` column) so (a) no derived trace of a deleted
@@ -85,12 +87,13 @@ object DedupStore {
     * Partition-aware ([[AtomicRewrite.deleteMatching]]): only the
     * `batch_seq` partitions that actually hold a forgotten fingerprint
     * are rewritten; every other partition rides the manifest by
-    * reference — O(affected partitions), never O(store). Returns whether
-    * anything was rewritten. Reference GDPR semantics: the mobility
+    * reference — O(affected partitions), never O(store). Returns the
+    * matched fingerprints (empty = store untouched, no version burned).
+    * Reference GDPR semantics: the mobility
     * pipeline's hard-delete path (gdpr/delete_subject.py) applied to the
     * corpus-store layer. */
   def forget(spark: SparkSession, storeRoot: String,
-             fingerprints: DataFrame): Boolean =
+             fingerprints: DataFrame): Seq[Any] =
     AtomicRewrite.deleteMatching(spark, storeRoot,
       fingerprints, "fingerprint")
 }

@@ -141,10 +141,15 @@ object Gdpr {
     * the forget action, which receives the distinct subject ids as a
     * one-column `subject_id` frame, closes over the store root plus
     * whatever id/fingerprint derivation the store keys on, and returns
-    * whether the store was actually rewritten (every store `forget`
-    * does) — the audit claims rows only for stores that were. */
+    * the SUBJECT ids the store actually held and erased (every store
+    * `forget` returns its matched keys; closures whose store keys are
+    * derived — content fingerprints — map them back through the same
+    * derivation). The audit claims rows only for (subject, store) pairs
+    * that were actually erased: a batch {A, B} against a store holding
+    * only A must audit A alone, or B's artifacts would be falsely
+    * recorded as scrubbed. */
   case class StoreErasure(store: String, artifacts: Seq[String],
-                          forget: DataFrame => Boolean)
+                          forget: DataFrame => Seq[Any])
 
   /** Propagate right-to-be-forgotten across the DERIVED corpus stores —
     * the LLM-pipeline twin of [[propagate]]: where propagate scrubs PII
@@ -154,10 +159,21 @@ object Gdpr {
     * ([[NearDupStore.forget]]), and the ANN index
     * ([[AnnIndexStore.forget]]) — each partition-aware, each leaving no
     * trace that would keep erased content matchable or retrievable.
-    * Appends one audit row per (subject, store), the same irreversible
-    * salted-fingerprint record [[propagate]] writes (reference:
-    * gdpr/gdpr_propagate_erasure.py's propagate-everywhere contract
-    * extended to the similarity layer). Returns the audit rows written. */
+    * Appends one audit row per erased (subject, store) pair, the same
+    * irreversible salted-fingerprint record [[propagate]] writes
+    * (reference: gdpr/gdpr_propagate_erasure.py's propagate-everywhere
+    * contract extended to the similarity layer). Returns the audit rows
+    * written.
+    *
+    * Failure containment: every store is ATTEMPTED, and each successful
+    * store's audit rows are appended IMMEDIATELY after its rewrite —
+    * before the next store runs — then the first failure rethrows
+    * (others suppressed). The eager append is what makes a partial
+    * failure recoverable: a store's delete commits irreversibly, and on
+    * the retry cycle its forget matches nothing (the rows are already
+    * gone) — so an audit row deferred past a later store's failure
+    * would be lost FOREVER, leaving a real deletion with no compliance
+    * record. */
   def forgetStores(spark: SparkSession, subjects: DataFrame,
                    subjectType: String, stores: Seq[StoreErasure],
                    auditRoot: String, salt: String,
@@ -167,18 +183,31 @@ object Gdpr {
       ids.unpersist()
       return emptyAudit(ids, subjectType, now)
     }
-    // audit rows are claimed ONLY by stores the erasure actually rewrote
-    // (propagate's contract: a row for an untouched store would falsely
-    // record artifacts as scrubbed at `now`)
-    val rewrote = stores.filter(s => s.forget(ids))
-    if (rewrote.isEmpty) {
-      ids.unpersist()
-      return emptyAudit(ids, subjectType, now)
+    var failures = List.empty[Throwable]
+    val audits = stores.flatMap { s =>
+      scala.util.Try(s.forget(ids)) match {
+        // audit rows are claimed ONLY for subjects the store actually
+        // held and erased (propagate's contract: a row for an untouched
+        // store — or an unheld subject — would falsely record artifacts
+        // as scrubbed at `now`)
+        case scala.util.Success(matched) if matched.nonEmpty =>
+          val rows = auditRows(
+            ids.filter(col("subject_id").isin(matched: _*)),
+            subjectType, s.store, s.artifacts, salt, now)
+          appendAudit(spark, auditRoot, rows)
+          Some(rows)
+        case scala.util.Success(_) => None
+        case scala.util.Failure(e) => failures ::= e; None
+      }
     }
-    val audit = rewrote.map(s =>
-        auditRows(ids, subjectType, s.store, s.artifacts, salt, now))
-      .reduce(_ unionByName _)
-    appendAudit(spark, auditRoot, audit)
+    failures.reverse match {
+      case first :: rest =>
+        rest.foreach(first.addSuppressed); ids.unpersist(); throw first
+      case Nil =>
+    }
+    val audit =
+      if (audits.isEmpty) emptyAudit(ids, subjectType, now)
+      else audits.reduce(_ unionByName _)
     ids.unpersist()
     audit
   }

@@ -60,7 +60,16 @@ object GdprRequests {
     * scrubs AND the store deletes in the same watermarked cycle, with
     * [[Gdpr.forgetStores]]' per-store audit rows beside the table
     * rows — the reference's propagate-everywhere contract
-    * (gdpr/gdpr_propagate_erasure.py) at full engine scope. */
+    * (gdpr/gdpr_propagate_erasure.py) at full engine scope.
+    *
+    * Stores forget BEFORE propagate scrubs the tables: a
+    * fingerprint-keyed store's erasure input derives from the subject's
+    * CONTENT (text → fingerprint), and the only subject→content mapping
+    * lives in the very tables propagate is about to rewrite — run after
+    * the scrub, the closure would fingerprint '[ERASED]', match
+    * nothing, and silently leave the ghost artifact matchable forever.
+    * Id-keyed stores are order-insensitive, so stores-first is safe for
+    * all. */
   def runIncremental(spark: SparkSession, controlRoot: String,
                      requests: DataFrame,
                      policiesFor: String => Seq[Gdpr.Policy],
@@ -81,11 +90,11 @@ object GdprRequests {
       types.foreach { st =>
         val subjects = pending.filter(col("subject_type") === st)
           .select("subject_id").distinct()
-        Gdpr.propagate(spark, subjects, st, policiesFor(st),
-          tableRoot, auditRoot, salt, now)
         val stores = storesFor(st)
         if (stores.nonEmpty)
           Gdpr.forgetStores(spark, subjects, st, stores, auditRoot, salt, now)
+        Gdpr.propagate(spark, subjects, st, policiesFor(st),
+          tableRoot, auditRoot, salt, now)
       }
       Watermarks.advance(spark, controlRoot, Job,
         Option(stats.getTimestamp(1)), "OK", now)

@@ -127,18 +127,20 @@ object NearDupStore {
     out
   }
 
-  /** Fold the per-batch partition history into one dir — see
-    * [[StoreMaintenance.rebaseBatchPartitions]]. Run on cadence once the
+  /** Fold the per-batch partition history into ≤ `buckets` dirs — see
+    * [[StoreMaintenance.rebaseBatchPartitions]] (incl. the dir-count vs
+    * erasure-granularity tradeoff). Run on cadence once the
     * accepted-batch count (= partition-dir count) matters. */
-  def compact(spark: SparkSession, storeRoot: String): Unit =
-    StoreMaintenance.rebaseBatchPartitions(spark, storeRoot)
+  def compact(spark: SparkSession, storeRoot: String, buckets: Int = 16): Unit =
+    StoreMaintenance.rebaseBatchPartitions(spark, storeRoot, buckets)
 
   /** Right-to-be-forgotten for the signature store: drop the given doc
     * ids' MinHash rows (one `doc_id` column) so no derived trace of a
     * deleted document survives and re-submitted content stops matching a
     * ghost signature. Partition-aware like [[DedupStore.forget]]
     * ([[AtomicRewrite.deleteMatching]]): only the `batch_seq` partitions
-    * holding a forgotten id are rewritten. Returns whether anything was. */
-  def forget(spark: SparkSession, storeRoot: String, ids: DataFrame): Boolean =
+    * holding a forgotten id are rewritten. Returns the matched doc ids
+    * (empty = store untouched, no version burned). */
+  def forget(spark: SparkSession, storeRoot: String, ids: DataFrame): Seq[Any] =
     AtomicRewrite.deleteMatching(spark, storeRoot, ids, "doc_id")
 }

@@ -125,7 +125,12 @@ object ScaleGen {
           when(col("k") === 0, col("text")).otherwise(
             array_join(transform(split(col("text"), " "),
               t => concat(t, lit("§"), col("k"))), " ")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"))
+        // the source ships n_chars = length(text); the suffixed replica
+        // texts are longer, so the invariant must be recomputed or every
+        // n_chars consumer (quality cutoffs, canonical max-by) would
+        // measure against stale lengths on the scaled corpus
+        .withColumn("n_chars", length(col("text")).cast("long"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
     }

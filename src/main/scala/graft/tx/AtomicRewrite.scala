@@ -333,33 +333,50 @@ object AtomicRewrite {
     * (plan-time pruned via [[partitionPredicate]], lineage severed through
     * the collected literal set), every other partition rides the manifest
     * by reference — O(affected partitions), never O(table). A partition
-    * emptied by the delete vanishes from the manifest. Returns whether
-    * anything was rewritten (false = no matching rows, no version burned),
-    * so callers can gate audit records on an actual rewrite. */
+    * emptied by the delete vanishes from the manifest. A delete whose
+    * matches spread over more partitions than [[MaxInlinedPartitionTerms]]
+    * falls back to one full-table rewrite (at that spread a full scan IS
+    * the right plan — and a hard failure here would poison the erasure
+    * request driving it, re-failing on every retry cycle).
+    *
+    * Returns the DISTINCT matched key values (empty = no matching rows,
+    * no version burned), so callers can gate audit records on the actual
+    * per-key erasure, not just "something was rewritten". Bounded by the
+    * key batch — erasure batches are small by contract. */
   def deleteMatching(spark: SparkSession, root: String,
-                     keys: DataFrame, keyCol: String): Boolean = {
+                     keys: DataFrame, keyCol: String): Seq[Any] = {
     import org.apache.spark.sql.functions.col
-    if (!exists(spark, root)) return false
+    if (!exists(spark, root)) return Nil
     val ks = keys.select(col(keyCol)).distinct()
     val table = read(spark, root)
     val pcols = partitionColsOf(spark, root).getOrElse {
       // a table fully emptied by an earlier delete is a plain empty
       // snapshot (manifests cannot be entry-less) — nothing to delete
-      if (table.isEmpty) return false
+      if (table.isEmpty) return Nil
       throw new IllegalStateException(
         s"$root is not partition-committed; deleteMatching would rewrite " +
           "the whole table — use write() with a filtered snapshot instead")
     }
-    val touched = table.join(ks, Seq(keyCol), "left_semi")
-      .select(pcols.map(col): _*).distinct().collect()
-    touched.nonEmpty && {
-      val parts = literalFrame(spark, touched.toSeq,
+    // one pass collects both outputs: the touched partition set (drives
+    // the pruned rewrite) and the matched keys (drives per-key audit)
+    val pairs = table.join(ks, Seq(keyCol), "left_semi")
+      .select((keyCol +: pcols).map(col): _*).distinct().collect()
+    if (pairs.isEmpty) return Nil
+    val matched = pairs.map(_.get(0)).distinct.toSeq
+    val touched = pairs
+      .map(r => org.apache.spark.sql.Row.fromSeq(pcols.indices.map(i => r.get(i + 1))))
+      .distinct.toSeq
+    if (touched.size > MaxInlinedPartitionTerms)
+      write(spark, root, table.join(ks, Seq(keyCol), "left_anti"),
+        partitionBy = pcols)
+    else {
+      val parts = literalFrame(spark, touched,
         org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))
-      val keep = table.filter(partitionPredicate(pcols, touched.toSeq))
+      val keep = table.filter(partitionPredicate(pcols, touched))
         .join(ks, Seq(keyCol), "left_anti")
       writePartitions(spark, root, keep, pcols, replaced = Some(parts))
-      true
     }
+    matched
   }
 
   private def writeManifest(f: FileSystem, versionDir: Path,

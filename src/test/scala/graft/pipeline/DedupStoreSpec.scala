@@ -85,7 +85,7 @@ class DedupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("compact folds batch history into one dir; dedup, forget and appends keep working") {
+  test("compact folds batch history into bounded buckets; dedup, forget and appends keep working") {
     val root = Files.createTempDirectory("graft-fps5").toString + "/store"
     def fp = DedupStore.textFingerprint(col("text"))
     (1L to 4L).foreach(i => DedupStore.acceptNew(spark, root,
@@ -99,10 +99,18 @@ class DedupStoreSpec extends SparkSpec {
     }
     assert(liveDirs.size == 4, s"one dir per accepted batch: $liveDirs")
 
-    DedupStore.compact(spark, root)
-    assert(liveDirs == Set("batch_seq=0"), s"history must fold into one dir: $liveDirs")
+    // buckets=2: seqs fold mod 2 — dir count bounded, erasure stays
+    // partition-granular at 1/buckets of the store
+    DedupStore.compact(spark, root, buckets = 2)
+    assert(liveDirs == Set("batch_seq=0", "batch_seq=1"),
+      s"history must fold into the bucket set: $liveDirs")
     val stored = AtomicRewrite.read(spark, root)
     assert(stored.count() == 4 && stored.distinct().count() == 4)
+
+    // buckets=1 is the full fold
+    DedupStore.compact(spark, root, buckets = 1)
+    assert(liveDirs == Set("batch_seq=0"), s"history must fold into one dir: $liveDirs")
+    assert(AtomicRewrite.read(spark, root).count() == 4)
 
     // semantics survive the rebase: repeats still rejected, new accepted,
     // forget still partition-aware, later batches land in fresh dirs
@@ -112,7 +120,7 @@ class DedupStoreSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L))
     assert(liveDirs.size == 2, "the new batch gets its own dir beside the folded one")
     assert(DedupStore.forget(spark, root,
-      Seq("doc number 3").toDF("text").select(fp.as("fingerprint"))))
+      Seq("doc number 3").toDF("text").select(fp.as("fingerprint"))).nonEmpty)
     assert(AtomicRewrite.read(spark, root).count() == 4)
     spark.catalog.clearCache()
   }

@@ -45,20 +45,26 @@ class GdprStoresE2ESpec extends SparkSpec {
       Seq(1L, 2L, 3L).map(id => (id.toInt, v(id))).toDF("centroid_id", "cv"))
 
     // subject: doc 2. The dedup store keys on the CONTENT fingerprint, so
-    // its erasure input derives from the subject's text (captured from the
-    // batch — after the scrub the table no longer holds it).
+    // its erasure input derives from the subject's text — read BEFORE the
+    // scrub (runIncremental runs stores-first for exactly this reason) —
+    // and the matched fingerprints map back to subject ids through the
+    // same (subject, fingerprint) pairing.
     val subjectFp = docs.filter(col("doc_id") === 2L)
       .select(DedupStore.textFingerprint(col("text")).as("fingerprint"))
 
-    Gdpr.propagate(spark, Seq(2L).toDF("id"), "document",
-      Seq(Gdpr.Policy("silver_docs", "doc_id", Map(
-        "text" -> (_ => lit("[ERASED]")),
-        "author_email" -> (_ => lit(null).cast("string"))))),
-      t => s"$root/$t", audit, "salt", now)
+    // stores first (the runIncremental ordering), then the table scrub
     val storeAudit = Gdpr.forgetStores(spark, Seq(2L).toDF("subject_id"),
       "document", Seq(
-        Gdpr.StoreErasure("dedup_store", Seq("fingerprint"),
-          _ => DedupStore.forget(spark, dedupRoot, subjectFp)),
+        Gdpr.StoreErasure("dedup_store", Seq("fingerprint"), ids => {
+          val pairs = docs.join(ids, col("doc_id") === col("subject_id"))
+            .select(col("subject_id"),
+              DedupStore.textFingerprint(col("text")).as("fingerprint"))
+          val matched =
+            DedupStore.forget(spark, dedupRoot, pairs.select("fingerprint"))
+          if (matched.isEmpty) Nil
+          else pairs.filter(col("fingerprint").isin(matched: _*))
+            .select("subject_id").distinct().collect().map(_.get(0)).toSeq
+        }),
         Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
           ids => NearDupStore.forget(spark, nearRoot,
             ids.select(col("subject_id").as("doc_id")))),
@@ -67,6 +73,11 @@ class GdprStoresE2ESpec extends SparkSpec {
             ids.select(col("subject_id").as("vec_id"))))),
       audit, "salt", now)
     assert(storeAudit.count() == 3)
+    Gdpr.propagate(spark, Seq(2L).toDF("id"), "document",
+      Seq(Gdpr.Policy("silver_docs", "doc_id", Map(
+        "text" -> (_ => lit("[ERASED]")),
+        "author_email" -> (_ => lit(null).cast("string"))))),
+      t => s"$root/$t", audit, "salt", now)
 
     // -- no derived trace of the subject anywhere --
     val silver = AtomicRewrite.read(spark, s"$root/silver_docs")
@@ -121,6 +132,61 @@ class GdprStoresE2ESpec extends SparkSpec {
     assert(miss.isEmpty, "an untouched store must not claim an audit row")
     assert(Gdpr.readAudit(spark, audit).count() == 4,
       "the no-op erasure must append nothing")
+    spark.catalog.clearCache()
+  }
+
+  test("a partial batch audits only the subjects the store actually held") {
+    val root = Files.createTempDirectory("graft-gdpr-partial").toString
+    val nearRoot = s"$root/stores/neardup"
+    NearDupStore.acceptNew(spark, nearRoot, Seq(
+      (1L, "the western loop tram needs better evening frequency"),
+      (2L, "airport express trains skip every suburban station"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+
+    // batch {1, 999}: the store holds only subject 1
+    val audit = Gdpr.forgetStores(spark, Seq(1L, 999L).toDF("subject_id"),
+      "document", Seq(
+        Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
+          ids => NearDupStore.forget(spark, nearRoot,
+            ids.select(col("subject_id").as("doc_id"))))),
+      s"$root/audit", "salt", now)
+    assert(audit.count() == 1,
+      "only the held subject may claim an audit row — 999 was never stored")
+    val expected = Seq(1L).toDF("subject_id").select(
+      graft.ops.ScdHash.subjectFingerprint("salt", lit("document"),
+        col("subject_id"))).head().getString(0)
+    assert(Gdpr.readAudit(spark, s"$root/audit")
+      .select("subject_fingerprint").as[String].collect().toSeq ==
+      Seq(expected), "the audited fingerprint must be subject 1's")
+    spark.catalog.clearCache()
+  }
+
+  test("a later store's failure cannot lose an earlier store's audit record") {
+    val root = Files.createTempDirectory("graft-gdpr-fail").toString
+    val nearRoot = s"$root/stores/neardup"
+    NearDupStore.acceptNew(spark, nearRoot,
+      Seq((7L, "night buses replace the metro after one am"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+
+    // store 1 erases and commits; store 2 throws. The delete is
+    // irreversible — on a retry store 1's forget matches nothing — so
+    // the audit row must have landed BEFORE the failure propagated.
+    val boom = intercept[RuntimeException] {
+      Gdpr.forgetStores(spark, Seq(7L).toDF("subject_id"), "document", Seq(
+        Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
+          ids => NearDupStore.forget(spark, nearRoot,
+            ids.select(col("subject_id").as("doc_id")))),
+        Gdpr.StoreErasure("flaky_store", Seq("x"),
+          _ => throw new RuntimeException("transient fs error"))),
+        s"$root/audit", "salt", now)
+    }
+    assert(boom.getMessage == "transient fs error")
+    assert(AtomicRewrite.read(spark, nearRoot).isEmpty,
+      "store 1's delete committed before the failure")
+    val a = Gdpr.readAudit(spark, s"$root/audit")
+    assert(a.count() == 1 &&
+      a.select("table_name").as[String].head() == "neardup_store",
+      "the committed erasure must have its compliance record")
     spark.catalog.clearCache()
   }
 }

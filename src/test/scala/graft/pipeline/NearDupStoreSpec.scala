@@ -83,7 +83,7 @@ class NearDupStoreSpec extends SparkSpec {
       Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
     NearDupStore.acceptNew(spark, root,
       Seq((2L, other)).toDF("doc_id", "text"), "doc_id", "text")
-    NearDupStore.compact(spark, root)
+    NearDupStore.compact(spark, root, buckets = 1)
     val v = AtomicRewrite.currentVersion(spark, root).get
     val dirs = new java.io.File(s"$root/v=$v").listFiles()
       .filter(_.getName.startsWith("batch_seq=")).map(_.getName).toSet

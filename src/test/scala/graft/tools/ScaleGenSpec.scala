@@ -56,6 +56,8 @@ class ScaleGenSpec extends SparkSpec {
       .join(tokens.filter(!col("is_rep1")), Seq("tok"), "left_semi")
       .count()
     assert(shared == 0, "no token (hence no shingle) may collide across replicas")
+    assert(out.filter(col("n_chars") =!= length(col("text"))).count() == 0,
+      "n_chars = length(text) must hold on suffixed replicas too")
   }
 
   test("embeddings: replica 1 is the exact cyclic shift, so within-replica cosines match the source") {
