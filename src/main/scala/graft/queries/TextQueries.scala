@@ -315,6 +315,25 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
 
+    // The BPE trainer's inner statistic: adjacent SUBWORD-pair collection
+    // frequencies (count symbol pairs → merge the argmax is the whole BPE
+    // loop; this is one full iteration's counting step over the corpus).
+    // One explode + one keyed agg + TopK — at 100 TB the pair space is the
+    // shuffle key and map-side partial aggregation absorbs the heavy
+    // hitters; the (freq DESC, pair) total order makes the cut exact.
+    // Degenerate single-token docs produce a 1-gram from the shingle
+    // helper's floor — the space filter drops them (a pair has 2 parts).
+    "q102_bpe_merge_pairs" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.subwordTokens(col("text")), 2))
+            .as("pair"))
+        .filter(col("pair").contains(" "))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(50)),
+
     // Benchmark decontamination: training docs sharing distinct 3-gram
     // shingles with an eval/benchmark set (every 10th doc here). Same
     // df-capped shingle equi-join shape as q35 — the [2,100] document-
@@ -758,6 +777,16 @@ object TextQueries {
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
          |SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
          |FROM tok GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "q102_bpe_merge_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(
+        |  range(1, greatest(len(toks)-1,1)+1),
+        |  i -> array_to_string(toks[i:i+1], ' '))) AS pair FROM t)
+        |SELECT pair, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        |FROM p WHERE contains(pair, ' ')
+        |GROUP BY 1 ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
     "q37_simhash" -> {
       val sums = (0 until 32).map(b =>
         s"  sum(${simhashBitSql(b)} * 2 - 1) AS b$b").mkString(",\n")
