@@ -38,10 +38,14 @@ object GdprRequests {
       // the passenger_id fallback applies ONLY to legacy-shape rows
       // (subject_type absent): a modern row typed 'driver' with a NULL
       // subject_id must be DROPPED, not resolved against the legacy
-      // column — that would erase a passenger's id as a driver
+      // column — that would erase a passenger's id as a driver. A feed
+      // without the legacy column at all (modern/streaming sources)
+      // must not be forced to carry it just to satisfy the fallback.
       .withColumn("subject_id",
         when(col("subject_type").isNull,
-          coalesce(col("subject_id"), col("passenger_id")))
+          coalesce(col("subject_id"),
+            if (requests.columns.contains("passenger_id"))
+              col("passenger_id") else lit(null)))
           .otherwise(col("subject_id")).cast("long"))
       .withColumn("subject_type",
         coalesce(lower(col("subject_type")), lit("passenger")))
