@@ -42,7 +42,11 @@ object Tables {
     * runs every query's lambda through here inside its timed window) —
     * re-opening every footer on each load would tax the very numbers
     * the bench records. The signature (path+length+mtime of every data
-    * file) re-probes on ANY rewrite, so drift detection is intact. */
+    * file) re-probes on any rewrite that changes a file's path, length
+    * or mtime — i.e. every normal regeneration; an in-place overwrite
+    * preserving all three (same-length file copied with timestamps
+    * preserved inside one mtime tick) is outside the guard for the
+    * life of the JVM, the standard listing-signature tradeoff. */
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String])]()
 

@@ -194,8 +194,9 @@ object AnnIndexStore {
     * forgotten id, only those hive partitions are rewritten, every other
     * cell rides the manifest by reference — O(touched cells), never
     * O(index). A cell emptied by the erasure vanishes from the manifest,
-    * so no ghost partition lingers. Returns the matched vec ids (empty =
-    * index untouched, no version burned).
+    * so no ghost partition lingers. Returns whether anything was
+    * rewritten; [[forgetMatched]] additionally returns the matched vec
+    * ids for per-subject audit trails.
     *
     * Centroids are untouched: [[trainCentroids]] vectors are corpus-wide
     * MEANS (aggregates, not personal data), so the production fixed-K
@@ -204,8 +205,14 @@ object AnnIndexStore {
     * retain a subject's embedding as a cluster center — full erasure
     * there means retraining/rebuilding the index; production indexes
     * should train their centroids for this reason too. */
-  def forget(spark: SparkSession, root: String, ids: DataFrame): Seq[Any] =
+  def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean =
     AtomicRewrite.deleteMatching(spark, Paths(root).cells, ids, "vec_id")
+
+  /** [[forget]] returning the matched vec ids (empty = index untouched,
+    * no version burned) — the audit-precision shape. */
+  def forgetMatched(spark: SparkSession, root: String,
+                    ids: DataFrame): Seq[Any] =
+    AtomicRewrite.deleteMatchingKeys(spark, Paths(root).cells, ids, "vec_id")
 
   /** Retrain the index's centroid set from its OWN surviving corpus and
     * rebuild the cells around it — the erasure-completion step for

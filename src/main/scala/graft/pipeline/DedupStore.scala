@@ -87,13 +87,21 @@ object DedupStore {
     * Partition-aware ([[AtomicRewrite.deleteMatching]]): only the
     * `batch_seq` partitions that actually hold a forgotten fingerprint
     * are rewritten; every other partition rides the manifest by
-    * reference — O(affected partitions), never O(store). Returns the
-    * matched fingerprints (empty = store untouched, no version burned).
+    * reference — O(affected partitions), never O(store). Returns whether
+    * anything was rewritten; [[forgetMatched]] additionally returns the
+    * matched fingerprints for per-subject audit trails.
     * Reference GDPR semantics: the mobility
     * pipeline's hard-delete path (gdpr/delete_subject.py) applied to the
     * corpus-store layer. */
   def forget(spark: SparkSession, storeRoot: String,
-             fingerprints: DataFrame): Seq[Any] =
+             fingerprints: DataFrame): Boolean =
     AtomicRewrite.deleteMatching(spark, storeRoot,
+      fingerprints, "fingerprint")
+
+  /** [[forget]] returning the matched fingerprints (empty = store
+    * untouched, no version burned) — the audit-precision shape. */
+  def forgetMatched(spark: SparkSession, storeRoot: String,
+                    fingerprints: DataFrame): Seq[Any] =
+    AtomicRewrite.deleteMatchingKeys(spark, storeRoot,
       fingerprints, "fingerprint")
 }

@@ -51,10 +51,13 @@ object Gdpr {
     // table would falsely record columns as scrubbed)
     val applied = policies.filter(p => AtomicRewrite.exists(spark, tableRoot(p.table)))
     // audit rows are claimed ONLY by policies whose table was actually
-    // rewritten this run (the partitioned path skips the commit when no
-    // subject row exists — an audit row for it would falsely record a
-    // scrub with no corresponding table version)
-    val rewritten = applied.filter { p =>
+    // rewritten this run, and only for the SUBJECTS the table actually
+    // held (the partitioned path skips the commit when no subject row
+    // exists; a batch {A, B} against a table holding only A must audit
+    // A alone — a row for B would falsely record B's columns as
+    // scrubbed). The per-table matched id set is bounded by the
+    // erasure batch.
+    val rewritten: Seq[(Policy, Seq[Any])] = applied.flatMap { p =>
       val root = tableRoot(p.table)
       val t = AtomicRewrite.read(spark, root)
       val subjects = ids.select(col("subject_id").as(p.keyCol))
@@ -66,35 +69,40 @@ object Gdpr {
         // row (setCols must not touch partition columns), so the
         // affected set is exactly where the subjects live today.
         case Some(pcols) if pcols.nonEmpty && !pcols.exists(p.setCols.contains) =>
-          val partRows = t.join(broadcast(subjects), Seq(p.keyCol), "left_semi")
+          // one pass collects the touched partitions (drives the pruned
+          // rewrite) AND the matched subject ids (drives the audit)
+          val pairs = t.join(broadcast(subjects), Seq(p.keyCol), "left_semi")
             .filter(p.extraCond)
-            .select(pcols.map(col): _*).distinct().collect()
-          if (partRows.nonEmpty) {
-            val parts = AtomicRewrite.literalFrame(spark, partRows.toSeq,
+            .select((p.keyCol +: pcols).map(col): _*).distinct().collect()
+          if (pairs.nonEmpty) {
+            val partRows = pairs.map(r => org.apache.spark.sql.Row.fromSeq(
+              pcols.indices.map(i => r.get(i + 1)))).distinct.toSeq
+            val parts = AtomicRewrite.literalFrame(spark, partRows,
               org.apache.spark.sql.types.StructType(pcols.map(c => t.schema(c))))
             // literal predicate → plan-time partition pruning; null-SAFE
             // via `<=>`: a NULL partition value is a legal dir
             // (__HIVE_DEFAULT_PARTITION__) whose bystander rows must be
             // in the slice while `replaced` names the dir
             val slice = t.filter(
-              AtomicRewrite.partitionPredicate(pcols, partRows.toSeq))
+              AtomicRewrite.partitionPredicate(pcols, partRows))
             AtomicRewrite.writePartitions(spark, root,
               Upsert.updateOnly(slice, subjects, Seq(p.keyCol), p.setCols,
                 p.extraCond),
               pcols, replaced = Some(parts))
-            true
-          } else false // no matching rows → nothing rewritten, no version burned
+            Some(p -> pairs.map(_.get(0)).distinct.toSeq)
+          } else None // no matching rows → nothing rewritten, no version burned
         case _ =>
           // probe first: a no-op updateOnly would still burn a version and
           // claim an audit row for a scrub that never touched a row —
           // mirror the partitioned path's subject-presence check
-          val hasSubjectRows = !t.join(broadcast(subjects), Seq(p.keyCol), "left_semi")
-            .filter(p.extraCond).isEmpty
-          if (hasSubjectRows) {
+          val matched = t.join(broadcast(subjects), Seq(p.keyCol), "left_semi")
+            .filter(p.extraCond)
+            .select(col(p.keyCol)).distinct().collect().map(_.get(0)).toSeq
+          if (matched.nonEmpty) {
             AtomicRewrite.write(spark, root,
               Upsert.updateOnly(t, subjects, Seq(p.keyCol), p.setCols, p.extraCond))
-            true
-          } else false
+            Some(p -> matched)
+          } else None
       }
     }
     if (rewritten.isEmpty) {
@@ -103,8 +111,10 @@ object Gdpr {
       ids.unpersist()
       return emptyAudit(ids, subjectType, now)
     }
-    val audit = rewritten.map(p =>
-        auditRows(ids, subjectType, p.table, p.setCols.keys.toSeq, salt, now))
+    val audit = rewritten.map { case (p, matched) =>
+        auditRows(ids.filter(col("subject_id").isin(matched: _*)),
+          subjectType, p.table, p.setCols.keys.toSeq, salt, now)
+      }
       .reduce(_ unionByName _)
     appendAudit(spark, auditRoot, audit)
     ids.unpersist()
@@ -183,33 +193,41 @@ object Gdpr {
       ids.unpersist()
       return emptyAudit(ids, subjectType, now)
     }
-    var failures = List.empty[Throwable]
-    val audits = stores.flatMap { s =>
-      scala.util.Try(s.forget(ids)) match {
-        // audit rows are claimed ONLY for subjects the store actually
-        // held and erased (propagate's contract: a row for an untouched
-        // store — or an unheld subject — would falsely record artifacts
-        // as scrubbed at `now`)
-        case scala.util.Success(matched) if matched.nonEmpty =>
-          val rows = auditRows(
-            ids.filter(col("subject_id").isin(matched: _*)),
-            subjectType, s.store, s.artifacts, salt, now)
-          appendAudit(spark, auditRoot, rows)
-          Some(rows)
-        case scala.util.Success(_) => None
-        case scala.util.Failure(e) => failures ::= e; None
+    try {
+      var failures = List.empty[Throwable]
+      // the WHOLE per-store unit (forget + audit append) is one Try:
+      // an audit-append failure must not abort the remaining stores any
+      // more than a forget failure may. (Residual window: a delete that
+      // commits and then fails its append before any retry loses that
+      // one record — closing it needs a pre-commit intent log; the
+      // erasure itself is never at risk.)
+      val audits = stores.flatMap { s =>
+        scala.util.Try {
+          val matched = s.forget(ids)
+          // audit rows are claimed ONLY for subjects the store actually
+          // held and erased (propagate's contract: a row for an
+          // untouched store — or an unheld subject — would falsely
+          // record artifacts as scrubbed at `now`)
+          if (matched.isEmpty) None
+          else {
+            val rows = auditRows(
+              ids.filter(col("subject_id").isin(matched: _*)),
+              subjectType, s.store, s.artifacts, salt, now)
+            appendAudit(spark, auditRoot, rows)
+            Some(rows)
+          }
+        } match {
+          case scala.util.Success(opt) => opt
+          case scala.util.Failure(e) => failures ::= e; None
+        }
       }
-    }
-    failures.reverse match {
-      case first :: rest =>
-        rest.foreach(first.addSuppressed); ids.unpersist(); throw first
-      case Nil =>
-    }
-    val audit =
+      failures.reverse match {
+        case first :: rest => rest.foreach(first.addSuppressed); throw first
+        case Nil =>
+      }
       if (audits.isEmpty) emptyAudit(ids, subjectType, now)
       else audits.reduce(_ unionByName _)
-    ids.unpersist()
-    audit
+    } finally ids.unpersist()
   }
 
   /** Append one run's audit rows as ONE new parquet file — prior runs'

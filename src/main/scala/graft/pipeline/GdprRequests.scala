@@ -73,16 +73,49 @@ object GdprRequests {
     * the scrub, the closure would fingerprint '[ERASED]', match
     * nothing, and silently leave the ghost artifact matchable forever.
     * Id-keyed stores are order-insensitive, so stores-first is safe for
-    * all. */
+    * all.
+    *
+    * `latenessSeconds` is the bounded out-of-orderness allowance for
+    * feeds whose delivery order can lag `processed_at` order (a slow
+    * Kafka partition behind a fast one, a restarted source): the plain
+    * watermark filter would drop a request stamped BELOW the mark a
+    * faster sibling already advanced — silently, forever. With a
+    * nonzero window, requests in `(wm - lateness, wm]` are also
+    * considered, deduplicated against an append-only processed-request
+    * log (id-level, order-insensitive), so a straggler inside the
+    * window is erased exactly once and one outside it is an explicit
+    * contract violation rather than a silent maybe. 0 (the default)
+    * keeps the batch cycle's exact semantics and zero extra cost —
+    * right when the feed is a re-scanned table whose rows never arrive
+    * out of order. The log prunes to the window on read, so the
+    * anti-join is O(window), not O(all-time). */
   def runIncremental(spark: SparkSession, controlRoot: String,
                      requests: DataFrame,
                      policiesFor: String => Seq[Gdpr.Policy],
                      tableRoot: String => String, auditRoot: String,
                      salt: String, now: Timestamp,
                      storesFor: String => Seq[Gdpr.StoreErasure] =
-                       _ => Nil): Long = {
+                       _ => Nil,
+                     latenessSeconds: Long = 0L): Long = {
     val wm = Watermarks.read(spark, controlRoot, Job)
-    val pending = pendingRequests(requests, wm).cache()
+    val idLog = s"$controlRoot-requests"
+    val fresh = pendingRequests(requests, wm)
+    val pending = (wm match {
+      case Some(w) if latenessSeconds > 0 =>
+        val floor = new Timestamp(w.getTime - latenessSeconds * 1000)
+        val inWindow = pendingRequests(requests, Some(floor))
+          .filter(col("processed_at") <= lit(w))
+        val stragglers =
+          if (graft.tx.AppendLog.exists(spark, idLog))
+            inWindow.join(
+              graft.tx.AppendLog.read(spark, idLog)
+                .filter(col("processed_at") > lit(floor))
+                .select("request_id"),
+              Seq("request_id"), "left_anti")
+          else inWindow
+        fresh.unionByName(stragglers)
+      case _ => fresh
+    }).cache()
     try {
       val stats = pending.agg(count(lit(1)), max(col("processed_at"))).head()
       if (stats.getLong(0) == 0L) {
@@ -100,6 +133,12 @@ object GdprRequests {
         Gdpr.propagate(spark, subjects, st, policiesFor(st),
           tableRoot, auditRoot, salt, now)
       }
+      // the straggler dedup log records every processed request id; a
+      // crash between this append and the advance is benign (fresh
+      // requests re-process idempotently, stragglers dedup on the log)
+      if (latenessSeconds > 0)
+        graft.tx.AppendLog.append(spark, idLog,
+          pending.select("request_id", "processed_at"))
       Watermarks.advance(spark, controlRoot, Job,
         Option(stats.getTimestamp(1)), "OK", now)
       stats.getLong(0)

@@ -139,8 +139,15 @@ object NearDupStore {
     * deleted document survives and re-submitted content stops matching a
     * ghost signature. Partition-aware like [[DedupStore.forget]]
     * ([[AtomicRewrite.deleteMatching]]): only the `batch_seq` partitions
-    * holding a forgotten id are rewritten. Returns the matched doc ids
-    * (empty = store untouched, no version burned). */
-  def forget(spark: SparkSession, storeRoot: String, ids: DataFrame): Seq[Any] =
+    * holding a forgotten id are rewritten. Returns whether anything was
+    * rewritten; [[forgetMatched]] additionally returns the matched doc
+    * ids for per-subject audit trails. */
+  def forget(spark: SparkSession, storeRoot: String, ids: DataFrame): Boolean =
     AtomicRewrite.deleteMatching(spark, storeRoot, ids, "doc_id")
+
+  /** [[forget]] returning the matched doc ids (empty = store untouched,
+    * no version burned) — the audit-precision shape. */
+  def forgetMatched(spark: SparkSession, storeRoot: String,
+                    ids: DataFrame): Seq[Any] =
+    AtomicRewrite.deleteMatchingKeys(spark, storeRoot, ids, "doc_id")
 }

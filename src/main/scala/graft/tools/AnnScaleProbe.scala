@@ -46,8 +46,13 @@ object AnnScaleProbe {
       AnnIndexStore.trainCentroids(e, k = k, iters = 2))
     println(f"[annprobe] build ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
-    // fixed query set: 40 ids that exist at every ScaleGen factor
-    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+    // fixed query set: the 40 SMALLEST matching ids — factor-independent
+    // for any source size (a literal id cutoff would admit higher
+    // replicas' ids when the source corpus is small, quietly growing the
+    // query set with the factor — the exact conflation this probe
+    // removes from q83/q94)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(40)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     for (i <- 1 to 3) {
       val t1 = System.nanoTime()

@@ -339,34 +339,59 @@ object AtomicRewrite {
     * the right plan — and a hard failure here would poison the erasure
     * request driving it, re-failing on every retry cycle).
     *
-    * Returns the DISTINCT matched key values (empty = no matching rows,
-    * no version burned), so callers can gate audit records on the actual
-    * per-key erasure, not just "something was rewritten". Bounded by the
-    * key batch — erasure batches are small by contract. */
+    * Returns whether anything was rewritten. This is the BULK shape —
+    * the driver sees only the touched partition set; a caller that also
+    * needs the per-key outcome (audit trails) uses
+    * [[deleteMatchingKeys]], which pays for the extra key collect. */
   def deleteMatching(spark: SparkSession, root: String,
-                     keys: DataFrame, keyCol: String): Seq[Any] = {
+                     keys: DataFrame, keyCol: String): Boolean =
+    deleteImpl(spark, root, keys, keyCol, collectKeys = false).isDefined
+
+  /** [[deleteMatching]] that ALSO returns the DISTINCT matched key
+    * values (empty = no matching rows, no version burned), so callers
+    * can gate audit records on the actual per-key erasure, not just
+    * "something was rewritten". The matched keys ship to the driver —
+    * bounded by the key batch, which is small by the erasure-request
+    * contract; bulk deletes (no audit) should use [[deleteMatching]],
+    * whose driver traffic stays partition-cardinality. */
+  def deleteMatchingKeys(spark: SparkSession, root: String,
+                         keys: DataFrame, keyCol: String): Seq[Any] =
+    deleteImpl(spark, root, keys, keyCol, collectKeys = true).getOrElse(Nil)
+
+  /** None = nothing matched; Some(keys) = rewrote (keys empty unless
+    * `collectKeys`). */
+  private def deleteImpl(spark: SparkSession, root: String,
+                         keys: DataFrame, keyCol: String,
+                         collectKeys: Boolean): Option[Seq[Any]] = {
     import org.apache.spark.sql.functions.col
-    if (!exists(spark, root)) return Nil
+    if (!exists(spark, root)) return None
     val ks = keys.select(col(keyCol)).distinct()
     val table = read(spark, root)
     val pcols = partitionColsOf(spark, root).getOrElse {
       // a table fully emptied by an earlier delete is a plain empty
       // snapshot (manifests cannot be entry-less) — nothing to delete
-      if (table.isEmpty) return Nil
+      if (table.isEmpty) return None
       throw new IllegalStateException(
         s"$root is not partition-committed; deleteMatching would rewrite " +
           "the whole table — use write() with a filtered snapshot instead")
     }
-    // one pass collects both outputs: the touched partition set (drives
-    // the pruned rewrite) and the matched keys (drives per-key audit)
-    val pairs = table.join(ks, Seq(keyCol), "left_semi")
-      .select((keyCol +: pcols).map(col): _*).distinct().collect()
-    if (pairs.isEmpty) return Nil
-    val matched = pairs.map(_.get(0)).distinct.toSeq
-    val touched = pairs
-      .map(r => org.apache.spark.sql.Row.fromSeq(pcols.indices.map(i => r.get(i + 1))))
-      .distinct.toSeq
+    val matchedRows = table.join(ks, Seq(keyCol), "left_semi")
+    // bulk shape: distinct over partition values only (narrow driver
+    // traffic); audit shape: one pass over (key, partitions) pairs
+    // yields both outputs
+    val (matched, touched) =
+      if (collectKeys) {
+        val pairs = matchedRows
+          .select((keyCol +: pcols).map(col): _*).distinct().collect()
+        (pairs.map(_.get(0)).distinct.toSeq,
+          pairs.map(r => org.apache.spark.sql.Row.fromSeq(
+            pcols.indices.map(i => r.get(i + 1)))).distinct.toSeq)
+      } else
+        (Nil, matchedRows.select(pcols.map(col): _*).distinct().collect().toSeq)
+    if (touched.isEmpty) return None
     if (touched.size > MaxInlinedPartitionTerms)
+      // at this spread a full scan IS the right plan — and a hard
+      // failure here would poison the erasure request driving it
       write(spark, root, table.join(ks, Seq(keyCol), "left_anti"),
         partitionBy = pcols)
     else {
@@ -376,7 +401,7 @@ object AtomicRewrite {
         .join(ks, Seq(keyCol), "left_anti")
       writePartitions(spark, root, keep, pcols, replaced = Some(parts))
     }
-    matched
+    Some(matched)
   }
 
   private def writeManifest(f: FileSystem, versionDir: Path,

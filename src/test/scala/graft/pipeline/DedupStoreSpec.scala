@@ -120,7 +120,7 @@ class DedupStoreSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L))
     assert(liveDirs.size == 2, "the new batch gets its own dir beside the folded one")
     assert(DedupStore.forget(spark, root,
-      Seq("doc number 3").toDF("text").select(fp.as("fingerprint"))).nonEmpty)
+      Seq("doc number 3").toDF("text").select(fp.as("fingerprint"))))
     assert(AtomicRewrite.read(spark, root).count() == 4)
     spark.catalog.clearCache()
   }

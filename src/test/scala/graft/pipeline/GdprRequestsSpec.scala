@@ -101,7 +101,7 @@ class GdprRequestsSpec extends SparkSpec {
         Map("full_name" -> (_ => lit(null).cast("string")))))
     def storesFor(st: String) = Seq(
       Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
-        ids => NearDupStore.forget(spark, nearRoot,
+        ids => NearDupStore.forgetMatched(spark, nearRoot,
           ids.select(col("subject_id").as("doc_id")))))
 
     val n = GdprRequests.runIncremental(spark, control,

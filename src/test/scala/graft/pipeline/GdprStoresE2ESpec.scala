@@ -60,16 +60,16 @@ class GdprStoresE2ESpec extends SparkSpec {
             .select(col("subject_id"),
               DedupStore.textFingerprint(col("text")).as("fingerprint"))
           val matched =
-            DedupStore.forget(spark, dedupRoot, pairs.select("fingerprint"))
+            DedupStore.forgetMatched(spark, dedupRoot, pairs.select("fingerprint"))
           if (matched.isEmpty) Nil
           else pairs.filter(col("fingerprint").isin(matched: _*))
             .select("subject_id").distinct().collect().map(_.get(0)).toSeq
         }),
         Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
-          ids => NearDupStore.forget(spark, nearRoot,
+          ids => NearDupStore.forgetMatched(spark, nearRoot,
             ids.select(col("subject_id").as("doc_id")))),
         Gdpr.StoreErasure("ann_index", Seq("embedding", "qv8"),
-          ids => AnnIndexStore.forget(spark, annRoot,
+          ids => AnnIndexStore.forgetMatched(spark, annRoot,
             ids.select(col("subject_id").as("vec_id"))))),
       audit, "salt", now)
     assert(storeAudit.count() == 3)
@@ -123,10 +123,10 @@ class GdprStoresE2ESpec extends SparkSpec {
     val miss = Gdpr.forgetStores(spark, Seq(999L).toDF("subject_id"),
       "document", Seq(
         Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
-          ids => NearDupStore.forget(spark, nearRoot,
+          ids => NearDupStore.forgetMatched(spark, nearRoot,
             ids.select(col("subject_id").as("doc_id")))),
         Gdpr.StoreErasure("ann_index", Seq("embedding", "qv8"),
-          ids => AnnIndexStore.forget(spark, annRoot,
+          ids => AnnIndexStore.forgetMatched(spark, annRoot,
             ids.select(col("subject_id").as("vec_id"))))),
       audit, "salt", now)
     assert(miss.isEmpty, "an untouched store must not claim an audit row")
@@ -147,7 +147,7 @@ class GdprStoresE2ESpec extends SparkSpec {
     val audit = Gdpr.forgetStores(spark, Seq(1L, 999L).toDF("subject_id"),
       "document", Seq(
         Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
-          ids => NearDupStore.forget(spark, nearRoot,
+          ids => NearDupStore.forgetMatched(spark, nearRoot,
             ids.select(col("subject_id").as("doc_id"))))),
       s"$root/audit", "salt", now)
     assert(audit.count() == 1,
@@ -174,7 +174,7 @@ class GdprStoresE2ESpec extends SparkSpec {
     val boom = intercept[RuntimeException] {
       Gdpr.forgetStores(spark, Seq(7L).toDF("subject_id"), "document", Seq(
         Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
-          ids => NearDupStore.forget(spark, nearRoot,
+          ids => NearDupStore.forgetMatched(spark, nearRoot,
             ids.select(col("subject_id").as("doc_id")))),
         Gdpr.StoreErasure("flaky_store", Seq("x"),
           _ => throw new RuntimeException("transient fs error"))),

@@ -39,7 +39,7 @@ class StreamingGdprSpec extends SparkSpec {
         Map("full_name" -> (_ => lit(null).cast("string")))))
     def storesFor(st: String) = Seq(
       Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
-        ids => NearDupStore.forget(spark, nearRoot,
+        ids => NearDupStore.forgetMatched(spark, nearRoot,
           ids.select(col("subject_id").as("doc_id")))))
 
     // deterministic per-batch clock
@@ -83,6 +83,28 @@ class StreamingGdprSpec extends SparkSpec {
       val audit = Gdpr.readAudit(spark, s"$root/audit")
       assert(audit.count() == 4, s"got ${audit.count()}")
       assert(audit.select("subject_fingerprint").distinct().count() == 2)
+
+      // batch 3: a STRAGGLER — processed_at 11:30 is BELOW the advanced
+      // watermark (12:00) because its source partition lagged. The plain
+      // watermark filter would drop it forever; the lateness window +
+      // id-level dedup must erase subject 2 exactly once.
+      clock = ts("2024-02-03 00:00:00")
+      in.addData(ErasureRequest("r3", "passenger", 2L, "erasure",
+        "processed", ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      assert(AtomicRewrite.read(spark, s"$root/silver/passengers")
+        .filter(col("full_name").isNotNull).isEmpty,
+        "the straggler's subject must be erased despite its below-watermark stamp")
+      assert(AtomicRewrite.read(spark, nearRoot).isEmpty)
+
+      // batch 4 redelivers the straggler — the id log dedups it
+      clock = ts("2024-02-04 00:00:00")
+      in.addData(ErasureRequest("r3", "passenger", 2L, "erasure",
+        "processed", ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val audit2 = Gdpr.readAudit(spark, s"$root/audit")
+      assert(audit2.count() == 6,
+        s"straggler adds exactly 2 rows once, got ${audit2.count()}")
     } finally q.stop()
     spark.catalog.clearCache()
   }
