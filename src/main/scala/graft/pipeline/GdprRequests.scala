@@ -87,8 +87,11 @@ object GdprRequests {
     * contract violation rather than a silent maybe. 0 (the default)
     * keeps the batch cycle's exact semantics and zero extra cost —
     * right when the feed is a re-scanned table whose rows never arrive
-    * out of order. The log prunes to the window on read, so the
-    * anti-join is O(window), not O(all-time). */
+    * out of order. The anti-join filters the log to the window, so the
+    * JOIN is O(window) rows; the log scan itself is O(cycles) small
+    * files — fold it on cadence like the corpus stores if a deployment
+    * ever runs enough cycles for the listing to matter (request feeds
+    * are low-volume by nature). */
   def runIncremental(spark: SparkSession, controlRoot: String,
                      requests: DataFrame,
                      policiesFor: String => Seq[Gdpr.Policy],
