@@ -831,6 +831,31 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(38, 6))).cast("double").as("revenue"))
+    }),
+
+    // Ordered funnel analysis (view -> click -> purchase): users advance a
+    // stage only with an event strictly after their previous stage's first
+    // completion and within a 24 h conversion window. Three cascading
+    // min-aggregates joined on user_id — after the first shuffle every
+    // stage is co-partitioned by user, so a 100 TB event log pays one
+    // partitioning, and each stage's state is one timestamp per surviving
+    // user (no event arrays, no window sorts).
+    "q107_funnel" -> ((s, dir) => {
+      val win = expr("INTERVAL 24 HOURS")
+      val e = T(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def stage(d: DataFrame, name: String) =
+        d.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click_after_view"))
+        .unionByName(stage(p, "3_purchase_after_click"))
     }))
 
   private val DS = "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
@@ -1072,6 +1097,22 @@ object RelationalQueries {
         | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         | max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+    "q107_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOURS GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOURS GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
     "q96_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         | CAST(month(o_orderdate) AS INT) AS o_month,

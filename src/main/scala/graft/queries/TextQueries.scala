@@ -505,7 +505,120 @@ object TextQueries {
       sums.select(col("doc_id"),
         concat_ws("", (0 until 32).map(b =>
           when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+    }),
+
+    // Exact-substring cross-doc duplication at 8-gram granularity (the
+    // token-window approximation of suffix-array exact dedup over a
+    // training corpus): per doc, the fraction of its 8-token spans that
+    // also occur verbatim in ANOTHER document. One explode + one span-
+    // keyed agg + one span-keyed join — the span hash is the shuffle key,
+    // so a 100 TB corpus shards by content and no doc pair ever meets.
+    "q103_span_dedup" -> ((s, dir) => {
+      // persisted: the exploded spans feed both the >=2-docs span set and
+      // the per-position flagging join (q56's idiom)
+      val sp = docs(s, dir).select(col("doc_id"),
+        explode(TextOps.shingles(toks, SpanK)).as("span")).persist()
+      val dup = sp.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("span"), lit(1L).as("isdup"))
+      val out = sp.join(dup, Seq("span"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("isdup"), lit(0L))).as("dup_spans"))
+        .withColumn("dup_fraction",
+          round(col("dup_spans") / col("n_spans"), 6))
+      materializeAndRelease(out, sp)
+    }),
+
+    // Inverted-index build (search/retrieval side of a corpus store):
+    // token -> document frequency, collection frequency, and the head of
+    // the sorted posting list. One explode + one token-keyed agg. The
+    // posting head is a k-bounded mergeable aggregator (BottomKLong), so
+    // even a stop-token's agg state is 8 longs — collect_set would hold
+    // that token's ENTIRE posting list (the corpus) in one buffer.
+    "q104_inverted_index" -> ((s, dir) => {
+      val bk = graft.functions.BottomK.bottomKLong(8)
+      docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("coll_freq"),
+          concat_ws(",", bk(col("doc_id")).cast("array<string>"))
+            .as("postings_head"))
+    }),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed conjunctive
+    // query — the ranking twin of q58's TF-IDF. Term frequencies are
+    // narrow HOF scans; N/avgdl/df are ONE scalar aggregate broadcast
+    // back into the scan, so the corpus is read twice and shuffled never.
+    "q105_bm25" -> ((s, dir) => {
+      val dl = docs(s, dir).select(
+        (col("doc_id") +: size(toks).cast("double").as("dl") +:
+          BmQuery.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+          }): _*)
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl") +:
+          BmQuery.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")): _*)
+      val score = BmQuery.indices.map { i =>
+        val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+        val tf = col(s"tf$i")
+        idf * (tf * lit(BmK1 + 1.0)) /
+          (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      dl.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .filter(col("bm25") > 0)
+    }),
+
+    // Corpus-mix overlap: pairwise trigram-shingle Jaccard between
+    // sources, estimated from mergeable KMV (bottom-k) sketches AND
+    // exact, so the result itself documents the sketch's accuracy. The
+    // sketch path is the 100 TB shape — per-source state is k strings
+    // regardless of shingle cardinality, pairs form over S sketch rows,
+    // never over shingles; the exact path shuffles on shingle, never on
+    // docs. (Trigrams, not tokens: the corpus shares one token
+    // vocabulary, so only word-order granularity separates sources.)
+    "q106_kmv_source_overlap" -> ((s, dir) => {
+      val st = docs(s, dir).select(col("source"),
+        explode(TextOps.shingles(toks, 3)).as("t"))
+        .distinct().persist()
+      val bk = graft.functions.BottomK.bottomK(KmvK)
+      val sk = st.groupBy("source")
+        .agg(bk(sha2(col("t"), 256)).as("sk"), count(lit(1)).as("nt"))
+      val ex = st.alias("a").join(st.alias("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("common"))
+      val out = ex
+        .join(sk.select(col("source").as("source_a"), col("sk").as("ska"),
+          col("nt").as("na")), "source_a")
+        .join(sk.select(col("source").as("source_b"), col("sk").as("skb"),
+          col("nt").as("nb")), "source_b")
+        .withColumn("u", slice(array_sort(array_distinct(
+          concat(col("ska"), col("skb")))), 1, KmvK))
+        .select(col("source_a"), col("source_b"),
+          round(col("common") / (col("na") + col("nb") - col("common")), 6)
+            .as("exact_jaccard"),
+          round(size(filter(col("u"), h =>
+            array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+            / size(col("u")).cast("double"), 6).as("kmv_jaccard"))
+      materializeAndRelease(out, st)
     }))
+
+  /** Span width for exact-substring dedup (q103). */
+  val SpanK = 8
+
+  /** BM25 parameters and the fixed benchmark query (q105). */
+  val BmQuery = Seq("table", "scan", "fast")
+  val BmK1 = 1.2
+  val BmB = 0.75
+
+  /** KMV sketch size for source-overlap estimation (q106): resolution is
+    * 1/k, so 64 resolves the corpus's 0.01-0.08 trigram-Jaccard band. */
+  val KmvK = 64
 
   // ---- oracles ----------------------------------------------------------
 
@@ -546,6 +659,67 @@ object TextQueries {
        |cc AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q103_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, unnest(list_transform(
+         |  range(1, greatest(len(toks)-${SpanK - 1},1)+1),
+         |  i -> array_to_string(toks[i:i+${SpanK - 1}], ' '))) AS span FROM t),
+         |dup AS (SELECT span FROM sp GROUP BY span
+         |        HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_spans,
+         |  round(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*), 6) AS dup_fraction
+         |FROM sp LEFT JOIN dup d ON sp.span = d.span
+         |GROUP BY 1""".stripMargin,
+    "q104_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+         |SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         |  CAST(count(*) AS BIGINT) AS coll_freq,
+         |  array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',')
+         |    AS postings_head
+         |FROM tok GROUP BY 1""".stripMargin,
+    "q105_bm25" -> {
+      val tfCols = BmQuery.zipWithIndex.map { case (t, i) =>
+        s"  CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n")
+      val dfCols = BmQuery.indices.map(i =>
+        s"  sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(",\n")
+      val terms = BmQuery.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ($BmK1 + 1.0)) / " +
+          s"(tf$i + $BmK1 * (1.0 - $BmB + $BmB * dl / avgdl))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |$tfCols
+         |FROM t),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |$dfCols
+         |FROM d),
+         |r AS (SELECT doc_id, round($terms, 6) AS bm25 FROM d, s)
+         |SELECT doc_id, bm25 FROM r WHERE bm25 > 0""".stripMargin
+    },
+    "q106_kmv_source_overlap" ->
+      s"""WITH tt AS (SELECT source, $ToksSql AS toks FROM documents),
+         |st AS (SELECT DISTINCT source, t FROM
+         |  (SELECT source, unnest($ShinglesSql) AS t FROM tt)),
+         |sk AS (SELECT source, list_sort(list(DISTINCT sha256(t)))[1:$KmvK] AS sk,
+         |        CAST(count(*) AS BIGINT) AS nt FROM st GROUP BY 1),
+         |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(count(*) AS BIGINT) AS common
+         |       FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |j AS (SELECT ex.source_a, ex.source_b, ex.common,
+         |        sa.sk AS ska, sa.nt AS na, sb.sk AS skb, sb.nt AS nb,
+         |        list_sort(list_distinct(flatten([sa.sk, sb.sk])))[1:$KmvK] AS u
+         |      FROM ex JOIN sk sa ON ex.source_a = sa.source
+         |           JOIN sk sb ON ex.source_b = sb.source)
+         |SELECT source_a, source_b,
+         |  round(common / (na + nb - common), 6) AS exact_jaccard,
+         |  round(len(list_filter(u, h -> list_contains(ska, h)
+         |      AND list_contains(skb, h))) / CAST(len(u) AS DOUBLE), 6)
+         |    AS kmv_jaccard
+         |FROM j""".stripMargin,
     "q71_canonical_docs" ->
       s"""$CcCteSql,
          |j AS (SELECT cc.cluster_id, cc.doc_id, d.n_chars

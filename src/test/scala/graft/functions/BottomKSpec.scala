@@ -22,4 +22,21 @@ class BottomKSpec extends SparkSpec {
     val got = df.agg(BottomK.bottomK(5)(col("v"))).as[Seq[String]].head()
     assert(got == vals.distinct.sorted.take(5))
   }
+
+  test("long variant: same contract, including negative keys and dedup") {
+    val agg = BottomKLong(3)
+    val b = Seq(5L, 3L, -1L, 3L, 9L).foldLeft(agg.zero)(agg.reduce)
+    assert(b == Vector(-1L, 3L, 5L))
+    assert(agg.merge(Vector(-1L, 3L, 5L), Vector(0L, 3L, 99L)) ==
+      Vector(-1L, 0L, 3L))
+    assert(agg.merge(agg.zero, agg.zero) == Vector.empty)
+    // Long.MinValue is a real value, not the dedup sentinel
+    assert(agg.merge(Vector(Long.MinValue), Vector(Long.MinValue, 7L)) ==
+      Vector(Long.MinValue, 7L))
+
+    val vals = (1 to 500).map(i => (i % 97).toLong)
+    val df = vals.toDF("v").repartition(7)
+    val got = df.agg(BottomK.bottomKLong(5)(col("v"))).as[Seq[Long]].head()
+    assert(got == vals.distinct.sorted.take(5))
+  }
 }

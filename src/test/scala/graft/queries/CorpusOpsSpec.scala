@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-9 corpus additions (q103-q107) that
+  * the row-hash oracle cannot express: internal consistency of the
+  * duplication fractions, posting-list ordering, BM25 score bounds, KMV
+  * estimate-vs-exact accuracy, and funnel monotonicity.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q103: span counts are consistent and a cloned doc is fully duplicated") {
+    val out = TextQueries.defs("q103_span_dedup")(spark, sf).persist()
+    // every doc appears exactly once, dup_spans <= n_spans, fraction in [0,1]
+    val n = out.count()
+    assert(out.select("doc_id").distinct().count() == n)
+    assert(out.filter(col("dup_spans") > col("n_spans") ||
+      col("dup_fraction") < 0 || col("dup_fraction") > 1).count() == 0)
+    // the generator plants near/exact duplicate docs: some doc must carry
+    // cross-doc duplicated spans, and none can exceed full duplication
+    assert(out.agg(max("dup_fraction")).head().getDouble(0) > 0.0,
+      "corpus contains duplicate docs; span dedup must surface them")
+    out.unpersist()
+  }
+
+  test("q104: posting heads are sorted, bounded by 8, and df<=collection freq") {
+    val out = TextQueries.defs("q104_inverted_index")(spark, sf).persist()
+    assert(out.filter(col("doc_freq") > col("coll_freq")).count() == 0)
+    val bad = out.select(split(col("postings_head"), ",").as("p"))
+      .filter(size(col("p")) > 8 ||
+        exists(zip_with(col("p"), slice(col("p"), 2, 7),
+          (a, b) => b.cast("long") <= a.cast("long")),
+          x => coalesce(x, lit(false))))
+      .count()
+    assert(bad == 0, "posting head must be ascending and k-truncated")
+    out.unpersist()
+  }
+
+  test("q105: bm25 is positive only for docs containing a query term") {
+    val out = TextQueries.defs("q105_bm25")(spark, sf)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("t"))
+    val joined = out.join(docs, "doc_id")
+    val noTerm = joined.filter(!TextQueries.BmQuery
+      .map(q => array_contains(col("t"), q)).reduce(_ || _)).count()
+    assert(noTerm == 0, "a doc with no query term cannot score > 0")
+    assert(out.filter(col("bm25") <= 0).count() == 0)
+  }
+
+  test("q106: KMV estimate tracks exact Jaccard within sketch resolution") {
+    val out = TextQueries.defs("q106_kmv_source_overlap")(spark, sf).persist()
+    assert(out.count() > 0)
+    // KMV with k=KmvK: the estimate is ±O(1/sqrt(k)); assert a loose
+    // 3/sqrt(k) band so a broken sketch fails but sampling noise passes
+    val tol = 3.0 / math.sqrt(TextQueries.KmvK.toDouble)
+    val off = out.filter(abs(col("kmv_jaccard") - col("exact_jaccard")) > tol).count()
+    assert(off == 0, s"KMV estimate strayed beyond ±$tol of exact")
+    out.unpersist()
+  }
+
+  test("q107: funnel stages are monotonically non-increasing") {
+    val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
+      .orderBy("stage").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click_after_view", "3_purchase_after_click"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel cannot gain users downstream: ${counts.toSeq}")
+    assert(counts(0) > 0)
+  }
+}
