@@ -201,20 +201,33 @@ object TopKStrategy extends SparkStrategy {
   *       .filter(col("rn") <= k).drop("rn") }}}
   *
   * into [[TopKPerKeyNode]] — the analyzed shape is
-  * `Project(cols, Filter(rn <= k, Window(row_number, keys, o)))`. Fires
-  * when the window computes exactly one row_number; if the project
-  * carries the rank into the output (the ANN `rank` / sampling
-  * `sample_rank` idiom), the node materializes it under the SAME exprId
-  * so downstream references resolve unchanged. Spark's own
+  * `Project(cols, Filter(rn <= k, Window(row_number, keys, o)))`, or the
+  * bare `Filter(rn <= k, Window(...))` when the rank filter is the
+  * query's last operation (the ANN/mining idiom that keeps `rank` in the
+  * output). Fires when the window computes exactly one row_number; if
+  * the output carries the rank, the node materializes it under the SAME
+  * exprId so downstream references resolve unchanged. Spark's own
   * InferWindowGroupLimit may already have slid a WindowGroupLimit under
   * the Window (it prunes rows but still sorts + runs the window); the
   * rewrite strips it and replaces the whole stack with the heap operator.
+  *
+  * transformDown, not transformUp: the Project case must claim its
+  * Filter child before the bare-Filter case can — bottom-up the Filter
+  * would rewrite first and every dropped-rank plan would carry a
+  * needlessly materialized rank column.
   */
 object RankLimitToTopK extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projectList,
-        Filter(cond, w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
-          WindowSpecDefinition(partSpec, orderSpec, _)), _)), _, _, wchild, _))) =>
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, Filter(cond, w: Window)) =>
+      rewrite(projectList, cond, w).getOrElse(p)
+    case f @ Filter(cond, w: Window) =>
+      rewrite(w.output, cond, w).getOrElse(f)
+  }
+
+  private def rewrite(projectList: Seq[NamedExpression], cond: Expression,
+      w: Window): Option[LogicalPlan] = w match {
+    case Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+        WindowSpecDefinition(partSpec, orderSpec, _)), _)), _, _, wchild, _) =>
       val rnAttr = w.windowOutputSet
       // limit = heap size; residual = a filter the heap cannot absorb
       // (rank == n keeps only the n-th row: top-n then filter the
@@ -241,8 +254,9 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
             !projectList.forall(_.references.subsetOf(inner.outputSet))
           val node = TopKPerKeyNode(partSpec, orderSpec, n, inner,
             if (needRank) Some(alias.toAttribute) else None)
-          Project(projectList, residual.map(Filter(_, node)).getOrElse(node))
-        case _ => p
+          Some(Project(projectList, residual.map(Filter(_, node)).getOrElse(node)))
+        case _ => None
       }
+    case _ => None
   }
 }

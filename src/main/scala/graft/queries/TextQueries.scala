@@ -606,6 +606,27 @@ object TextQueries {
             array_contains(col("ska"), h) && array_contains(col("skb"), h)))
             / size(col("u")).cast("double"), 6).as("kmv_jaccard"))
       materializeAndRelease(out, st)
+    }),
+
+    // Unigram-LM cross-entropy quality scoring (the perplexity-filter
+    // shape CCNet/C4-style pipelines run, with the corpus itself as the
+    // LM): per doc, the average negative log-probability of its tokens
+    // under corpus unigram frequencies, and the perplexity proxy
+    // exp(avg). Two token-keyed aggs + one token-keyed join + one scalar
+    // broadcast — the LM "training" and the scoring pass are the same
+    // linear scan, no per-doc state beyond the running mean.
+    "q108_lm_perplexity" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("token")).persist()
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val out = tok.join(freq, "token").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cf") / col("n_total"))), 6).as("avg_neg_logp"))
+        // exp over the ALREADY-rounded mean: deterministic across engines
+        .withColumn("ppl_proxy", round(exp(col("avg_neg_logp")), 6))
+      materializeAndRelease(out, tok)
     }))
 
   /** Span width for exact-substring dedup (q103). */
@@ -720,6 +741,18 @@ object TextQueries {
          |      AND list_contains(skb, h))) / CAST(len(u) AS DOUBLE), 6)
          |    AS kmv_jaccard
          |FROM j""".stripMargin,
+    "q108_lm_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |f AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+         |j AS (SELECT doc_id, -ln(cf / n_total) AS nlp
+         |      FROM tok JOIN f USING (token), n),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        round(avg(nlp), 6) AS avg_neg_logp
+         |      FROM j GROUP BY 1)
+         |SELECT doc_id, n_tokens, avg_neg_logp,
+         |  round(exp(avg_neg_logp), 6) AS ppl_proxy
+         |FROM a""".stripMargin,
     "q71_canonical_docs" ->
       s"""$CcCteSql,
          |j AS (SELECT cc.cluster_id, cc.doc_id, d.n_chars

@@ -315,6 +315,31 @@ object VectorQueries {
         .withColumn("rank", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
         .filter(col("rank") <= 3)
+    }),
+
+    // Hard-negative mining for contrastive embedding training: for each
+    // anchor (every 25th vector), the 4 most-similar vectors carrying a
+    // DIFFERENT label, candidates restricted to the anchor's IVF cell —
+    // the mining twin of q38's near-dup join. The cell equi-join keeps a
+    // 100 TB corpus subquadratic, and the rank<=k filter compiles to the
+    // native TopKPerKey operator (heap, no global sort) under the
+    // session's RankLimitToTopK rule.
+    "q109_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cells = assign(e, centroids(e), "vec_id")
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+      val anchors = cells.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+          col("label").as("anchor_label"), col("centroid_id"))
+      cells.join(anchors, Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("anchor_id") &&
+          col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("vec_id").as("negative_id"),
+          col("label").as("negative_label"),
+          cosN(col("av"), col("embedding")).as("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("anchor_id")
+          .orderBy(col("cos_sim").desc, col("negative_id"))))
+        .filter(col("rank") <= 4)
     }))
 
   // Sequential-fold cosine, mirroring VectorOps exactly (double throughout).
@@ -356,6 +381,27 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q109_hard_negatives" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, label, centroid_id
+         |          FROM asg WHERE rn = 1),
+         |a AS (SELECT vec_id AS anchor_id, embedding AS av,
+         |        label AS anchor_label, centroid_id
+         |      FROM cells WHERE vec_id % 25 = 0),
+         |c2 AS (SELECT a.anchor_id, n.vec_id AS negative_id,
+         |        n.label AS negative_label,
+         |        ${cosSql("a.av", "n.embedding")} AS cos_sim
+         |       FROM a JOIN cells n ON a.centroid_id = n.centroid_id
+         |       WHERE n.vec_id <> a.anchor_id AND n.label <> a.anchor_label),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, negative_id) AS INT) AS rank FROM c2)
+         |SELECT anchor_id, negative_id, negative_label, cos_sim, rank
+         |FROM r WHERE rank <= 4""".stripMargin,
     "q38_cosine_neardup" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
          |               FROM embeddings WHERE vec_id % 50 = 1),

@@ -63,6 +63,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window"), s"fell back to a window plan:\n${p.take(2000)}")
   }
 
+  test("q109: the rank<=k idiom rewrites to the native TopKPerKey operator") {
+    // the production sessions (SparkSessionFactory) install the rewrite
+    // rule; mirror that here so the assertion tests the deployed plan
+    graft.plans.TopKPerKey.install(spark)
+    val p = planOf("q109_hard_negatives")
+    assert(p.contains("TopKPerKey"),
+      s"rank filter did not rewrite to TopKPerKeyExec:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"fell back to a window plan:\n${p.take(2000)}")
+  }
+
   test("q93: the native as-of join operator is planned") {
     val p = planOf("q93_asof_native")
     assert(p.contains("AsOfJoin"),

@@ -61,6 +61,40 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q108: corpus-LM scores are finite and floor at the rarest-token bound") {
+    val out = TextQueries.defs("q108_lm_perplexity")(spark, sf).persist()
+    val n = out.count()
+    assert(n > 0 && out.select("doc_id").distinct().count() == n)
+    // -ln p is positive (every p < 1 for a multi-token corpus) and no
+    // doc's mean can exceed the worst single-token surprisal, so the
+    // perplexity proxy is capped by 1/p(rarest token) = n_total/cf_min
+    assert(out.filter(col("avg_neg_logp") <= 0).count() == 0)
+    val freqs = graft.core.Tables.load(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cf"))
+      .agg(min("cf").as("cfMin"), sum("cf").as("nTotal")).head()
+    val pplCap = freqs.getLong(1).toDouble / freqs.getLong(0)
+    assert(out.agg(max("ppl_proxy")).head().getDouble(0) <= pplCap,
+      "unigram perplexity cannot exceed the rarest token's 1/p")
+    out.unpersist()
+  }
+
+  test("q109: hard negatives never share the anchor's label and ranks are dense") {
+    val out = VectorQueries.defs("q109_hard_negatives")(spark, sf).persist()
+    assert(out.count() > 0)
+    val lab = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    assert(out.join(lab, "anchor_id")
+      .filter(col("negative_label") === col("anchor_label")).count() == 0,
+      "a negative sharing the anchor's label is not a negative")
+    // per anchor: ranks are 1..k with no gaps, descending cos_sim
+    val bad = out.groupBy("anchor_id")
+      .agg(count(lit(1)).as("k"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("k") || col("mn") =!= 1).count()
+    assert(bad == 0, "ranks must be dense from 1")
+    out.unpersist()
+  }
+
   test("q107: funnel stages are monotonically non-increasing") {
     val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
       .orderBy("stage").collect()

@@ -45,7 +45,17 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        if t == "embeddings":
+            # Mirror the Spark loader's array<float> contract (Tables.load
+            # narrows a float64 regeneration at the scan): narrow the oracle
+            # side too, or a float64 regen would have DuckDB computing the
+            # vector family on doubles while Spark computes on floats.
+            # No-op on the current float32 generation.
+            con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(CAST(embedding AS FLOAT[]) AS embedding) "
+                    f"FROM '{sfdir}/{t}.parquet'")
+        else:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
