@@ -627,7 +627,66 @@ object TextQueries {
         // exp over the ALREADY-rounded mean: deterministic across engines
         .withColumn("ppl_proxy", round(exp(col("avg_neg_logp")), 6))
       materializeAndRelease(out, tok)
+    }),
+
+    // The full BPE loop, [[BpeRounds]] iterations unrolled (q94's
+    // unrolled-Lloyd pattern applied to tokenizer training): each round
+    // learns the corpus-argmax adjacent pair over the CURRENT encoding
+    // and greedily merges it, then the next round counts over the merged
+    // stream — q102 is one round's counting step; this is the trainer
+    // AND the encoder. Merges apply across the whole subword stream
+    // (token-stream BPE, consistent with q102's pair space). Per round:
+    // one pair-keyed agg + a 1-row broadcast + a narrow map — M rounds
+    // cost M linear scans, the trainer's real shape at 100 TB. Each
+    // round materializes before the next so round r's lineage doesn't
+    // re-run rounds 1..r-1 once per plan branch.
+    "q110_bpe_encode" -> ((s, dir) => {
+      var cur = docs(s, dir).select(col("doc_id"),
+        concat(lit(" "),
+          array_join(TextOps.subwordTokens(col("text")), "  "),
+          lit(" ")).as("s"),
+        size(TextOps.subwordTokens(col("text"))).as("n0")).persist()
+      cur.count()
+      for (_ <- 1 to BpeRounds) {
+        val next = bpeRound(cur).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      val nEnc = size(split(trim(col("s")), "  ")).cast("long")
+      val out = cur.select(col("doc_id"), col("n0").cast("long").as("n_subwords"),
+        nEnc.as("n_encoded"),
+        round(nEnc / col("n0"), 6).as("compression"))
+      materializeAndRelease(out, cur)
     }))
+
+  /** Rounds of BPE training unrolled in q110 (and its oracle). */
+  val BpeRounds = 3
+
+  /** One BPE round over the double-space-encoded corpus string: count
+    * adjacent token pairs, pick the argmax (freq DESC, pair — exact total
+    * order), and greedily merge its occurrences left-to-right. The
+    * double-space encoding (" a  b  c ") lets plain non-regex `replace`
+    * be boundary-safe: a pair match " a  b " always consumes one space of
+    * each neighbor gap and reinserts it, so the invariant survives every
+    * merge with no lookaround (which RE2 lacks) and no regex at all.
+    * The argmax is NOT collected — it stays a 1-row broadcast in the
+    * plan, so a 100 TB round is one keyed agg + one map. */
+  private def bpeRound(cur: DataFrame): DataFrame = {
+    val toksR = split(trim(col("s")), "  ")
+    val best = cur
+      .select(explode(TextOps.shingles(toksR, 2)).as("pair"))
+      .filter(col("pair").contains(" "))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(1)
+      .select(col("pair").as("m"))
+    cur.crossJoin(broadcast(best))
+      .withColumn("s", expr(
+        "replace(s, ' ' || replace(m, ' ', '  ') || ' ', " +
+          "' ' || replace(m, ' ', '') || ' ')"))
+      .drop("m")
+  }
 
   /** Span width for exact-substring dedup (q103). */
   val SpanK = 8
@@ -644,6 +703,8 @@ object TextQueries {
   // ---- oracles ----------------------------------------------------------
 
   private val ToksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+  private val SubwordsSql =
+    """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"""
   private val ShinglesSql =
     "list_transform(range(1, greatest(len(toks)-2,1)+1), i -> array_to_string(toks[i:i+2], ' '))"
   private def inList(set: Seq[String]) = set.map(w => s"'$w'").mkString(", ")
@@ -741,6 +802,32 @@ object TextQueries {
          |      AND list_contains(skb, h))) / CAST(len(u) AS DOUBLE), 6)
          |    AS kmv_jaccard
          |FROM j""".stripMargin,
+    "q110_bpe_encode" -> {
+      // one CTE triple (tokens -> argmax pair -> merged corpus) per round,
+      // generated from the same BpeRounds constant the Spark loop uses
+      val rounds = (1 to BpeRounds).map { r =>
+        val prev = s"d${r - 1}"
+        s"""t$r AS (SELECT doc_id, string_split(trim(s), '  ') AS t FROM $prev),
+           |p$r AS (SELECT pair, count(*) AS freq FROM
+           |       (SELECT unnest(list_transform(range(1, greatest(len(t)-1,1)+1),
+           |         i -> array_to_string(t[i:i+1], ' '))) AS pair FROM t$r)
+           |       WHERE contains(pair, ' ') GROUP BY 1),
+           |m$r AS (SELECT pair FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+           |d$r AS (SELECT doc_id,
+           |  replace(s, ' ' || replace(m$r.pair, ' ', '  ') || ' ',
+           |             ' ' || replace(m$r.pair, ' ', '') || ' ') AS s, n0
+           |  FROM $prev, m$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d0 AS (SELECT doc_id,
+         |  ' ' || array_to_string($SubwordsSql, '  ') || ' ' AS s,
+         |  len($SubwordsSql) AS n0
+         |  FROM documents),
+         |$rounds
+         |SELECT doc_id, CAST(n0 AS BIGINT) AS n_subwords,
+         |  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_encoded,
+         |  round(len(string_split(trim(s), '  ')) / n0, 6) AS compression
+         |FROM d$BpeRounds""".stripMargin
+    },
     "q108_lm_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
          |f AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1),

@@ -95,6 +95,19 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q110: BPE encoding only shrinks, and the learned merges fire somewhere") {
+    val out = TextQueries.defs("q110_bpe_encode")(spark, sf).persist()
+    val n = out.count()
+    assert(n > 0 && out.select("doc_id").distinct().count() == n)
+    assert(out.filter(col("n_encoded") > col("n_subwords")).count() == 0,
+      "a merge can never increase the token count")
+    assert(out.filter(col("compression") <= 0 || col("compression") > 1).count() == 0)
+    val saved = out.agg(sum(col("n_subwords") - col("n_encoded"))).head().getLong(0)
+    assert(saved > 0, s"$BpeRoundsMsg rounds of argmax merges must merge something")
+    out.unpersist()
+  }
+  private def BpeRoundsMsg = TextQueries.BpeRounds
+
   test("q107: funnel stages are monotonically non-increasing") {
     val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
       .orderBy("stage").collect()
