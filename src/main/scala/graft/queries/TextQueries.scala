@@ -641,11 +641,11 @@ object TextQueries {
     // round materializes before the next so round r's lineage doesn't
     // re-run rounds 1..r-1 once per plan branch.
     "q110_bpe_encode" -> ((s, dir) => {
-      var cur = docs(s, dir).select(col("doc_id"),
-        concat(lit(" "),
-          array_join(TextOps.subwordTokens(col("text")), "  "),
-          lit(" ")).as("s"),
-        size(TextOps.subwordTokens(col("text"))).as("n0")).persist()
+      var cur = docs(s, dir)
+        .select(col("doc_id"), TextOps.subwordTokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          concat(lit(" "), array_join(col("t"), "  "), lit(" ")).as("s"),
+          size(col("t")).as("n0")).persist()
       cur.count()
       for (_ <- 1 to BpeRounds) {
         val next = bpeRound(cur).persist()
@@ -658,10 +658,83 @@ object TextQueries {
         nEnc.as("n_encoded"),
         round(nEnc / col("n0"), 6).as("compression"))
       materializeAndRelease(out, cur)
+    }),
+
+    // DSIR-style data selection (importance resampling against a target
+    // domain, Xie et al. 2023): score every doc by the average unigram
+    // log-likelihood ratio between a small target corpus (source =
+    // [[DsirTarget]]) and the raw pool, both add-half smoothed over the
+    // pool vocabulary, and keep the global top-[[DsirK]]. Per-token
+    // ratios are rounded then summed through DECIMAL(38,6) so the score
+    // is bit-identical across engines regardless of addition order. The
+    // LM table is vocab-sized (sublinear in corpus bytes) — the
+    // token⋈lm join broadcasts at small SF and hash-shuffles at 100 TB,
+    // AQE's call; the final cut is orderBy+limit → TakeOrderedAndProject
+    // (per-partition top-K + driver merge of K·P rows, no global sort).
+    "q111_dsir_select" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(toks).as("token"))
+        .persist()
+      val raw = tok.groupBy("token").agg(count(lit(1)).as("cr"))
+      val tgt = tok.filter(col("source") === DsirTarget)
+        .groupBy("token").agg(count(lit(1)).as("ct"))
+      val lm = raw.join(tgt, Seq("token"), "left")
+        .select(col("token"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val scal = lm.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+        count(lit(1)).as("v"))
+      val out = tok.join(lm, "token").crossJoin(broadcast(scal))
+        .select(col("doc_id"), col("source"),
+          round(log((col("ct") + lit(0.5)) / (col("nt") + lit(0.5) * col("v"))) -
+            log((col("cr") + lit(0.5)) / (col("nr") + lit(0.5) * col("v"))), 6)
+            .cast("decimal(38,6)").as("lr"))
+        .groupBy("doc_id", "source")
+        .agg(sum("lr").as("slr"), count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("slr").cast("double") / col("n_tokens"), 6).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(DsirK)
+      materializeAndRelease(out, tok)
+    }),
+
+    // CCNet-style perplexity partitioning: bucket every doc into
+    // head/middle/tail terciles of the corpus-LM negative log-prob
+    // WITHIN its language, then report each bucket's population and its
+    // nlp range — the cut table a curation pipeline uses to keep "head"
+    // data and downsample "tail". ntile runs over per-doc rows (not
+    // tokens), so the sort is one range-partitioned shuffle of O(docs)
+    // narrow rows per language — the same cost class as the z-order
+    // sort (q82), nowhere near the token-level heavy lifting.
+    "q112_ppl_buckets" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+        .persist()
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val perDoc = tok.join(freq, "token").crossJoin(broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log(col("cf") / col("n_total"))), 6).as("nlp"),
+          count(lit(1)).as("n_toks"))
+      val out = perDoc
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("nlp"), col("doc_id"))))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("bucket_tokens"),
+          min("nlp").as("min_nlp"),
+          max("nlp").as("max_nlp"),
+          // decimal path: exact regardless of per-engine addition order
+          sum(col("nlp").cast("decimal(38,6)")).cast("double").as("sum_nlp"))
+      materializeAndRelease(out, tok)
     }))
 
   /** Rounds of BPE training unrolled in q110 (and its oracle). */
   val BpeRounds = 3
+
+  /** Target domain whose unigram LM drives DSIR selection (q111). */
+  val DsirTarget = "src0"
+
+  /** Docs kept by the DSIR top-K cut (q111). */
+  val DsirK = 100
 
   /** One BPE round over the double-space-encoded corpus string: count
     * adjacent token pairs, pick the argmax (freq DESC, pair — exact total
@@ -828,6 +901,46 @@ object TextQueries {
          |  round(len(string_split(trim(s), '  ')) / n0, 6) AS compression
          |FROM d$BpeRounds""".stripMargin
     },
+    "q111_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($ToksSql) AS token
+         |             FROM documents),
+         |raw AS (SELECT token, CAST(count(*) AS BIGINT) AS cr
+         |        FROM tok GROUP BY 1),
+         |tgt AS (SELECT token, CAST(count(*) AS BIGINT) AS ct
+         |        FROM tok WHERE source = '$DsirTarget' GROUP BY 1),
+         |lm AS (SELECT token, cr, coalesce(ct, 0) AS ct
+         |       FROM raw LEFT JOIN tgt USING (token)),
+         |sc AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |              CAST(sum(ct) AS BIGINT) AS nt,
+         |              CAST(count(*) AS BIGINT) AS v FROM lm),
+         |j AS (SELECT doc_id, source,
+         |        CAST(round(ln((ct + 0.5) / (nt + 0.5 * v)) -
+         |                   ln((cr + 0.5) / (nr + 0.5 * v)), 6)
+         |             AS DECIMAL(38,6)) AS lr
+         |      FROM tok JOIN lm USING (token), sc),
+         |a AS (SELECT doc_id, source, sum(lr) AS slr,
+         |        CAST(count(*) AS BIGINT) AS n_tokens
+         |      FROM j GROUP BY 1, 2)
+         |SELECT doc_id, source, n_tokens,
+         |  round(CAST(slr AS DOUBLE) / n_tokens, 6) AS dsir_score
+         |FROM a ORDER BY dsir_score DESC, doc_id LIMIT $DsirK""".stripMargin,
+    "q112_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS token
+         |             FROM documents),
+         |f AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+         |p AS (SELECT doc_id, lang, round(avg(-ln(cf / n_total)), 6) AS nlp,
+         |        CAST(count(*) AS BIGINT) AS n_toks
+         |      FROM tok JOIN f USING (token), n GROUP BY 1, 2),
+         |b AS (SELECT lang, nlp, n_toks,
+         |        CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nlp, doc_id)
+         |             AS INTEGER) AS bucket
+         |      FROM p)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS bucket_tokens,
+         |  min(nlp) AS min_nlp, max(nlp) AS max_nlp,
+         |  CAST(sum(CAST(nlp AS DECIMAL(38,6))) AS DOUBLE) AS sum_nlp
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q108_lm_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
          |f AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1),

@@ -113,6 +113,15 @@ class PlanAssertionsSpec extends SparkSpec {
       s"cell scans must prune on centroid_id:\n${cellScans.mkString("\n")}")
   }
 
+  test("q111: the DSIR top-K cut plans as TakeOrderedAndProject, not a global sort") {
+    // the selection over a 100 TB pool must be per-partition top-K +
+    // driver merge of K·P rows — a global Sort before the limit would
+    // shuffle the whole scored corpus to one range partitioning
+    val p = planOf("q111_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K cut lost TakeOrderedAndProject:\n${p.take(2000)}")
+  }
+
   test("q23: TPC-H pricing pushes the date filter to the scan") {
     val p = planOf("q23_tpch_pricing")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).mkString

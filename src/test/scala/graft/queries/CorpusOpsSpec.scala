@@ -108,6 +108,42 @@ class CorpusOpsSpec extends SparkSpec {
   }
   private def BpeRoundsMsg = TextQueries.BpeRounds
 
+  test("q111: DSIR keeps exactly K docs and target-domain docs score high") {
+    val out = TextQueries.defs("q111_dsir_select")(spark, sf).persist()
+    assert(out.count() == TextQueries.DsirK)
+    assert(out.select("doc_id").distinct().count() == TextQueries.DsirK)
+    // the target corpus defines the numerator LM: its own docs must be
+    // over-represented in the selection relative to their corpus share
+    // (25/500 = 5% of docs; anything above that shows the ratio works)
+    val tgtKept = out.filter(col("source") === TextQueries.DsirTarget).count()
+    assert(tgtKept.toDouble / TextQueries.DsirK > 0.05,
+      s"only $tgtKept/${TextQueries.DsirK} selected docs come from the target domain")
+    out.unpersist()
+  }
+
+  test("q112: ppl terciles are balanced per lang and ranges don't overlap") {
+    val out = TextQueries.defs("q112_ppl_buckets")(spark, sf).persist()
+    // every lang contributes exactly buckets 1..3
+    val perLang = out.groupBy("lang").agg(
+      countDistinct("bucket").as("nb"), sum("n_docs").as("nd")).collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(1) == 3))
+    // ntile balance: bucket sizes within a lang differ by at most 1
+    val spread = out.groupBy("lang")
+      .agg((max("n_docs") - min("n_docs")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(spread == 0, "ntile buckets must be balanced within each lang")
+    // buckets partition the nlp axis: bucket b's max <= bucket b+1's min
+    val rows = out.select("lang", "bucket", "min_nlp", "max_nlp")
+      .orderBy("lang", "bucket").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getString(0) == b.getString(0) =>
+        assert(a.getDouble(3) <= b.getDouble(2),
+          s"bucket ranges overlap for lang ${a.getString(0)}")
+      case _ =>
+    }
+    out.unpersist()
+  }
+
   test("q107: funnel stages are monotonically non-increasing") {
     val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
       .orderBy("stage").collect()
