@@ -725,6 +725,39 @@ object TextQueries {
           // decimal path: exact regardless of per-engine addition order
           sum(col("nlp").cast("decimal(38,6)")).cast("double").as("sum_nlp"))
       materializeAndRelease(out, tok)
+    }),
+
+    // The release gate itself: one keep/drop verdict per document with
+    // the FIRST tripped reason in pipeline order — exact-dup (q34's
+    // canonical-hash rule), length and stopword quality (q31's exact
+    // cuts), benchmark holdout membership, then benchmark contamination
+    // (q56's capped-shingle overlap, reused as a subquery). This is the
+    // operator a curation run actually applies after all the signal
+    // queries: every signal is a doc-keyed agg or equi-join, the verdict
+    // itself a narrow codegen map — nothing here adds a shuffle beyond
+    // the signals it composes.
+    "q114_filter_cascade" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hash = d.select(col("doc_id"),
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("h"))
+      val canon = hash.groupBy("h").agg(min("doc_id").as("canon_id"))
+      val dup = hash.join(canon, "h")
+        .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("exact_dup"))
+      val quality = d.select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
+      val contam = defs("q56_decontaminate")(s, dir)
+        .select(col("doc_id"), col("contaminated"))
+      quality.join(dup, "doc_id")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_dup"), "exact_duplicate")
+            .when(col("n_chars") < 100, "too_short")
+            .when(col("stop_hits") / col("n_tokens") < 0.05, "low_stopword")
+            .when(col("doc_id") % 10 === 0, "benchmark_holdout")
+            .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+            .otherwise("kept").as("reason"))
+        .withColumn("keep", col("reason") === "kept")
     }))
 
   /** Rounds of BPE training unrolled in q110 (and its oracle). */
@@ -901,6 +934,36 @@ object TextQueries {
          |  round(len(string_split(trim(s), '  ')) / n0, 6) AS compression
          |FROM d$BpeRounds""".stripMargin
     },
+    "q114_filter_cascade" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+         |bench AS (SELECT sh, doc_id AS bench_doc_id FROM shf WHERE doc_id % 10 = 0),
+         |hits AS (SELECT s.doc_id, s.sh
+         |         FROM shf s JOIN bench b USING (sh) WHERE s.doc_id % 10 <> 0),
+         |contam AS (SELECT doc_id, (count(DISTINCT sh) >= 3) AS contaminated
+         |           FROM hits GROUP BY 1),
+         |h AS (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM documents),
+         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+         |dup AS (SELECT doc_id, (doc_id <> canon_id) AS exact_dup
+         |        FROM h JOIN canon USING (hh)),
+         |q AS (SELECT d.doc_id, d.n_chars, len(t.toks) AS n_tokens,
+         |        len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM documents d JOIN t ON d.doc_id = t.doc_id),
+         |v AS (SELECT q.doc_id,
+         |        CASE WHEN dup.exact_dup THEN 'exact_duplicate'
+         |             WHEN q.n_chars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN q.doc_id % 10 = 0 THEN 'benchmark_holdout'
+         |             WHEN coalesce(c.contaminated, false) THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN dup USING (doc_id)
+         |             LEFT JOIN contam c USING (doc_id))
+         |SELECT doc_id, reason, (reason = 'kept') AS keep FROM v""".stripMargin,
     "q111_dsir_select" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest($ToksSql) AS token
          |             FROM documents),

@@ -47,6 +47,16 @@ object VectorQueries {
     root
   }
 
+  /** Force the small result frame into cache (reusing the big `inputs`
+    * caches across its plan branches), then release those inputs so no
+    * pair-block cache outlives the query (TextQueries' discipline). */
+  private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame = {
+    val m = out.persist()
+    m.count()
+    inputs.foreach(_.unpersist())
+    m
+  }
+
   /** Deterministic centroid subset (every 50th vector, offset 1). */
   private def centroids(e: DataFrame): DataFrame =
     broadcast(e.filter(col("vec_id") % 50 === 1)
@@ -340,7 +350,47 @@ object VectorQueries {
         .withColumn("rank", row_number().over(Window.partitionBy("anchor_id")
           .orderBy(col("cos_sim").desc, col("negative_id"))))
         .filter(col("rank") <= 4)
+    }),
+
+    // CSLS hubness-corrected retrieval (the cross-domain similarity
+    // local scaling of MUSE / the margin criterion of large-scale bitext
+    // mining): raw cosine kNN over-retrieves "hub" vectors that sit close
+    // to everything, so each endpoint's similarity is re-centered by its
+    // own mean top-[[CslsK]] cosine — csls(x,y) = 2·cos(x,y) − r(x) − r(y)
+    // — and queries rerank on that. Both the hub radii and the candidate
+    // pairs form ONLY within an IVF cell (the q38 co-partitioned
+    // equi-join), so the whole thing is two passes over cell-local pair
+    // blocks: no global quadratic, and both rank cuts compile to the
+    // native TopKPerKey heap under RankLimitToTopK.
+    "q113_csls_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cells = assign(e, centroids(e), "vec_id")
+      val pairs = cells.alias("a").join(cells.alias("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          cosN(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .persist()
+      pairs.count()
+      val r = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))))
+        .filter(col("rn") <= CslsK)
+        .groupBy("src").agg(round(avg("cos_sim"), 6).as("r"))
+      val out = pairs.filter(col("src") % 25 === 0)
+        .join(r.select(col("src"), col("r").as("r_q")), "src")
+        .join(r.select(col("src").as("dst"), col("r").as("r_n")), "dst")
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
+          col("cos_sim"),
+          round(lit(2) * col("cos_sim") - col("r_q") - col("r_n"), 6).as("csls"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("csls").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 5)
+      materializeAndRelease(out, pairs)
     }))
+
+  /** Neighborhood size of the CSLS hub radius r(v) (q113). */
+  val CslsK = 5
 
   // Sequential-fold cosine, mirroring VectorOps exactly (double throughout).
   // The ::FLOAT[] hop before ::DOUBLE[] mirrors Tables.load's array<float>
@@ -402,6 +452,33 @@ object VectorQueries {
          |        ORDER BY cos_sim DESC, negative_id) AS INT) AS rank FROM c2)
          |SELECT anchor_id, negative_id, negative_label, cos_sim, rank
          |FROM r WHERE rank <= 4""".stripMargin,
+    "q113_csls_rescore" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 50 = 1),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |        ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |      FROM cells a JOIN cells b
+         |        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         |rk AS (SELECT src, cos_sim, row_number() OVER (PARTITION BY src
+         |         ORDER BY cos_sim DESC, dst) AS rn FROM p),
+         |r AS (SELECT src, round(avg(cos_sim), 6) AS r
+         |      FROM rk WHERE rn <= $CslsK GROUP BY 1),
+         |j AS (SELECT p.src, p.dst, p.cos_sim,
+         |        round(2 * p.cos_sim - rq.r - rn2.r, 6) AS csls
+         |      FROM p JOIN r rq ON p.src = rq.src
+         |             JOIN r rn2 ON p.dst = rn2.src
+         |      WHERE p.src % 25 = 0),
+         |f AS (SELECT src AS query_id, dst AS neighbor_id, cos_sim, csls,
+         |        CAST(row_number() OVER (PARTITION BY src
+         |          ORDER BY csls DESC, dst) AS INT) AS rank
+         |      FROM j)
+         |SELECT query_id, neighbor_id, cos_sim, csls, rank
+         |FROM f WHERE rank <= 5""".stripMargin,
     "q38_cosine_neardup" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
          |               FROM embeddings WHERE vec_id % 50 = 1),

@@ -144,6 +144,49 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q113: CSLS ranks are dense and ordered by the corrected score") {
+    val out = VectorQueries.defs("q113_csls_rescore")(spark, sf).persist()
+    assert(out.count() > 0)
+    assert(out.filter(col("query_id") % 25 =!= 0).count() == 0)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // dense 1..n ranks per query
+    val badRanks = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(badRanks == 0, "ranks must be dense starting at 1")
+    // within a query, csls never increases as rank increases
+    val rows = out.select("query_id", "rank", "csls")
+      .orderBy("query_id", "rank").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getLong(0) == b.getLong(0) =>
+        assert(a.getDouble(2) >= b.getDouble(2),
+          s"csls out of order for query ${a.getLong(0)}")
+      case _ =>
+    }
+    out.unpersist()
+  }
+
+  test("q114: the cascade gives every doc exactly one verdict, and clones drop") {
+    val out = TextQueries.defs("q114_filter_cascade")(spark, sf).persist()
+    val n = out.count()
+    assert(n > 0 && out.select("doc_id").distinct().count() == n)
+    val reasons = out.select("reason").distinct().collect().map(_.getString(0)).toSet
+    val allowed = Set("exact_duplicate", "too_short", "low_stopword",
+      "benchmark_holdout", "contaminated", "kept")
+    assert(reasons.subsetOf(allowed), s"unknown reasons: ${reasons -- allowed}")
+    assert(out.filter(col("keep") =!= (col("reason") === "kept")).count() == 0)
+    // exact-dup flags must agree with q34's canonical-hash rule (the
+    // shipped sf0.001 corpus has only NEAR dups, so this can be zero —
+    // sf0.1 is where the planted exact clones live)
+    val expectedDups = TextQueries.defs("q34_exact_dedup")(spark, sf)
+      .agg(sum(col("n_docs") - 1)).head().getLong(0)
+    assert(out.filter(col("reason") === "exact_duplicate").count() == expectedDups)
+    // the cascade must actually cut something AND leave something to train on
+    assert(out.filter(!col("keep")).count() > 0)
+    assert(out.filter(col("keep")).count() > 0)
+    out.unpersist()
+  }
+
   test("q107: funnel stages are monotonically non-increasing") {
     val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
       .orderBy("stage").collect()
