@@ -758,7 +758,92 @@ object TextQueries {
             .when(coalesce(col("contaminated"), lit(false)), "contaminated")
             .otherwise("kept").as("reason"))
         .withColumn("keep", col("reason") === "kept")
+    }),
+
+    // Token-budget selection (the curation cut every pretraining run
+    // makes: "keep the best documents until N tokens"): order the corpus
+    // by quality (q31's score), take the greedy prefix whose cumulative
+    // token count fits [[TokenBudgetShare]] of the corpus. The cumulative
+    // sum is a DISTRIBUTED prefix sum — a bare
+    // `Window.orderBy(score)` would funnel the whole corpus through ONE
+    // partition (the classic global-window scale killer); instead the
+    // corpus is range-repartitioned on the order key, each partition
+    // cumsums locally (window keyed by partition id), and per-partition
+    // totals — one row per partition, never corpus rows — are offset-
+    // summed and broadcast back. Range partitioning guarantees partition
+    // i's keys all precede partition i+1's, so local cumsum + offset IS
+    // the global cumsum. All counters are longs: the prefix sum is exact
+    // regardless of partitioning, so the budget cut is bit-stable across
+    // cluster sizes.
+    "q115_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
+            .as("quality_score"))
+      val budget = d.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
+        .cast("long").as("budget"))
+      // persisted: the local-cumsum and offset branches MUST see the same
+      // partition-id assignment; re-executing the range exchange per
+      // branch would leave that to exchange reuse
+      val ranged = d.repartitionByRange(s.sparkContext.defaultParallelism,
+          col("quality_score").desc, col("doc_id"))
+        .withColumn("__pid", spark_partition_id()).persist()
+      ranged.count()
+      val local = ranged.withColumn("__cum", sum("n_tokens").over(
+        Window.partitionBy("__pid")
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      // one row per partition: the offset frame is O(partitions), so its
+      // single-partition running total is bounded work by construction
+      val offs = ranged.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+        .withColumn("__off", coalesce(sum("__t").over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      val out = local.join(broadcast(offs), "__pid")
+        .crossJoin(broadcast(budget))
+        .withColumn("cum_tokens", col("__cum") + col("__off"))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("cum_tokens"))
+      materializeAndRelease(out, ranged)
+    }),
+
+    // Per-source token caps (the mixture-ENFORCEMENT transform behind
+    // q74's mixture weights: no domain may exceed [[SourceCapShare]] of
+    // its own token mass, best-first): the same greedy prefix cut as
+    // q115 but per source, so the cumsum window partitions by a real
+    // key and parallelizes natively — no range machinery needed. A
+    // single pathological mega-source would concentrate one window
+    // partition; that source falls back to q115's range+offset shape
+    // (or q43's salting) — for real corpus mixes source counts are
+    // O(thousands) and balanced enough.
+    "q116_source_caps" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
+            .as("quality_score"))
+      val caps = d.groupBy("source")
+        .agg(floor(sum("n_tokens") * lit(SourceCapShare)).cast("long").as("cap"))
+      d.withColumn("cum_tokens", sum("n_tokens").over(
+          Window.partitionBy("source")
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+        .join(broadcast(caps), "source")
+        .filter(col("cum_tokens") <= col("cap"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_score"), col("cum_tokens"))
     }))
+
+  /** Corpus-token share kept by the q115 budget cut. */
+  val TokenBudgetShare = 0.4
+
+  /** Per-source token share kept by the q116 cap cut. */
+  val SourceCapShare = 0.5
 
   /** Rounds of BPE training unrolled in q110 (and its oracle). */
   val BpeRounds = 3
@@ -964,6 +1049,43 @@ object TextQueries {
          |      FROM q JOIN dup USING (doc_id)
          |             LEFT JOIN contam c USING (doc_id))
          |SELECT doc_id, reason, (reason = 'kept') AS keep FROM v""".stripMargin,
+    "q115_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
+         |      FROM t),
+         |q AS (SELECT doc_id, n_tokens,
+         |        round(least(n_tokens / 100.0, 1.0) * 0.5 +
+         |          least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |      FROM b),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT) AS budget
+         |        FROM q),
+         |c AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, n_tokens, quality_score, cum_tokens
+         |FROM c, bud WHERE cum_tokens <= budget""".stripMargin,
+    "q116_source_caps" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
+         |      FROM t),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |        round(least(n_tokens / 100.0, 1.0) * 0.5 +
+         |          least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |      FROM b),
+         |caps AS (SELECT source,
+         |           CAST(floor(sum(n_tokens) * $SourceCapShare) AS BIGINT) AS cap
+         |         FROM q GROUP BY 1),
+         |c AS (SELECT doc_id, source, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+         |FROM c JOIN caps USING (source) WHERE cum_tokens <= cap""".stripMargin,
     "q111_dsir_select" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest($ToksSql) AS token
          |             FROM documents),

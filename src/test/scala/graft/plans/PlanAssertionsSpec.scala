@@ -122,6 +122,26 @@ class PlanAssertionsSpec extends SparkSpec {
       s"top-K cut lost TakeOrderedAndProject:\n${p.take(2000)}")
   }
 
+  test("q115: the budget cumsum is a distributed prefix sum, not one global window") {
+    // the 100 TB contract of the budget cut: corpus rows cumsum inside
+    // range partitions keyed by partition id; only the O(partitions)
+    // offset frame may ever pass through a single-partition window. A
+    // regression to Window.orderBy over the docs would still return the
+    // right rows (the oracle can't see it) but serialize the corpus
+    // through one task — exactly what this pin rejects.
+    val p = planOf("q115_token_budget")
+    assert(p.contains("rangepartitioning"),
+      s"corpus must be range-repartitioned on the order key:\n${p.take(2000)}")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(_.contains("__pid")),
+      s"the corpus cumsum window must be keyed by partition id:\n${windows.mkString("\n")}")
+    // any window NOT keyed by __pid must be the offset chain (it sums the
+    // O(partitions) __t column, never corpus n_tokens rows)
+    val unkeyed = windows.filterNot(_.contains("__pid"))
+    assert(unkeyed.forall(_.contains("__t")),
+      s"a corpus-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
+  }
+
   test("q23: TPC-H pricing pushes the date filter to the scan") {
     val p = planOf("q23_tpch_pricing")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).mkString

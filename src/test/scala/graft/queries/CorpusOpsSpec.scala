@@ -187,6 +187,48 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q115: the budget cut is the exact greedy quality prefix, maximal") {
+    val out = TextQueries.defs("q115_token_budget")(spark, sf)
+      .orderBy(col("quality_score").desc, col("doc_id")).collect()
+    assert(out.nonEmpty, "a 40% token budget must select something")
+    // the distributed prefix sum must equal a local replay of the same cut
+    val all = TextQueries.defs("q31_text_quality")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .collect().sortBy(r => (-r.getDouble(2), r.getLong(0)))
+    val budget = math.floor(
+      all.map(_.getLong(1)).sum * TextQueries.TokenBudgetShare).toLong
+    var cum = 0L
+    val expect = all.takeWhile { r => cum += r.getLong(1); cum <= budget }
+    assert(out.map(_.getLong(0)).toSeq == expect.map(_.getLong(0)).toSeq,
+      "selection must be exactly the top-quality prefix under the budget")
+    // exact running totals and greedy maximality (adding the next-ranked
+    // doc would burst the budget)
+    var c2 = 0L
+    out.foreach { r => c2 += r.getLong(1); assert(r.getLong(3) == c2) }
+    assert(c2 <= budget)
+    if (out.length < all.length)
+      assert(c2 + all(out.length).getLong(1) > budget,
+        "cut stopped early — next doc still fits the budget")
+  }
+
+  test("q116: every source keeps its own top prefix under its own cap") {
+    val out = TextQueries.defs("q116_source_caps")(spark, sf).persist()
+    val bySource = out.collect().groupBy(_.getString(1))
+    assert(bySource.nonEmpty)
+    val full = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(bySource.size == full, "a 50% cap must keep docs in every source")
+    bySource.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (-r.getDouble(3), r.getLong(0)))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(2)
+        assert(r.getLong(4) == cum, "per-source running totals must be exact")
+      }
+    }
+    out.unpersist()
+  }
+
   test("q107: funnel stages are monotonically non-increasing") {
     val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
       .orderBy("stage").collect()
