@@ -837,7 +837,76 @@ object TextQueries {
         .filter(col("cum_tokens") <= col("cap"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("quality_score"), col("cum_tokens"))
+    }),
+
+    // Curriculum interleave (the training-ORDER step after selection):
+    // give every document a global position that round-robins across
+    // sources best-quality-first, so no epoch prefix is a single-domain
+    // block. The position is ARITHMETIC — rank-within-source (a
+    // source-keyed window, parallel by source) strided by the source
+    // count: pos = (rn−1)·|sources| + source_index. No global window,
+    // no global sort: the only unpartitioned window runs over the
+    // O(sources) distinct-source frame (the q74 idiom), and the output
+    // ordering is carried as a column for the shard writer to range-
+    // partition on. Sources of unequal size leave holes in the tail of
+    // the position space — positions are an ordering key, not a dense
+    // index.
+    "q117_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
+        .select(col("doc_id"), col("source"),
+          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
+            .as("quality_score"))
+      val ranked = d.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      val srcs = d.select("source").distinct()
+      val si = srcs.withColumn("si",
+        row_number().over(Window.orderBy("source")).cast("long"))
+      val ns = srcs.agg(count(lit(1)).as("ns"))
+      ranked.join(broadcast(si), "source").crossJoin(broadcast(ns))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          ((col("rn") - 1) * col("ns") + col("si")).as("train_pos"))
+    }),
+
+    // Length-bucketed batch shaping (padding-efficiency accounting for
+    // training): docs bucket by the bit length of their token count
+    // (power-of-2 length classes, computed via `bin()` so both engines
+    // agree exactly — no float log2 edge cases), then shard into
+    // ~[[BatchDocs]]-doc batches by salted hash WITHIN their bucket —
+    // the shuffled-batching a data loader actually does, and a shape
+    // that is pure keyed aggregation: per-bucket counts (O(buckets),
+    // broadcast back), then one (bucket, batch) agg for the padding
+    // report. pad_tokens = docs·batchmax − tokens is the dynamic-
+    // padding waste the bucketing exists to minimize. No windows at
+    // all, so batch formation parallelizes regardless of how skewed
+    // the length distribution is.
+    "q118_length_batches" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("bucket_bits", length(bin(col("n_tokens"))).cast("int"))
+      val counts = d.groupBy("bucket_bits")
+        .agg(ceil(count(lit(1)) / lit(BatchDocs.toDouble)).cast("long").as("nb"))
+      d.join(broadcast(counts), "bucket_bits")
+        .withColumn("batch_id",
+          conv(substring(sha2(concat_ws("|", lit("batch"),
+            col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+            .cast("long") % col("nb"))
+        .groupBy("bucket_bits", "batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("batch_tokens"),
+          max("n_tokens").as("max_len"))
+        .select(col("bucket_bits"), col("batch_id"), col("n_docs"),
+          col("batch_tokens"), col("max_len"),
+          (col("n_docs") * col("max_len") - col("batch_tokens")).as("pad_tokens"),
+          round(col("batch_tokens") / (col("n_docs") * col("max_len")), 6)
+            .as("fill_ratio"))
     }))
+
+  /** Docs per length-bucket batch shard (q118). */
+  val BatchDocs = 8
 
   /** Corpus-token share kept by the q115 budget cut. */
   val TokenBudgetShare = 0.4
@@ -1086,6 +1155,42 @@ object TextQueries {
          |      FROM q)
          |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
          |FROM c JOIN caps USING (source) WHERE cum_tokens <= cap""".stripMargin,
+    "q117_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
+         |      FROM t),
+         |q AS (SELECT doc_id, source,
+         |        round(least(n_tokens / 100.0, 1.0) * 0.5 +
+         |          least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |      FROM b),
+         |r AS (SELECT doc_id, source, quality_score,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_score DESC, doc_id) AS rn
+         |      FROM q),
+         |s AS (SELECT source, row_number() OVER (ORDER BY source) AS si
+         |      FROM (SELECT DISTINCT source FROM q)),
+         |n AS (SELECT count(*) AS ns FROM s)
+         |SELECT doc_id, r.source, quality_score,
+         | CAST((rn - 1) * ns + si AS BIGINT) AS train_pos
+         |FROM r JOIN s USING (source), n""".stripMargin,
+    "q118_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |e AS (SELECT doc_id, n_tokens,
+         |        CAST(length(bin(n_tokens)) AS INT) AS bucket_bits FROM d),
+         |c AS (SELECT bucket_bits, CAST(ceil(count(*) / ${BatchDocs}.0) AS BIGINT) AS nb
+         |      FROM e GROUP BY 1),
+         |x AS (SELECT e.*, ('0x' || substr(sha256('batch|' || CAST(doc_id AS VARCHAR)),
+         |        1, 8))::BIGINT % nb AS batch_id
+         |      FROM e JOIN c USING (bucket_bits))
+         |SELECT bucket_bits, batch_id, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+         | max(n_tokens) AS max_len,
+         | CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_tokens,
+         | round(sum(n_tokens) / (count(*) * max(n_tokens)), 6) AS fill_ratio
+         |FROM x GROUP BY 1, 2""".stripMargin,
     "q111_dsir_select" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest($ToksSql) AS token
          |             FROM documents),

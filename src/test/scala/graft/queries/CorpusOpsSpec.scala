@@ -229,6 +229,37 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q117: positions are unique, quality-ordered per source, interleaved") {
+    val rows = TextQueries.defs("q117_curriculum")(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0 && rows.map(_.getLong(3)).distinct.length == n,
+      "train positions must be globally unique")
+    // within a source, better quality (ties: lower doc_id) → earlier position
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_.getLong(3))
+      val byQuality = rs.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      assert(byPos.map(_.getLong(0)).toSeq == byQuality.map(_.getLong(0)).toSeq)
+    }
+    // the epoch head is one doc from EVERY source before any repeats
+    val nSources = rows.map(_.getString(1)).distinct.length
+    val head = rows.sortBy(_.getLong(3)).take(nSources)
+    assert(head.map(_.getString(1)).distinct.length == nSources,
+      "the first |sources| positions must cover every source once")
+  }
+
+  test("q118: batches partition the corpus and the padding math is exact") {
+    val out = TextQueries.defs("q118_length_batches")(spark, sf).persist()
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count(),
+      "every doc lands in exactly one batch")
+    assert(out.filter(col("pad_tokens") < 0 ||
+      col("fill_ratio") <= 0 || col("fill_ratio") > 1).count() == 0)
+    // bucket membership: every batch's max length fits its power-of-2 class
+    assert(out.filter(col("max_len") >= pow(lit(2), col("bucket_bits")))
+      .count() == 0, "a batch's longest doc must fit 2^bucket_bits")
+    out.unpersist()
+  }
+
   test("q107: funnel stages are monotonically non-increasing") {
     val rows = RelationalQueries.defs("q107_funnel")(spark, sf)
       .orderBy("stage").collect()
