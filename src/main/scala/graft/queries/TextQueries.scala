@@ -783,8 +783,6 @@ object TextQueries {
           round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
             least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
             .as("quality_score"))
-      val budget = d.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
-        .cast("long").as("budget"))
       // persisted: the local-cumsum and offset branches MUST see the same
       // partition-id assignment; re-executing the range exchange per
       // branch would leave that to exchange reuse
@@ -792,6 +790,9 @@ object TextQueries {
           col("quality_score").desc, col("doc_id"))
         .withColumn("__pid", spark_partition_id()).persist()
       ranged.count()
+      // budget reads the cached narrow frame — never a second tokenize scan
+      val budget = ranged.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
+        .cast("long").as("budget"))
       val local = ranged.withColumn("__cum", sum("n_tokens").over(
         Window.partitionBy("__pid")
           .orderBy(col("quality_score").desc, col("doc_id"))))
@@ -821,22 +822,26 @@ object TextQueries {
     // (or q43's salting) — for real corpus mixes source counts are
     // O(thousands) and balanced enough.
     "q116_source_caps" -> ((s, dir) => {
+      // persisted: the caps branch and the cumsum branch both consume the
+      // tokenized frame — uncached they would each re-scan and
+      // re-tokenize the corpus
       val d = docs(s, dir).select(col("doc_id"), col("source"),
           size(toks).cast("long").as("n_tokens"),
           TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
             least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
-            .as("quality_score"))
+            .as("quality_score")).persist()
       val caps = d.groupBy("source")
         .agg(floor(sum("n_tokens") * lit(SourceCapShare)).cast("long").as("cap"))
-      d.withColumn("cum_tokens", sum("n_tokens").over(
+      val out = d.withColumn("cum_tokens", sum("n_tokens").over(
           Window.partitionBy("source")
             .orderBy(col("quality_score").desc, col("doc_id"))))
         .join(broadcast(caps), "source")
         .filter(col("cum_tokens") <= col("cap"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("quality_score"), col("cum_tokens"))
+      materializeAndRelease(out, d)
     }),
 
     // Curriculum interleave (the training-ORDER step after selection):
@@ -884,12 +889,15 @@ object TextQueries {
     // all, so batch formation parallelizes regardless of how skewed
     // the length distribution is.
     "q118_length_batches" -> ((s, dir) => {
+      // persisted: the per-bucket counts and the batch assignment both
+      // consume the tokenized frame (see q116)
       val d = docs(s, dir)
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
         .withColumn("bucket_bits", length(bin(col("n_tokens"))).cast("int"))
+        .persist()
       val counts = d.groupBy("bucket_bits")
         .agg(ceil(count(lit(1)) / lit(BatchDocs.toDouble)).cast("long").as("nb"))
-      d.join(broadcast(counts), "bucket_bits")
+      val out = d.join(broadcast(counts), "bucket_bits")
         .withColumn("batch_id",
           conv(substring(sha2(concat_ws("|", lit("batch"),
             col("doc_id").cast("string")), 256), 1, 8), 16, 10)
@@ -903,6 +911,7 @@ object TextQueries {
           (col("n_docs") * col("max_len") - col("batch_tokens")).as("pad_tokens"),
           round(col("batch_tokens") / (col("n_docs") * col("max_len")), 6)
             .as("fill_ratio"))
+      materializeAndRelease(out, d)
     }))
 
   /** Docs per length-bucket batch shard (q118). */
