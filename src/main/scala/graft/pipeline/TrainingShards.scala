@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The final materialization step of a curation run: write the selected,
+  * ordered corpus into `nShards` training shards a data loader can
+  * consume independently, plus a manifest table describing each shard.
+  * (The reference pipeline's analog is the gold-layer publish step —
+  * partitioned tables a consumer reads without touching upstream state;
+  * here the consumer is a trainer, and the contract is shard-granular.)
+  *
+  * Two assignment modes, both deterministic (same corpus → byte-stable
+  * assignment, no RNG, no timestamps):
+  *
+  *  - [[build]] (range mode): shards are CONTIGUOUS blocks of the given
+  *    training order (e.g. q117's `train_pos`), split at token
+  *    boundaries so every shard carries ~equal token mass: shard =
+  *    floor((running_tokens − 1) / ceil(total/n)). The running total is
+  *    [[graft.ops.PrefixSum]] — never a single-partition window — and
+  *    a shard's token overshoot is bounded by one document (the split
+  *    is greedy at doc granularity).
+  *  - [[buildHashed]] (hash mode): order-free balanced sharding by
+  *    salted hash of the id — the shape for shuffled training, one
+  *    narrow map, no prefix machinery at all.
+  *
+  * The write is one [[AtomicRewrite]] snapshot partitioned by
+  * `shard_id` (readers see the old epoch until the pointer flips, and a
+  * re-run replaces rather than appends), and the manifest is written
+  * AFTER the shard data commits: a crash between the two leaves data
+  * without manifest — detectable and re-runnable — never a manifest
+  * promising shards that don't exist.
+  */
+object TrainingShards {
+
+  case class Paths(root: String) {
+    val shards: String = s"$root/shards"
+    val manifest: String = s"$root/manifest"
+  }
+
+  /** Token-balanced contiguous sharding of `corpus` by `orderCol`.
+    * `corpus` must carry `orderCol` (a unique total order — q117's
+    * `train_pos`) and `n_tokens`; all other columns ride along into the
+    * shard files. */
+  def build(spark: SparkSession, root: String, corpus: DataFrame,
+            nShards: Int, orderCol: String = "train_pos"): Unit = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    val p = Paths(root)
+    val (cum, cached) = graft.ops.PrefixSum.runningTotal(corpus,
+      Seq(col(orderCol)), col("n_tokens"), "__cum")
+    // O(1) scalars from the cached narrow frame: total tokens → the
+    // per-shard target; broadcast back into the assignment map
+    val target = cached.agg(
+      greatest(ceil(sum("n_tokens") / lit(nShards.toDouble)), lit(1L))
+        .cast("long").as("__target"))
+    val assigned = cum.crossJoin(broadcast(target))
+      .withColumn("shard_id",
+        least(floor((col("__cum") - 1) / col("__target")), lit(nShards - 1L))
+          .cast("int"))
+      .drop("__cum", "__target")
+    AtomicRewrite.write(spark, p.shards, assigned,
+      partitionBy = Seq("shard_id"))
+    cached.unpersist()
+    // the manifest derives from the COMMITTED shard table, not the
+    // in-flight frame: nothing corpus-sized is ever pinned in cache, and
+    // the manifest can only ever describe bytes that actually landed
+    AtomicRewrite.write(spark, p.manifest,
+      manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
+  }
+
+  /** Order-free balanced sharding by salted hash of `idCol` (`corpus`
+    * must still carry `n_tokens` for the manifest). */
+  def buildHashed(spark: SparkSession, root: String, corpus: DataFrame,
+                  nShards: Int, idCol: String = "doc_id"): Unit = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    val p = Paths(root)
+    val assigned = corpus.withColumn("shard_id",
+      pmod(xxhash64(lit("shard"), col(idCol)), lit(nShards.toLong))
+        .cast("int"))
+    AtomicRewrite.write(spark, p.shards, assigned,
+      partitionBy = Seq("shard_id"))
+    AtomicRewrite.write(spark, p.manifest,
+      manifestOf(AtomicRewrite.read(spark, p.shards), idCol))
+  }
+
+  /** One row per shard: doc/token counts and the `orderCol` span —
+    * everything a loader needs to plan an epoch without listing files. */
+  private def manifestOf(assigned: DataFrame, orderCol: String): DataFrame =
+    assigned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min(orderCol).as("order_min"),
+        max(orderCol).as("order_max"))
+
+  def readShard(spark: SparkSession, root: String, shardId: Int): DataFrame =
+    AtomicRewrite.read(spark, Paths(root).shards)
+      .filter(col("shard_id") === shardId)
+
+  def readManifest(spark: SparkSession, root: String): DataFrame =
+    AtomicRewrite.read(spark, Paths(root).manifest)
+}

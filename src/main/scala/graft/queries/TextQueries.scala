@@ -783,33 +783,17 @@ object TextQueries {
           round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
             least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
             .as("quality_score"))
-      // persisted: the local-cumsum and offset branches MUST see the same
-      // partition-id assignment; re-executing the range exchange per
-      // branch would leave that to exchange reuse
-      val ranged = d.repartitionByRange(s.sparkContext.defaultParallelism,
-          col("quality_score").desc, col("doc_id"))
-        .withColumn("__pid", spark_partition_id()).persist()
-      ranged.count()
+      val (cum, cached) = graft.ops.PrefixSum.runningTotal(d,
+        Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
+        "cum_tokens")
       // budget reads the cached narrow frame — never a second tokenize scan
-      val budget = ranged.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
+      val budget = cached.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
         .cast("long").as("budget"))
-      val local = ranged.withColumn("__cum", sum("n_tokens").over(
-        Window.partitionBy("__pid")
-          .orderBy(col("quality_score").desc, col("doc_id"))))
-      // one row per partition: the offset frame is O(partitions), so its
-      // single-partition running total is bounded work by construction
-      val offs = ranged.groupBy("__pid").agg(sum("n_tokens").as("__t"))
-        .withColumn("__off", coalesce(sum("__t").over(
-          Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__pid"), col("__off"))
-      val out = local.join(broadcast(offs), "__pid")
-        .crossJoin(broadcast(budget))
-        .withColumn("cum_tokens", col("__cum") + col("__off"))
+      val out = cum.crossJoin(broadcast(budget))
         .filter(col("cum_tokens") <= col("budget"))
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           col("cum_tokens"))
-      materializeAndRelease(out, ranged)
+      materializeAndRelease(out, cached)
     }),
 
     // Per-source token caps (the mixture-ENFORCEMENT transform behind

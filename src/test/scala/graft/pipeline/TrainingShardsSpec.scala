@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contract of the training-shard publish step: contiguity in the
+  * training order, one-document-bounded token balance, a manifest that
+  * matches the committed bytes, determinism, and atomic epoch
+  * replacement.
+  */
+class TrainingShardsSpec extends SparkSpec {
+
+  // 200 docs, token counts 10..59, train_pos = doc_id (already a total
+  // order), plus a payload column that must ride along untouched
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    spark.range(200).select(col("id").as("doc_id"),
+      (lit(10) + pmod(col("id") * 7, lit(50))).cast("long").as("n_tokens"),
+      (col("id") + 1).as("train_pos"),
+      concat(lit("payload-"), col("id")).as("text"))
+  }
+
+  test("range mode: shards are order-contiguous and token-balanced to one doc") {
+    val root = Files.createTempDirectory("graft-shards").toString
+    TrainingShards.build(spark, root, corpus, nShards = 5)
+    val m = TrainingShards.readManifest(spark, root)
+      .orderBy("shard_id").collect()
+    assert(m.map(_.getInt(0)).toSeq == (0 until 5))
+    // contiguous, non-overlapping training-order spans
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= a.getLong(4) && a.getLong(4) < b.getLong(3),
+        s"shard spans overlap or disorder: $a vs $b")
+    }
+    // balance: every non-last shard within one max-doc of the target
+    val total = m.map(_.getLong(2)).sum
+    val target = math.ceil(total / 5.0).toLong
+    val maxDoc = corpus.agg(max("n_tokens")).head().getLong(0)
+    m.init.foreach { r =>
+      assert(math.abs(r.getLong(2) - target) < maxDoc,
+        s"shard ${r.getInt(0)} tokens ${r.getLong(2)} vs target $target")
+    }
+    // manifest equals an aggregate of the committed data, payload intact
+    val data = graft.tx.AtomicRewrite.read(spark, TrainingShards.Paths(root).shards)
+    assert(data.count() == 200 &&
+      data.filter(!col("text").startsWith("payload-")).count() == 0)
+    val re = data.groupBy("shard_id").agg(count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"), min("train_pos").as("order_min"),
+      max("train_pos").as("order_max"))
+    assert(re.join(TrainingShards.readManifest(spark, root),
+      Seq("shard_id", "n_docs", "n_tokens", "order_min", "order_max"))
+      .count() == 5)
+  }
+
+  test("range mode is deterministic and a rebuild replaces the epoch") {
+    val r1 = Files.createTempDirectory("graft-shards-a").toString
+    val r2 = Files.createTempDirectory("graft-shards-b").toString
+    TrainingShards.build(spark, r1, corpus, nShards = 4)
+    TrainingShards.build(spark, r2, corpus, nShards = 4)
+    val a = graft.tx.AtomicRewrite.read(spark, TrainingShards.Paths(r1).shards)
+      .select("doc_id", "shard_id")
+    val b = graft.tx.AtomicRewrite.read(spark, TrainingShards.Paths(r2).shards)
+      .select("doc_id", "shard_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "same corpus must shard identically")
+    // a rebuild from a filtered corpus fully replaces the previous epoch
+    TrainingShards.build(spark, r1, corpus.filter(col("doc_id") < 100),
+      nShards = 4)
+    val after = graft.tx.AtomicRewrite.read(spark, TrainingShards.Paths(r1).shards)
+    assert(after.count() == 100 &&
+      after.agg(max("doc_id")).head().getLong(0) == 99L)
+    assert(TrainingShards.readManifest(spark, r1)
+      .agg(sum("n_docs")).head().getLong(0) == 100L)
+  }
+
+  test("hash mode: every doc lands exactly once, spread over the shards") {
+    val root = Files.createTempDirectory("graft-shards-h").toString
+    TrainingShards.buildHashed(spark, root, corpus, nShards = 4)
+    val data = graft.tx.AtomicRewrite.read(spark, TrainingShards.Paths(root).shards)
+    assert(data.count() == 200 &&
+      data.select("doc_id").distinct().count() == 200)
+    val sizes = data.groupBy("shard_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 4).toSet,
+      s"expected 4 populated shards, got ${sizes.keySet}")
+    // salted-hash balance: no shard dominates (loose 2x-of-fair bound)
+    assert(sizes.values.max <= 100, s"degenerate shard sizes: $sizes")
+    val shard0 = TrainingShards.readShard(spark, root, 0)
+    assert(shard0.count() == sizes(0))
+  }
+}

@@ -133,12 +133,12 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"),
       s"corpus must be range-repartitioned on the order key:\n${p.take(2000)}")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(windows.exists(_.contains("__pid")),
+    assert(windows.exists(_.contains("__ps_pid")),
       s"the corpus cumsum window must be keyed by partition id:\n${windows.mkString("\n")}")
-    // any window NOT keyed by __pid must be the offset chain (it sums the
-    // O(partitions) __t column, never corpus n_tokens rows)
-    val unkeyed = windows.filterNot(_.contains("__pid"))
-    assert(unkeyed.forall(_.contains("__t")),
+    // any window NOT keyed by __ps_pid must be the offset chain (it sums
+    // the O(partitions) __ps_t column, never corpus n_tokens rows)
+    val unkeyed = windows.filterNot(_.contains("__ps_pid"))
+    assert(unkeyed.forall(_.contains("__ps_t")),
       s"a corpus-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
   }
 
