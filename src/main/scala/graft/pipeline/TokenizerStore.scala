@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.ops.Bpe
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** Persisted BPE tokenizer — the train-once / apply-everywhere contract
+  * every pipeline has for its tokenizer: training runs over a corpus
+  * snapshot and commits the learned merge list as a graft table; encoding
+  * is then a pure narrow map any batch, query, or streaming micro-batch
+  * can apply WITHOUT the corpus that trained it (q110 keeps the inline
+  * trainer+encoder shape for the oracle; this store is its production
+  * form, and a trainer's artifact is exactly this merge table).
+  *
+  * Layout: `<root>/merges` — (merge_rank, pair, merged), rank = training
+  * order, which is also the only correct application order.
+  *
+  * Scale: each training round is one pair-keyed aggregation over the
+  * corpus plus one merge map — linear per round (the measured q110
+  * shape). The argmax is a single row COLLECTED per round — the store
+  * must persist it, and rounds are the bounded driver-side set (the
+  * merge list IS the artifact). Encoding chains `rounds` boundary-safe
+  * string replaces inside one whole-stage-codegen projection: zero
+  * shuffles, zero state, linear in batch bytes regardless of corpus
+  * size.
+  */
+object TokenizerStore {
+
+  case class Paths(root: String) {
+    val merges: String = s"$root/merges"
+  }
+
+  private val MergeSchema = StructType(Seq(
+    StructField("merge_rank", IntegerType, nullable = false),
+    StructField("pair", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false)))
+
+  /** Train `rounds` merges over `corpus(textCol)` and commit the merge
+    * table (replacing any previous training). Stops early if the corpus
+    * runs out of repeated pairs; deterministic — same corpus, same
+    * merges. */
+  def train(spark: SparkSession, root: String, corpus: DataFrame,
+            textCol: String = "text", rounds: Int = 3): Unit = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    var cur = corpus.select(Bpe.corpusString(col(textCol)).as("s")).persist()
+    cur.count()
+    val merges = Seq.newBuilder[org.apache.spark.sql.Row]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      Bpe.bestPair(cur).collect().headOption match {
+        case Some(row) =>
+          val pair = row.getString(0)
+          merges += org.apache.spark.sql.Row(r, pair, pair.replace(" ", ""))
+          val next = cur
+            .withColumn("s", Bpe.applyMerge(col("s"), lit(pair))).persist()
+          next.count()
+          cur.unpersist()
+          cur = next
+        case None => done = true
+      }
+    }
+    cur.unpersist()
+    AtomicRewrite.write(spark, Paths(root).merges,
+      AtomicRewrite.literalFrame(spark, merges.result(), MergeSchema))
+  }
+
+  /** The trained merge list, in application order. */
+  def merges(spark: SparkSession, root: String): DataFrame =
+    AtomicRewrite.read(spark, Paths(root).merges).orderBy("merge_rank")
+
+  /** Encode arbitrary rows with the TRAINED merges: returns `idCol`,
+    * the encoded token array and its length. One projection — the merge
+    * list is a driver-side fold over O(rounds) rows, never a join. */
+  def encode(spark: SparkSession, root: String, df: DataFrame,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ms = merges(spark, root).collect()
+    val encoded = ms.foldLeft(Bpe.corpusString(col(textCol))) {
+      (s, m) => Bpe.applyMerge(s, lit(m.getString(1)))
+    }
+    df.select(col(idCol), Bpe.streamTokens(encoded).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+}

@@ -925,21 +925,10 @@ object TextQueries {
     * merge with no lookaround (which RE2 lacks) and no regex at all.
     * The argmax is NOT collected — it stays a 1-row broadcast in the
     * plan, so a 100 TB round is one keyed agg + one map. */
-  private def bpeRound(cur: DataFrame): DataFrame = {
-    val toksR = split(trim(col("s")), "  ")
-    val best = cur
-      .select(explode(TextOps.shingles(toksR, 2)).as("pair"))
-      .filter(col("pair").contains(" "))
-      .groupBy("pair").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("pair"))
-      .limit(1)
-      .select(col("pair").as("m"))
-    cur.crossJoin(broadcast(best))
-      .withColumn("s", expr(
-        "replace(s, ' ' || replace(m, ' ', '  ') || ' ', " +
-          "' ' || replace(m, ' ', '') || ' ')"))
+  private def bpeRound(cur: DataFrame): DataFrame =
+    cur.crossJoin(broadcast(graft.ops.Bpe.bestPair(cur)))
+      .withColumn("s", graft.ops.Bpe.applyMerge(col("s"), col("m")))
       .drop("m")
-  }
 
   /** Span width for exact-substring dedup (q103). */
   val SpanK = 8

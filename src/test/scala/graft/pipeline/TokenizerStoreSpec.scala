@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Contract of the persisted tokenizer: the committed merge list is the
+  * training argmax sequence, encoding through the store reproduces the
+  * inline q110 trainer+encoder exactly, unseen text encodes with the
+  * learned merges, and retraining replaces the artifact atomically.
+  */
+class TokenizerStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("store encode == the inline q110 trainer on the training corpus") {
+    val root = Files.createTempDirectory("graft-tok").toString
+    val docs = Tables.load(spark, sf, "documents")
+    TokenizerStore.train(spark, root, docs,
+      rounds = graft.queries.TextQueries.BpeRounds)
+    val m = TokenizerStore.merges(spark, root).collect()
+    assert(m.length == graft.queries.TextQueries.BpeRounds)
+    assert(m.map(_.getInt(0)).toSeq == (1 to m.length))
+    m.foreach { r =>
+      assert(r.getString(2) == r.getString(1).replace(" ", ""))
+    }
+    val enc = TokenizerStore.encode(spark, root, docs)
+      .select(col("doc_id"), col("n_tokens"))
+    val inline = graft.queries.TextQueries.defs("q110_bpe_encode")(spark, sf)
+      .select(col("doc_id"), col("n_encoded").as("n_tokens"))
+    assert(enc.exceptAll(inline).isEmpty && inline.exceptAll(enc).isEmpty,
+      "store encoding must reproduce the inline trainer+encoder")
+  }
+
+  test("unseen text encodes with the learned merges; retrain replaces") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tok2").toString
+    val docs = Tables.load(spark, sf, "documents")
+    TokenizerStore.train(spark, root, docs, rounds = 2)
+    val top = TokenizerStore.merges(spark, root).collect()(0)
+    // a fresh document containing the rank-1 pair adjacently must come
+    // back with the merged unit as ONE token
+    val unseen = Seq((1L, top.getString(1))).toDF("doc_id", "text")
+    val enc = TokenizerStore.encode(spark, root, unseen).head()
+    assert(enc.getSeq[String](1).contains(top.getString(2)),
+      s"expected merged unit ${top.getString(2)} in ${enc.getSeq[String](1)}")
+    // retraining with a different round count replaces the artifact
+    TokenizerStore.train(spark, root, docs, rounds = 1)
+    assert(TokenizerStore.merges(spark, root).count() == 1)
+  }
+
+  test("training is deterministic across runs") {
+    val r1 = Files.createTempDirectory("graft-tok-a").toString
+    val r2 = Files.createTempDirectory("graft-tok-b").toString
+    val docs = Tables.load(spark, sf, "documents")
+    TokenizerStore.train(spark, r1, docs, rounds = 3)
+    TokenizerStore.train(spark, r2, docs, rounds = 3)
+    assert(TokenizerStore.merges(spark, r1).collect().toSeq ==
+      TokenizerStore.merges(spark, r2).collect().toSeq)
+  }
+}
