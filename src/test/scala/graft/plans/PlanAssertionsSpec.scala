@@ -142,6 +142,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"a corpus-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
   }
 
+  test("q118: batch shaping plans with zero window operators") {
+    // the batching cut's scale claim is that it is PURE keyed
+    // aggregation — hash sharding within length buckets instead of any
+    // ordered rank — so no Window exec (and no sort-for-a-window) may
+    // appear; a regression to rank-based batch numbering would
+    // reintroduce per-bucket serialization under skewed lengths
+    val p = planOf("q118_length_batches")
+    assert(!p.contains("Window ["),
+      s"batch shaping must not plan a window:\n${p.take(2000)}")
+  }
+
   test("q23: TPC-H pricing pushes the date filter to the scan") {
     val p = planOf("q23_tpch_pricing")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).mkString
