@@ -42,6 +42,18 @@ object TextQueries {
 
   private def toks: Column = TextOps.tokens(col("text"))
 
+  /** Per-(query, sf) scratch root for store-backed oracle queries —
+    * VectorQueries' convention (q83/q94/q101): rebuilt from scratch each
+    * run so the oracle always sees a fresh deterministic store. */
+  private def tmpStoreRoot(s: SparkSession, dir: String, tag: String): String = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$safe"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
   /** Docs per pack group — the knob that sets cumsum window parallelism. */
   val PackGroupSize = 64
 
@@ -896,7 +908,46 @@ object TextQueries {
           round(col("batch_tokens") / (col("n_docs") * col("max_len")), 6)
             .as("fill_ratio"))
       materializeAndRelease(out, d)
+    }),
+
+    // The persisted-LM path oracle-proved end-to-end (q83's pattern
+    // applied to [[graft.pipeline.LmStore]]): train the unigram LM on
+    // the clean reference slice (source = [[DsirTarget]]), commit it as
+    // a store table, then score every OTHER document against the STORED
+    // vocab — the real CCNet deployment shape, where the reference that
+    // trained the filter is not the corpus being filtered. Add-half
+    // smoothing keeps OOV candidates finite; `oov_tokens` is the drift
+    // signal. The oracle replays train+score in pure SQL, so the store's
+    // write→read round-trip itself is under the hash compare.
+    "q119_lm_store_score" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "lmstore")
+      val d = docs(s, dir)
+      graft.pipeline.LmStore.train(s, root,
+        d.filter(col("source") === DsirTarget))
+      graft.pipeline.LmStore.score(s, root,
+        d.filter(col("source") =!= DsirTarget))
+    }),
+
+    // The shard-publish path oracle-proved the same way: build the
+    // token-balanced contiguous shard tables from a deterministic
+    // training order (ascending doc_id) through
+    // [[graft.pipeline.TrainingShards]] and return the committed
+    // MANIFEST — doc/token counts and the order span per shard. The
+    // oracle recomputes the greedy token split with a window cumsum, so
+    // the distributed prefix sum, the shard assignment arithmetic, the
+    // partitioned snapshot commit, and the manifest derivation are all
+    // under the hash compare.
+    "q120_shard_manifest" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "shards")
+      val corpus = docs(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (col("doc_id") + 1).as("train_pos"))
+      graft.pipeline.TrainingShards.build(s, root, corpus, ShardCount)
+      graft.pipeline.TrainingShards.readManifest(s, root)
     }))
+
+  /** Shards built by the q120 manifest oracle. */
+  val ShardCount = 8
 
   /** Docs per length-bucket batch shard (q118). */
   val BatchDocs = 8
@@ -1137,6 +1188,36 @@ object TextQueries {
          |      FROM q)
          |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
          |FROM c JOIN caps USING (source) WHERE cum_tokens <= cap""".stripMargin,
+    "q119_lm_store_score" ->
+      s"""WITH ref AS (SELECT unnest($ToksSql) AS token FROM documents
+         |             WHERE source = '$DsirTarget'),
+         |lm AS (SELECT token, count(*) AS cf FROM ref GROUP BY 1),
+         |scal AS (SELECT count(*) AS v, sum(cf) AS n_total FROM lm),
+         |cand AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents
+         |         WHERE source <> '$DsirTarget'),
+         |j AS (SELECT c.doc_id, lm.cf FROM cand c LEFT JOIN lm USING (token)),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        CAST(sum(CASE WHEN cf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS oov_tokens,
+         |        round(avg(-ln((coalesce(cf, 0) + 0.5) / (n_total + 0.5 * v))), 6)
+         |          AS avg_neg_logp
+         |      FROM j, scal GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, oov_tokens, avg_neg_logp,
+         | round(exp(avg_neg_logp), 6) AS ppl_proxy FROM g""".stripMargin,
+    "q120_shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |             doc_id + 1 AS train_pos FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY train_pos) AS cum FROM d),
+         |t AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0) AS BIGINT), 1)
+         |        AS target FROM d),
+         |a AS (SELECT doc_id, n_tokens, train_pos,
+         |        CAST(least(CAST(floor((cum - 1) / target) AS BIGINT),
+         |          ${ShardCount - 1}) AS INT) AS shard_id
+         |      FROM c, t)
+         |SELECT shard_id, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | min(train_pos) AS order_min, max(train_pos) AS order_max
+         |FROM a GROUP BY 1""".stripMargin,
     "q117_curriculum" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
          |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
