@@ -23,15 +23,24 @@ object Bpe {
   def streamTokens(s: Column): Column = split(trim(s), "  ")
 
   /** The training argmax: most frequent adjacent pair of `cur`'s `s`
-    * column as a 1-row frame (`m` = "a b"; freq DESC, pair — an exact
-    * total order). Callers broadcast it straight back into the merge map
-    * (q110 — the argmax never leaves the cluster) or collect the single
-    * row to persist it (TokenizerStore). Merged units contain no space,
-    * so `contains(" ")` keeps exactly the ADJACENT-pair shingles. */
+    * column as a GUARANTEED 1-row frame (`m` = "a b"; freq DESC, pair —
+    * an exact total order). Callers broadcast it straight back into the
+    * merge map (q110 — the argmax never leaves the cluster) or collect
+    * the single row to persist it (TokenizerStore). Merged units contain
+    * no space, so `contains(" ")` keeps exactly the ADJACENT-pair
+    * shingles.
+    *
+    * A corpus with NO adjacent pair left (every doc a single subword)
+    * yields the sentinel `m = ""` — freq −1, so it can never beat a real
+    * pair — for which [[applyMerge]] is the identity. Without it the
+    * empty argmax frame would cross-join every document away instead of
+    * passing the corpus through unmerged. */
   def bestPair(cur: DataFrame): DataFrame =
     cur.select(explode(TextOps.shingles(streamTokens(col("s")), 2)).as("pair"))
       .filter(col("pair").contains(" "))
       .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .unionByName(cur.sparkSession.range(1)
+        .select(lit("").as("pair"), lit(-1L).as("freq")))
       .orderBy(col("freq").desc, col("pair"))
       .limit(1)
       .select(col("pair").as("m"))

@@ -36,12 +36,18 @@ object LmStore {
     val lm: String = s"$root/lm"
   }
 
-  /** Train (replace) the LM from `corpus(textCol)`. */
+  /** Train (replace) the LM from `corpus(textCol)`. Refuses an empty
+    * reference: committing a vocabulary-less LM would NULL the stored
+    * total and silently NULL every downstream score — the loud failure
+    * belongs at train time (a mis-filtered reference slice), not in the
+    * score tables. */
   def train(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text"): Unit = {
     val freq = corpus
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cf"))
+    require(!freq.isEmpty,
+      s"refusing to train $root from an empty reference corpus")
     val withTotal = freq.unionByName(
       freq.agg(sum("cf").as("cf")).select(lit(null: String).as("token"),
         col("cf")))

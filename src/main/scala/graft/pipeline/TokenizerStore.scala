@@ -38,9 +38,11 @@ object TokenizerStore {
     StructField("merged", StringType, nullable = false)))
 
   /** Train `rounds` merges over `corpus(textCol)` and commit the merge
-    * table (replacing any previous training). Stops early if the corpus
-    * runs out of repeated pairs; deterministic — same corpus, same
-    * merges. */
+    * table (replacing any previous training). Stops early only if the
+    * corpus runs out of ADJACENT pairs entirely (every doc merged to one
+    * unit — [[Bpe.bestPair]]'s sentinel); frequency-1 pairs still merge,
+    * lexicographically, like any greedy BPE. Deterministic — same
+    * corpus, same merges. */
   def train(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text", rounds: Int = 3): Unit = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
@@ -50,7 +52,7 @@ object TokenizerStore {
     var done = false
     for (r <- 1 to rounds if !done) {
       Bpe.bestPair(cur).collect().headOption match {
-        case Some(row) =>
+        case Some(row) if row.getString(0).nonEmpty =>
           val pair = row.getString(0)
           merges += org.apache.spark.sql.Row(r, pair, pair.replace(" ", ""))
           val next = cur
@@ -58,7 +60,7 @@ object TokenizerStore {
           next.count()
           cur.unpersist()
           cur = next
-        case None => done = true
+        case _ => done = true // sentinel: no adjacent pair left anywhere
       }
     }
     cur.unpersist()

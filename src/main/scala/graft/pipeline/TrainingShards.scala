@@ -54,10 +54,14 @@ object TrainingShards {
     val target = cached.agg(
       greatest(ceil(sum("n_tokens") / lit(nShards.toDouble)), lit(1L))
         .cast("long").as("__target"))
+    // clamped into [0, nShards): without the floor-at-0, a zero-token
+    // document at the HEAD of the order (running total still 0) would
+    // compute floor(-1/target) = -1 and land in a shard no loader
+    // iterating 0..n-1 ever reads
     val assigned = cum.crossJoin(broadcast(target))
       .withColumn("shard_id",
-        least(floor((col("__cum") - 1) / col("__target")), lit(nShards - 1L))
-          .cast("int"))
+        greatest(least(floor((col("__cum") - 1) / col("__target")),
+          lit(nShards - 1L)), lit(0L)).cast("int"))
       .drop("__cum", "__target")
     AtomicRewrite.write(spark, p.shards, assigned,
       partitionBy = Seq("shard_id"))

@@ -29,30 +29,20 @@ object TextQueries {
     if (d.rdd.getNumPartitions < p) d.repartition(p) else d
   }
 
-  /** Force `out` (a small pair/label frame) into cache — computing it is
-    * what reuses the big `inputs` caches across plan branches — then
-    * release those inputs so nothing heavyweight outlives the query.
-    * (Round-1 bench leaked the shingle/signature caches suite-wide.) */
-  private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame = {
-    val m = out.persist()
-    m.count()
-    inputs.foreach(_.unpersist())
-    m
-  }
+  private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame =
+    QueryUtil.materializeAndRelease(out, inputs: _*)
 
   private def toks: Column = TextOps.tokens(col("text"))
 
-  /** Per-(query, sf) scratch root for store-backed oracle queries —
-    * VectorQueries' convention (q83/q94/q101): rebuilt from scratch each
-    * run so the oracle always sees a fresh deterministic store. */
-  private def tmpStoreRoot(s: SparkSession, dir: String, tag: String): String = {
-    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$safe"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    root
-  }
+  /** q31's composite quality score — the ONE definition the selection
+    * and ordering cuts (q115/q116/q117) rank by; its SQL twin is
+    * [[QualityScoreSql]]. */
+  private def qualityScore(nTokens: Column, stopHits: Column): Column =
+    round(least(nTokens / lit(100.0), lit(1.0)) * 0.5 +
+      least(stopHits / nTokens * 5, lit(1.0)) * 0.5, 6)
+
+  private def tmpStoreRoot(s: SparkSession, dir: String, tag: String): String =
+    QueryUtil.tmpStoreRoot(s, dir, tag)
 
   /** Docs per pack group — the knob that sets cumsum window parallelism. */
   val PackGroupSize = 64
@@ -106,9 +96,7 @@ object TextQueries {
           round(col("n_punct") / col("n_chars"), 6).as("punct_ratio"),
           (col("n_chars") < 100).as("too_short"),
           (col("stop_hits") / col("n_tokens") < 0.05).as("low_stopword"),
-          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
-            .as("quality_score"))),
+          qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))),
 
     "q32_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -792,9 +780,7 @@ object TextQueries {
           size(toks).cast("long").as("n_tokens"),
           TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
         .select(col("doc_id"), col("n_tokens"),
-          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
-            .as("quality_score"))
+          qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))
       val (cum, cached) = graft.ops.PrefixSum.runningTotal(d,
         Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
         "cum_tokens")
@@ -825,9 +811,7 @@ object TextQueries {
           size(toks).cast("long").as("n_tokens"),
           TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
-            .as("quality_score")).persist()
+          qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score")).persist()
       val caps = d.groupBy("source")
         .agg(floor(sum("n_tokens") * lit(SourceCapShare)).cast("long").as("cap"))
       val out = d.withColumn("cum_tokens", sum("n_tokens").over(
@@ -857,9 +841,7 @@ object TextQueries {
           size(toks).cast("long").as("n_tokens"),
           TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
         .select(col("doc_id"), col("source"),
-          round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-            least(col("stop_hits") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6)
-            .as("quality_score"))
+          qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))
       val ranked = d.withColumn("rn", row_number().over(
         Window.partitionBy("source")
           .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
@@ -996,6 +978,10 @@ object TextQueries {
   // ---- oracles ----------------------------------------------------------
 
   private val ToksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  /** SQL twin of [[qualityScore]] over a CTE exposing n_tokens/stop_hits. */
+  private val QualityScoreSql =
+    "round(least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6)"
   private val SubwordsSql =
     """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"""
   private val ShinglesSql =
@@ -1105,7 +1091,9 @@ object TextQueries {
            |       (SELECT unnest(list_transform(range(1, greatest(len(t)-1,1)+1),
            |         i -> array_to_string(t[i:i+1], ' '))) AS pair FROM t$r)
            |       WHERE contains(pair, ' ') GROUP BY 1),
-           |m$r AS (SELECT pair FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+           |m$r AS (SELECT pair FROM
+           |       (SELECT pair, freq FROM p$r UNION ALL SELECT '', -1)
+           |       ORDER BY freq DESC, pair LIMIT 1),
            |d$r AS (SELECT doc_id,
            |  replace(s, ' ' || replace(m$r.pair, ' ', '  ') || ' ',
            |             ' ' || replace(m$r.pair, ' ', '') || ' ') AS s, n0
@@ -1158,8 +1146,7 @@ object TextQueries {
          |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
          |      FROM t),
          |q AS (SELECT doc_id, n_tokens,
-         |        round(least(n_tokens / 100.0, 1.0) * 0.5 +
-         |          least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |        $QualityScoreSql AS quality_score
          |      FROM b),
          |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT) AS budget
          |        FROM q),
@@ -1176,8 +1163,7 @@ object TextQueries {
          |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
          |      FROM t),
          |q AS (SELECT doc_id, source, n_tokens,
-         |        round(least(n_tokens / 100.0, 1.0) * 0.5 +
-         |          least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |        $QualityScoreSql AS quality_score
          |      FROM b),
          |caps AS (SELECT source,
          |           CAST(floor(sum(n_tokens) * $SourceCapShare) AS BIGINT) AS cap
@@ -1225,8 +1211,7 @@ object TextQueries {
          |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
          |      FROM t),
          |q AS (SELECT doc_id, source,
-         |        round(least(n_tokens / 100.0, 1.0) * 0.5 +
-         |          least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         |        $QualityScoreSql AS quality_score
          |      FROM b),
          |r AS (SELECT doc_id, source, quality_score,
          |        row_number() OVER (PARTITION BY source
@@ -1373,7 +1358,7 @@ object TextQueries {
          | round(n_punct / n_chars, 6) AS punct_ratio,
          | (n_chars < 100) AS too_short,
          | (stop_hits / n_tokens < 0.05) AS low_stopword,
-         | round(least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_hits / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+         | $QualityScoreSql AS quality_score
          |FROM b""".stripMargin,
     "q32_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),

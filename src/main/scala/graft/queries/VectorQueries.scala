@@ -38,24 +38,11 @@ object VectorQueries {
   /** Fresh tmp root for a store-backed query (one per (query tag, sf
     * dir) so concurrent suites at different scales never collide);
     * deletes any prior run's store. */
-  private def tmpStoreRoot(s: SparkSession, dir: String, tag: String): String = {
-    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$safe"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    root
-  }
+  private def tmpStoreRoot(s: SparkSession, dir: String, tag: String): String =
+    QueryUtil.tmpStoreRoot(s, dir, tag)
 
-  /** Force the small result frame into cache (reusing the big `inputs`
-    * caches across its plan branches), then release those inputs so no
-    * pair-block cache outlives the query (TextQueries' discipline). */
-  private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame = {
-    val m = out.persist()
-    m.count()
-    inputs.foreach(_.unpersist())
-    m
-  }
+  private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame =
+    QueryUtil.materializeAndRelease(out, inputs: _*)
 
   /** Deterministic centroid subset (every 50th vector, offset 1). */
   private def centroids(e: DataFrame): DataFrame =

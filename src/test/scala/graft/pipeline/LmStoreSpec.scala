@@ -40,6 +40,15 @@ class LmStoreSpec extends SparkSpec {
     assert(oov.getDouble(3) > known.getDouble(3))
   }
 
+  test("training on an empty reference fails loudly instead of NULLing scores") {
+    val root = Files.createTempDirectory("graft-lm-empty").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LmStore.train(spark, root, empty)
+    }
+    assert(e.getMessage.contains("empty reference"))
+  }
+
   test("self-scoring the training corpus has zero OOV; retrain replaces") {
     val root = Files.createTempDirectory("graft-lm2").toString
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -51,6 +51,21 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(TokenizerStore.merges(spark, root).count() == 1)
   }
 
+  test("a pair-less corpus passes through: zero merges, docs survive encode") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tok-nopair").toString
+    // every doc is a single subword -> no adjacent pair anywhere; the
+    // argmax sentinel must stop training AND keep every doc in encode
+    // (an empty argmax frame would cross-join the corpus away)
+    val solo = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    TokenizerStore.train(spark, root, solo, rounds = 3)
+    assert(TokenizerStore.merges(spark, root).count() == 0,
+      "no adjacent pairs -> no merges")
+    val enc = TokenizerStore.encode(spark, root, solo).collect()
+    assert(enc.length == 2 && enc.forall(_.getLong(2) == 1L),
+      "every single-subword doc must survive unmerged")
+  }
+
   test("training is deterministic across runs") {
     val r1 = Files.createTempDirectory("graft-tok-a").toString
     val r2 = Files.createTempDirectory("graft-tok-b").toString

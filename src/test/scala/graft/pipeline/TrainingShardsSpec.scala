@@ -75,6 +75,21 @@ class TrainingShardsSpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0) == 100L)
   }
 
+  test("zero-token docs at the head of the order stay in shard 0") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-shards-z").toString
+    // running total is still 0 at the first docs -> unclamped assignment
+    // arithmetic would compute shard_id = -1 for them
+    val c = Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 10L, 3L), (4L, 10L, 4L))
+      .toDF("doc_id", "n_tokens", "train_pos")
+    TrainingShards.build(spark, root, c, nShards = 2)
+    val data = graft.tx.AtomicRewrite.read(spark, TrainingShards.Paths(root).shards)
+    assert(data.count() == 4)
+    assert(data.filter(col("shard_id") < 0 || col("shard_id") > 1).count() == 0,
+      "every shard id must stay inside [0, nShards)")
+    assert(data.filter(col("doc_id") === 1L).head().getAs[Int]("shard_id") == 0)
+  }
+
   test("hash mode: every doc lands exactly once, spread over the shards") {
     val root = Files.createTempDirectory("graft-shards-h").toString
     TrainingShards.buildHashed(spark, root, corpus, nShards = 4)

@@ -51,8 +51,13 @@ class StreamingArtifactsSpec extends SparkSpec {
       s"batch 1 must use the rank-1 merge: ${enc(10L)}")
     assert(enc(11L).length < enc(10L).length,
       s"post-retrain encoding must compress further: ${enc(10L)} vs ${enc(11L)}")
-    // already-landed rows are untouched by the retrain
-    assert(enc(10L) == landed.head._2)
+    // landing-time semantics: encoding the SAME text through the store
+    // NOW yields batch 2's (current-artifact) form, not the form batch 1
+    // landed with — what landed is a snapshot only the sink holds
+    val now = TokenizerStore.encode(spark, root,
+        Seq((99L, "aa bb cc")).toDF("doc_id", "text")).head().getSeq[String](1)
+    assert(now == enc(11L) && now != enc(10L),
+      s"current artifact must encode like batch 2: $now vs ${enc(10L)}")
   }
 
   test("a stored LM scores micro-batches; OOV drift is visible per batch") {
