@@ -36,6 +36,25 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("PrefixSum.runningTotal equals a local scan for any input") {
+    // spark-round-trips are expensive under scalacheck — a handful of
+    // random draws exercises the range/offset machinery plenty
+    val gl = Gen.listOf(Gen.chooseNum(0L, 500L)).map(_.take(300))
+    check(Prop.forAll(gl) { values =>
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val (res, cached) = graft.ops.PrefixSum.runningTotal(
+        df, Seq(col("id")), col("v"), "cum")
+      val got = res.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      cached.unpersist()
+      val want = values.zipWithIndex
+        .scanLeft((0L, 0L)) { case ((_, acc), (v, i)) => (i.toLong, acc + v) }
+        .drop(1)
+      got.toSeq == want
+    }, n = 12)
+  }
+
   test("frameOffsets tiles any payload exactly for any frame count") {
     check(Prop.forAll(Gen.chooseNum(0, 10000), Gen.chooseNum(1, 64)) { (n, k) =>
       val offs = Media.frameOffsets(n, k)
