@@ -29,28 +29,46 @@ object PrefixSum {
     * the assignment both actually saw.
     */
   def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
-                   out: String): (DataFrame, DataFrame) = {
-    // internal names are prefixed so `out` can never collide with (and
-    // then be dropped alongside) the scaffolding columns
-    val internal = Seq("__ps_pid", "__ps_cum", "__ps_t", "__ps_off")
-    require(!internal.contains(out), s"$out is reserved")
+                   out: String): (DataFrame, DataFrame) =
+    runningTotals(df, order, Seq(value -> out))
+
+  /** [[runningTotal]] for several value columns in ONE pass — one range
+    * shuffle, one pid window chain, one offset frame — instead of one
+    * full machinery per total (q121 needs both the coverage cumsum and
+    * the rank, which is just the running total of 1). */
+  def runningTotals(df: DataFrame, order: Seq[Column],
+                    values: Seq[(Column, String)]): (DataFrame, DataFrame) = {
+    // internal names are prefixed so no `out` can collide with (and then
+    // be dropped alongside) the scaffolding columns
+    require(values.nonEmpty && values.forall(!_._2.startsWith("__ps_")),
+      "output names must not use the reserved __ps_ prefix")
     val ranged = df
       .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
         order: _*)
       .withColumn("__ps_pid", spark_partition_id()).persist()
     ranged.count()
-    val local = ranged.withColumn("__ps_cum", sum(value).over(
-      Window.partitionBy("__ps_pid").orderBy(order: _*)))
+    val w = Window.partitionBy("__ps_pid").orderBy(order: _*)
+    val local = values.zipWithIndex.foldLeft(ranged) {
+      case (d, ((v, _), i)) => d.withColumn(s"__ps_cum$i", sum(v).over(w))
+    }
     // one row per partition: the offset frame is O(partitions), so its
-    // single-partition running total is bounded work by construction
-    val offs = ranged.groupBy("__ps_pid").agg(sum(value).as("__ps_t"))
-      .withColumn("__ps_off", coalesce(sum("__ps_t").over(
-        Window.orderBy("__ps_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__ps_pid"), col("__ps_off"))
-    val res = local.join(broadcast(offs), "__ps_pid")
-      .withColumn(out, col("__ps_cum") + col("__ps_off"))
-      .drop("__ps_pid", "__ps_cum", "__ps_off")
+    // single-partition running totals are bounded work by construction
+    val wOff = Window.orderBy("__ps_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offTotals = ranged.groupBy("__ps_pid").agg(
+      sum(values.head._1).as("__ps_t0"),
+      values.tail.zipWithIndex.map { case ((v, _), i) =>
+        sum(v).as(s"__ps_t${i + 1}") }: _*)
+    val offFrame = values.indices.foldLeft(offTotals) { (d, i) =>
+      d.withColumn(s"__ps_off$i", coalesce(sum(s"__ps_t$i").over(wOff), lit(0L)))
+    }.select(col("__ps_pid") +: values.indices.map(i => col(s"__ps_off$i")): _*)
+    val joined = local.join(broadcast(offFrame), "__ps_pid")
+    val res = values.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__ps_cum$i") + col(s"__ps_off$i"))
+    }.drop("__ps_pid")
+      .drop(values.indices.flatMap(i =>
+        Seq(s"__ps_cum$i", s"__ps_off$i")): _*)
     (res, ranged)
   }
 }

@@ -926,7 +926,43 @@ object TextQueries {
         (col("doc_id") + 1).as("train_pos"))
       graft.pipeline.TrainingShards.build(s, root, corpus, ShardCount)
       graft.pipeline.TrainingShards.readManifest(s, root)
+    }),
+
+    // Vocabulary-coverage curve (the tokenizer-sizing question: how many
+    // vocabulary entries cover 50/90/99% of corpus tokens?): rank the
+    // vocab by frequency and take, per threshold, the smallest prefix
+    // whose token mass reaches it. Both the coverage cumsum AND the rank
+    // are running totals over the SAME frequency order, so they share
+    // one [[graft.ops.PrefixSum.runningTotals]] pass — and the input is
+    // the VOCAB (one row per distinct token, sublinear in corpus bytes),
+    // not the corpus, so even the range shuffle is tiny at 100 TB. The
+    // per-threshold cut is a min_by over the qualifying rows — no second
+    // sort.
+    "q121_vocab_coverage" -> ((s, dir) => {
+      val freq = docs(s, dir).select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cf"))
+      val (cum, cached) = graft.ops.PrefixSum.runningTotals(freq,
+        Seq(col("cf").desc, col("token")),
+        Seq(col("cf") -> "cum_cf", lit(1L) -> "vocab_rank"))
+      val total = cached.agg(sum("cf").as("total"))
+      val th = CoverageThresholds
+        .map(t => org.apache.spark.sql.Row(t))
+      val thDf = graft.tx.AtomicRewrite.literalFrame(s, th,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("threshold",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val out = cum.crossJoin(broadcast(total)).crossJoin(broadcast(thDf))
+        .filter(col("cum_cf") / col("total") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(min("vocab_rank").as("vocab_size"),
+          min_by(col("cum_cf"), col("vocab_rank")).as("tokens_covered"),
+          round(min_by(col("cum_cf"), col("vocab_rank")) / first(col("total")), 6)
+            .as("coverage"))
+      materializeAndRelease(out, cached)
     }))
+
+  /** Coverage thresholds reported by the q121 vocab-sizing curve. */
+  val CoverageThresholds = Seq(0.5, 0.9, 0.99)
 
   /** Shards built by the q120 manifest oracle. */
   val ShardCount = 8
@@ -1174,6 +1210,23 @@ object TextQueries {
          |      FROM q)
          |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
          |FROM c JOIN caps USING (source) WHERE cum_tokens <= cap""".stripMargin,
+    "q121_vocab_coverage" ->
+      s"""WITH f AS (SELECT token, count(*) AS cf FROM
+         |       (SELECT unnest($ToksSql) AS token FROM documents) GROUP BY 1),
+         |c AS (SELECT cf,
+         |        sum(cf) OVER (ORDER BY cf DESC, token) AS cum_cf,
+         |        row_number() OVER (ORDER BY cf DESC, token) AS vocab_rank
+         |      FROM f),
+         |t AS (SELECT sum(cf) AS total FROM f),
+         |th(threshold) AS (VALUES (0.5), (0.9), (0.99)),
+         |q AS (SELECT threshold, vocab_rank, cum_cf, total FROM c, t, th
+         |      WHERE cum_cf / total >= threshold)
+         |SELECT CAST(threshold AS DOUBLE) AS threshold,
+         | CAST(min(vocab_rank) AS BIGINT) AS vocab_size,
+         | CAST(min_by(cum_cf, vocab_rank) AS BIGINT) AS tokens_covered,
+         | round(min_by(cum_cf, vocab_rank) / CAST(min(total) AS DOUBLE), 6)
+         |   AS coverage
+         |FROM q GROUP BY 1""".stripMargin,
     "q119_lm_store_score" ->
       s"""WITH ref AS (SELECT unnest($ToksSql) AS token FROM documents
          |             WHERE source = '$DsirTarget'),
