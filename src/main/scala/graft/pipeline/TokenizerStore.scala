@@ -24,9 +24,28 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * merge list IS the artifact). Encoding chains `rounds` boundary-safe
   * string replaces inside one whole-stage-codegen projection: zero
   * shuffles, zero state, linear in batch bytes regardless of corpus
-  * size.
+  * size. The merge count is BOUNDED at [[MaxMerges]] (enforced at both
+  * train and encode, the RankLimitToTopK/RewriteMaxK convention): each
+  * merge nests one more replace into the projection's expression tree,
+  * and an unbounded list would eventually blow the codegen method-size
+  * limit or the analyzer's stack on the driver — loud at the API
+  * boundary, never deep inside Catalyst. A production vocabulary beyond
+  * the bound belongs in chunked application (apply [[MaxMerges]]-sized
+  * merge groups with a materialization barrier between chunks), which a
+  * caller can compose from [[merges]] + [[graft.ops.Bpe.applyMerge]].
+  *
+  * Erasure note: like trained centroids and the unigram LM
+  * ([[LmStore]]), the merge list holds corpus-WIDE pair frequencies —
+  * aggregates, not per-subject rows — so the GDPR propagate flow has
+  * nothing to delete here; retrain on the scrubbed corpus if the
+  * training snapshot itself is subject to erasure.
   */
 object TokenizerStore {
+
+  /** Upper bound on persisted merges (train) and applied merges
+    * (encode): deep-nested replace trees beyond this risk codegen /
+    * analyzer limits — see the class note. */
+  val MaxMerges = 256
 
   case class Paths(root: String) {
     val merges: String = s"$root/merges"
@@ -46,6 +65,9 @@ object TokenizerStore {
   def train(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text", rounds: Int = 3): Unit = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(rounds <= MaxMerges,
+      s"rounds must be <= $MaxMerges (codegen/analyzer bound — chunk " +
+        s"larger vocabularies, see TokenizerStore doc), got $rounds")
     var cur = corpus.select(Bpe.corpusString(col(textCol)).as("s")).persist()
     cur.count()
     val merges = Seq.newBuilder[org.apache.spark.sql.Row]
@@ -78,6 +100,9 @@ object TokenizerStore {
   def encode(spark: SparkSession, root: String, df: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val ms = merges(spark, root).collect()
+    require(ms.length <= MaxMerges,
+      s"stored merge list has ${ms.length} entries, beyond the " +
+        s"$MaxMerges single-projection bound — apply in chunks instead")
     val encoded = ms.foldLeft(Bpe.corpusString(col(textCol))) {
       (s, m) => Bpe.applyMerge(s, lit(m.getString(1)))
     }

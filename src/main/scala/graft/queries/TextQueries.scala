@@ -366,14 +366,18 @@ object TextQueries {
     // two upstream plans it composes.
     "q75_contamination_report" -> ((s, dir) => {
       val splits = defs("q53_train_split")(s, dir).select(col("doc_id"), col("split"))
-      val contam = defs("q56_decontaminate")(s, dir)
-        .select(col("doc_id"), col("contaminated"))
-      splits.join(contam, Seq("doc_id"), "left")
+      // q56's def returns a PERSISTED frame (materializeAndRelease) — the
+      // composer owns releasing it once its own rollup has materialized,
+      // or the sub-result stays pinned in executor memory forever
+      val q56 = defs("q56_decontaminate")(s, dir)
+      val contam = q56.select(col("doc_id"), col("contaminated"))
+      val out = splits.join(contam, Seq("doc_id"), "left")
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
         .withColumn("contamination_rate",
           round(col("n_contaminated") / col("n_docs"), 6))
+      materializeAndRelease(out, q56)
     }),
 
     // TF-IDF: per-doc top term by tf·ln(N/df) — the classic relevance/
@@ -730,12 +734,14 @@ object TextQueries {
     // The release gate itself: one keep/drop verdict per document with
     // the FIRST tripped reason in pipeline order — exact-dup (q34's
     // canonical-hash rule), length and stopword quality (q31's exact
-    // cuts), benchmark holdout membership, then benchmark contamination
-    // (q56's capped-shingle overlap, reused as a subquery). This is the
-    // operator a curation run actually applies after all the signal
-    // queries: every signal is a doc-keyed agg or equi-join, the verdict
-    // itself a narrow codegen map — nothing here adds a shuffle beyond
-    // the signals it composes.
+    // cuts), benchmark holdout membership (q53's deterministic
+    // `split = 'test'` assignment — the REAL pipeline signal, so the
+    // cascade composes the same split the release gate trains against),
+    // then benchmark contamination (q56's capped-shingle overlap, reused
+    // as a subquery). This is the operator a curation run actually
+    // applies after all the signal queries: every signal is a doc-keyed
+    // agg or equi-join, the verdict itself a narrow codegen map —
+    // nothing here adds a shuffle beyond the signals it composes.
     "q114_filter_cascade" -> ((s, dir) => {
       val d = docs(s, dir)
       val hash = d.select(col("doc_id"),
@@ -746,18 +752,24 @@ object TextQueries {
       val quality = d.select(col("doc_id"), col("n_chars"),
         size(toks).cast("long").as("n_tokens"),
         TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
-      val contam = defs("q56_decontaminate")(s, dir)
-        .select(col("doc_id"), col("contaminated"))
-      quality.join(dup, "doc_id")
+      val splits = defs("q53_train_split")(s, dir)
+        .select(col("doc_id"), col("split"))
+      // q56's def returns a PERSISTED frame — release it once the
+      // cascade verdict has materialized (the q75 idiom)
+      val q56 = defs("q56_decontaminate")(s, dir)
+      val contam = q56.select(col("doc_id"), col("contaminated"))
+      val out = quality.join(dup, "doc_id")
+        .join(splits, "doc_id")
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("exact_dup"), "exact_duplicate")
             .when(col("n_chars") < 100, "too_short")
             .when(col("stop_hits") / col("n_tokens") < 0.05, "low_stopword")
-            .when(col("doc_id") % 10 === 0, "benchmark_holdout")
+            .when(col("split") === "test", "benchmark_holdout")
             .when(coalesce(col("contaminated"), lit(false)), "contaminated")
             .otherwise("kept").as("reason"))
         .withColumn("keep", col("reason") === "kept")
+      materializeAndRelease(out, q56)
     }),
 
     // Token-budget selection (the curation cut every pretraining run
@@ -1165,14 +1177,19 @@ object TextQueries {
          |        len(list_filter(t.toks,
          |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
          |      FROM documents d JOIN t ON d.doc_id = t.doc_id),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM documents),
          |v AS (SELECT q.doc_id,
          |        CASE WHEN dup.exact_dup THEN 'exact_duplicate'
          |             WHEN q.n_chars < 100 THEN 'too_short'
          |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
-         |             WHEN q.doc_id % 10 = 0 THEN 'benchmark_holdout'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
          |             WHEN coalesce(c.contaminated, false) THEN 'contaminated'
          |             ELSE 'kept' END AS reason
          |      FROM q JOIN dup USING (doc_id)
+         |             JOIN spl USING (doc_id)
          |             LEFT JOIN contam c USING (doc_id))
          |SELECT doc_id, reason, (reason = 'kept') AS keep FROM v""".stripMargin,
     "q115_token_budget" ->
@@ -1250,8 +1267,8 @@ object TextQueries {
          |t AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0) AS BIGINT), 1)
          |        AS target FROM d),
          |a AS (SELECT doc_id, n_tokens, train_pos,
-         |        CAST(least(CAST(floor((cum - 1) / target) AS BIGINT),
-         |          ${ShardCount - 1}) AS INT) AS shard_id
+         |        CAST(greatest(least(CAST(floor((cum - 1) / target) AS BIGINT),
+         |          ${ShardCount - 1}), 0) AS INT) AS shard_id
          |      FROM c, t)
          |SELECT shard_id, count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

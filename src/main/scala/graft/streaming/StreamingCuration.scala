@@ -59,7 +59,13 @@ object StreamingCuration {
     * q114). */
   def sink(stream: DataFrame, storeRoot: String, idCol: String,
            textCol: String, landRejected: DataFrame => Unit = _ => ())
-          (land: DataFrame => Unit): StreamingQuery =
+          (land: DataFrame => Unit): StreamingQuery = {
+    // the gate's scratch verdict column: an input stream already carrying
+    // this name would be silently overwritten and then dropped from landed
+    // rows — fail loudly instead (the PrefixSum reserved-prefix contract)
+    require(!stream.columns.contains("__reason"),
+      "input stream may not carry a '__reason' column — it is the " +
+        "curation gate's reserved scratch name")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -78,4 +84,5 @@ object StreamingCuration {
         ()
       }
       .start()
+  }
 }
