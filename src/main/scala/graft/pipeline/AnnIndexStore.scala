@@ -142,10 +142,12 @@ object AnnIndexStore {
 
   /** Build the index from a corpus (`vec_id`, `embedding`): every
     * `centroidEvery`-th vector (offset 1) seeds a centroid, every vector
-    * lands in its nearest centroid's hive partition. Kept for the oracle
-    * queries, which pin this centroid shape (q38/q45/q59/q60/q83); K
-    * grows with the corpus, so production indexes should pass an
-    * explicit fixed-K centroid set instead. */
+    * lands in its nearest centroid's hive partition. LEGACY/TEST shape —
+    * no oracle query pins it anymore (the whole cell family trains
+    * fixed-K centroids since round 10): K grows with the corpus, which
+    * makes assignment N²/centroidEvery, and the raw-vector centroids
+    * carry the erasure caveat on [[forget]]. Production indexes pass an
+    * explicit fixed-K centroid set ([[trainCentroids]]). */
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             centroidEvery: Int): Unit =
     build(spark, root, corpus, corpus

@@ -44,10 +44,24 @@ object VectorQueries {
   private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame =
     QueryUtil.materializeAndRelease(out, inputs: _*)
 
-  /** Deterministic centroid subset (every 50th vector, offset 1). */
+  /** Trained fixed-K centroid set shared by the whole cell family
+    * ([[graft.pipeline.AnnIndexStore.trainCentroids]]: deterministic
+    * salted-hash seed, [[TrainIters]] Lloyd rounds, exact-decimal
+    * means). K is CONSTANT as the corpus grows, so every [[assign]] is
+    * N·K cosines — linear in N. The corpus-derived every-50th subset
+    * this replaces made K = N/50 and the same assignment N²/50: a
+    * designed quadratic that would dominate at 100×. Training cost is
+    * 2 extra linear passes, paid once per query and amortized to zero
+    * through the persisted store in production ([[q83]]/[[q94]]). */
   private def centroids(e: DataFrame): DataFrame =
-    broadcast(e.filter(col("vec_id") % 50 === 1)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
+    broadcast(graft.pipeline.AnnIndexStore.trainCentroids(
+      e.select(col("vec_id"), col("embedding")), k = TrainK, iters = TrainIters))
+
+  /** Fixed centroid count of the cell family (the q94 store value). */
+  val TrainK = 16
+
+  /** Lloyd rounds of the cell family's centroid training. */
+  val TrainIters = 2
 
   /** Nearest-centroid assignment — argmax via max_by, not a row_number
     * window: the aggregate partial-combines the vec×centroid cross product
@@ -250,8 +264,9 @@ object VectorQueries {
     "q83_ann_index_store" -> ((s, dir) => {
       val root = tmpStoreRoot(s, dir, "ivf")
       val e = Tables.load(s, dir, "embeddings")
-      graft.pipeline.AnnIndexStore.build(s, root,
-        e.select(col("vec_id"), col("embedding")), centroidEvery = 50)
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      graft.pipeline.AnnIndexStore.build(s, root, corpus,
+        graft.pipeline.AnnIndexStore.trainCentroids(corpus, TrainK, TrainIters))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 1)
@@ -271,7 +286,7 @@ object VectorQueries {
       val root = tmpStoreRoot(s, dir, "ivfk")
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val cents = graft.pipeline.AnnIndexStore.trainCentroids(e, k = 16, iters = 2)
+      val cents = graft.pipeline.AnnIndexStore.trainCentroids(e, TrainK, TrainIters)
       graft.pipeline.AnnIndexStore.build(s, root, e, cents)
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -289,8 +304,9 @@ object VectorQueries {
     "q101_ann_forget" -> ((s, dir) => {
       val root = tmpStoreRoot(s, dir, "ivff")
       val e = Tables.load(s, dir, "embeddings")
-      graft.pipeline.AnnIndexStore.build(s, root,
-        e.select(col("vec_id"), col("embedding")), centroidEvery = 50)
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      graft.pipeline.AnnIndexStore.build(s, root, corpus,
+        graft.pipeline.AnnIndexStore.trainCentroids(corpus, TrainK, TrainIters))
       graft.pipeline.AnnIndexStore.forget(s, root,
         e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
       val q = e.filter(col("vec_id") % 50 === 0)
@@ -417,10 +433,27 @@ object VectorQueries {
        |       FROM c$p c LEFT JOIN m$i USING (centroid_id))""".stripMargin
   }
 
+  /** The shared trained fixed-K centroid chain (the exact
+    * [[graft.pipeline.AnnIndexStore.trainCentroids]] replay: salted-hash
+    * seed of [[TrainK]], [[TrainIters]] Lloyd rounds) ending in a `cents`
+    * CTE — every cell-family oracle pins its centroid set on this, the
+    * same set the Spark side trains, so no oracle anywhere reproduces
+    * the corpus-derived (quadratic) every-50th shape. Claims CTE names
+    * h, seed, c0..c$TrainIters and the per-round a/x/s/m prefixes. */
+  private val TrainedCentsSql: String =
+    s"""h AS (SELECT vec_id, embedding,
+       |       sha256('centroid|' || CAST(vec_id AS VARCHAR)) AS hh
+       |     FROM embeddings),
+       |seed AS (SELECT vec_id, embedding, hh FROM h ORDER BY hh, vec_id LIMIT $TrainK),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT)
+       |         AS centroid_id, embedding AS cv
+       |       FROM seed),
+       |${(1 to TrainIters).map(lloydRoundSql).mkString(",\n")},
+       |cents AS (SELECT centroid_id, cv FROM c$TrainIters)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q109_hard_negatives" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -430,18 +463,17 @@ object VectorQueries {
          |a AS (SELECT vec_id AS anchor_id, embedding AS av,
          |        label AS anchor_label, centroid_id
          |      FROM cells WHERE vec_id % 25 = 0),
-         |c2 AS (SELECT a.anchor_id, n.vec_id AS negative_id,
+         |cand AS (SELECT a.anchor_id, n.vec_id AS negative_id,
          |        n.label AS negative_label,
          |        ${cosSql("a.av", "n.embedding")} AS cos_sim
          |       FROM a JOIN cells n ON a.centroid_id = n.centroid_id
          |       WHERE n.vec_id <> a.anchor_id AND n.label <> a.anchor_label),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
-         |        ORDER BY cos_sim DESC, negative_id) AS INT) AS rank FROM c2)
+         |        ORDER BY cos_sim DESC, negative_id) AS INT) AS rank FROM cand)
          |SELECT anchor_id, negative_id, negative_label, cos_sim, rank
          |FROM r WHERE rank <= 4""".stripMargin,
     "q113_csls_rescore" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -467,8 +499,7 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, cos_sim, csls, rank
          |FROM f WHERE rank <= 5""".stripMargin,
     "q38_cosine_neardup" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -480,8 +511,7 @@ object VectorQueries {
          |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
          |SELECT * FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "q72_semantic_dedup" ->
-      s"""WITH RECURSIVE cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH RECURSIVE $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -507,8 +537,7 @@ object VectorQueries {
          |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM c)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin,
     "q45_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -542,8 +571,7 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin
     },
     "q83_ann_index_store" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -563,8 +591,7 @@ object VectorQueries {
     // probes still assign against the (untouched) centroid set — so a
     // forgotten vector can still ASK, but can never be RETRIEVED.
     "q101_ann_forget" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -581,24 +608,16 @@ object VectorQueries {
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
     "q94_ann_trained_store" ->
-      s"""WITH h AS (SELECT vec_id, embedding,
-         |       sha256('centroid|' || CAST(vec_id AS VARCHAR)) AS hh
-         |     FROM embeddings),
-         |seed AS (SELECT vec_id, embedding, hh FROM h ORDER BY hh, vec_id LIMIT 16),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT)
-         |         AS centroid_id, embedding AS cv
-         |       FROM seed),
-         |${lloydRoundSql(1)},
-         |${lloydRoundSql(2)},
+      s"""WITH $TrainedCentsSql,
          |af AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
-         |       FROM embeddings e, c2 c),
+         |       FROM embeddings e, cents c),
          |cells AS (SELECT vec_id, embedding, centroid_id FROM af WHERE rn = 1),
          |qa AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
-         |       FROM embeddings e, c2 c WHERE e.vec_id % 50 = 0),
+         |       FROM embeddings e, cents c WHERE e.vec_id % 50 = 0),
          |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
          |           FROM qa WHERE rn <= 2),
          |cand AS (SELECT query_id, cells.vec_id AS neighbor_id,
@@ -609,8 +628,7 @@ object VectorQueries {
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
     "q60_ann_ivf_nprobe" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -637,8 +655,7 @@ object VectorQueries {
         |  FROM embeddings)
         |SELECT label, vec_id, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
     "q59_kmeans_step" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 50 = 1),
+      s"""WITH $TrainedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
