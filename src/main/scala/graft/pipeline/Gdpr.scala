@@ -166,8 +166,9 @@ object Gdpr {
     * columns in the relational tables, this removes a subject's derived
     * artifacts from the dedup fingerprint store
     * ([[DedupStore.forget]]), the MinHash signature store
-    * ([[NearDupStore.forget]]), and the ANN index
-    * ([[AnnIndexStore.forget]]) — each partition-aware, each leaving no
+    * ([[NearDupStore.forget]]), the ANN index
+    * ([[AnnIndexStore.forget]]), and any published training-shard epoch
+    * ([[TrainingShards.forget]]) — each partition-aware, each leaving no
     * trace that would keep erased content matchable or retrievable.
     * Appends one audit row per erased (subject, store) pair, the same
     * irreversible salted-fingerprint record [[propagate]] writes

@@ -59,9 +59,11 @@ object GdprRequests {
     * success, records FAIL (watermark untouched) on error.
     *
     * `storesFor` extends the propagation to the DERIVED corpus stores
-    * (dedup fingerprints, MinHash signatures, ANN cells) per subject
-    * type: one incoming erasure request then drives the relational
-    * scrubs AND the store deletes in the same watermarked cycle, with
+    * (dedup fingerprints, MinHash signatures, ANN cells, published
+    * training-shard epochs — [[TrainingShards.forgetMatched]]) per
+    * subject type: one incoming erasure request then drives the
+    * relational scrubs AND the store deletes in the same watermarked
+    * cycle, with
     * [[Gdpr.forgetStores]]' per-store audit rows beside the table
     * rows — the reference's propagate-everywhere contract
     * (gdpr/gdpr_propagate_erasure.py) at full engine scope.

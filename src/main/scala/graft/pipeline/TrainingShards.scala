@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   * AFTER the shard data commits: a crash between the two leaves data
   * without manifest — detectable and re-runnable — never a manifest
   * promising shards that don't exist.
+  *
+  * Erasure: a published epoch carries FULL document rows, so unlike the
+  * aggregate-only artifacts ([[LmStore]], [[TokenizerStore]], trained
+  * centroids) it is inside the GDPR propagate-everywhere contract
+  * (reference gdpr/gdpr_propagate_erasure.py:360-719 rewrites every
+  * published downstream layer). [[forget]] removes a subject's rows
+  * partition-aware — only the shard partitions holding one are
+  * rewritten — and refreshes the manifest from the committed survivors,
+  * so no manifest ever over-promises docs or tokens a loader won't
+  * find. Wire it into `GdprRequests.storesFor` beside the corpus
+  * stores (the [[graft.pipeline.Gdpr.StoreErasure]] hook).
   */
 object TrainingShards {
 
@@ -89,13 +100,64 @@ object TrainingShards {
   }
 
   /** One row per shard: doc/token counts and the `orderCol` span —
-    * everything a loader needs to plan an epoch without listing files. */
+    * everything a loader needs to plan an epoch without listing files.
+    * Carries `order_col` (the span's column name) so the manifest is
+    * self-describing: [[forget]] re-derives it without being told how
+    * the epoch was ordered. */
   private def manifestOf(assigned: DataFrame, orderCol: String): DataFrame =
     assigned.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         min(orderCol).as("order_min"),
         max(orderCol).as("order_max"))
+      .withColumn("order_col", lit(orderCol))
+
+  /** Right-to-be-forgotten for a PUBLISHED epoch (the
+    * [[DedupStore.forget]] shape): remove the given ids' rows from the
+    * shard tables, then refresh the manifest from the COMMITTED
+    * survivors. Partition-aware ([[AtomicRewrite.deleteMatching]]):
+    * only the shard partitions holding a forgotten doc are rewritten,
+    * every other shard rides the manifest by reference — O(touched
+    * shards), never O(epoch) — and untouched shards stay byte-identical
+    * (loaders mid-epoch keep valid file sets; a fully-emptied shard
+    * vanishes from the manifest). Returns whether anything was
+    * rewritten; [[forgetMatched]] additionally returns the matched ids
+    * for per-subject audit trails. */
+  def forget(spark: SparkSession, root: String, docIds: DataFrame,
+             idCol: String = "doc_id"): Boolean = {
+    val changed = AtomicRewrite.deleteMatching(spark, Paths(root).shards,
+      docIds, idCol)
+    if (changed) refreshManifest(spark, root)
+    changed
+  }
+
+  /** [[forget]] returning the matched ids (empty = epoch untouched, no
+    * version burned) — the audit-precision shape for
+    * [[Gdpr.StoreErasure]]. */
+  def forgetMatched(spark: SparkSession, root: String, docIds: DataFrame,
+                    idCol: String = "doc_id"): Seq[Any] = {
+    val matched = AtomicRewrite.deleteMatchingKeys(spark,
+      Paths(root).shards, docIds, idCol)
+    if (matched.nonEmpty) refreshManifest(spark, root)
+    matched
+  }
+
+  /** Re-derive the manifest from the committed shard table, preserving
+    * the epoch's recorded order column. */
+  private def refreshManifest(spark: SparkSession, root: String): Unit = {
+    val p = Paths(root)
+    val prev = AtomicRewrite.read(spark, p.manifest)
+    require(prev.columns.contains("order_col"),
+      s"$root manifest predates the self-describing order_col column — " +
+        "re-publish the epoch (build) before erasing from it")
+    val orderCol = prev.select("order_col").limit(1).collect()
+      .headOption.map(_.getString(0))
+      // a manifest can only be row-less if the epoch was ALREADY fully
+      // erased; any order column yields the same empty aggregate
+      .getOrElse("doc_id")
+    AtomicRewrite.write(spark, p.manifest,
+      manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
+  }
 
   def readShard(spark: SparkSession, root: String, shardId: Int): DataFrame =
     AtomicRewrite.read(spark, Paths(root).shards)

@@ -940,6 +940,33 @@ object TextQueries {
       graft.pipeline.TrainingShards.readManifest(s, root)
     }),
 
+    // GDPR erasure through a PUBLISHED epoch (the q101 contract applied
+    // to the training-shard layer): publish the q120 shards, FORGET a
+    // deterministic subject set, then return every surviving shard row
+    // joined with the REFRESHED manifest. The hash compare proves all
+    // three erasure properties at once — erased doc_ids hold no row,
+    // survivors keep their original (pre-delete) shard assignment
+    // byte-identically, and the manifest describes exactly the committed
+    // survivors (the oracle recomputes it from the post-delete set). The
+    // forget itself is partition-aware: only shard partitions holding a
+    // forgotten doc rewrite, the rest ride the manifest by reference.
+    "q122_shards_forget" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "shardsf")
+      val corpus = docs(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (col("doc_id") + 1).as("train_pos"))
+      graft.pipeline.TrainingShards.build(s, root, corpus, ShardCount)
+      graft.pipeline.TrainingShards.forget(s, root,
+        corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      val survivors = graft.tx.AtomicRewrite.read(s,
+        graft.pipeline.TrainingShards.Paths(root).shards)
+        .select("shard_id", "doc_id", "n_tokens", "train_pos")
+      val manifest = graft.pipeline.TrainingShards.readManifest(s, root)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      survivors.join(manifest, "shard_id")
+    }),
+
     // Vocabulary-coverage curve (the tokenizer-sizing question: how many
     // vocabulary entries cover 50/90/99% of corpus tokens?): rank the
     // vocab by frequency and take, per threshold, the smallest prefix
@@ -1272,8 +1299,25 @@ object TextQueries {
          |      FROM c, t)
          |SELECT shard_id, count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         | min(train_pos) AS order_min, max(train_pos) AS order_max
+         | min(train_pos) AS order_min, max(train_pos) AS order_max,
+         | 'train_pos' AS order_col
          |FROM a GROUP BY 1""".stripMargin,
+    "q122_shards_forget" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |             doc_id + 1 AS train_pos FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY train_pos) AS cum FROM d),
+         |t AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0) AS BIGINT), 1)
+         |        AS target FROM d),
+         |a AS (SELECT doc_id, n_tokens, train_pos,
+         |        CAST(greatest(least(CAST(floor((cum - 1) / target) AS BIGINT),
+         |          ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM c, t),
+         |k AS (SELECT * FROM a WHERE doc_id % 7 <> 3),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM k GROUP BY 1)
+         |SELECT k.shard_id, doc_id, n_tokens, train_pos, shard_docs, shard_tokens
+         |FROM k JOIN m USING (shard_id)""".stripMargin,
     "q117_curriculum" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
          |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,

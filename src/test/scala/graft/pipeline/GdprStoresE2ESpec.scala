@@ -10,11 +10,11 @@ import java.sql.Timestamp
 /** The reference's core cross-layer GDPR guarantee ("propagate erasure
   * across every derived layer", gdpr/gdpr_propagate_erasure.py) applied
   * at LLM-pipeline scope: one flow erases a subject from the relational
-  * table ([[Gdpr.propagate]]) AND all three derived corpus stores —
-  * dedup fingerprints, MinHash signatures, ANN cells — via
-  * [[Gdpr.forgetStores]], leaving no derived trace anywhere, unblocking
-  * legitimate re-submission, and appending exactly one audit record per
-  * store. */
+  * table ([[Gdpr.propagate]]) AND every derived corpus artifact — dedup
+  * fingerprints, MinHash signatures, ANN cells, and the PUBLISHED
+  * training-shard epoch — via [[Gdpr.forgetStores]], leaving no derived
+  * trace anywhere, unblocking legitimate re-submission, and appending
+  * exactly one audit record per store. */
 class GdprStoresE2ESpec extends SparkSpec {
   import spark.implicits._
 
@@ -43,6 +43,12 @@ class GdprStoresE2ESpec extends SparkSpec {
     AnnIndexStore.build(spark, annRoot,
       Seq(1L, 2L, 3L).map(id => (id, v(id))).toDF("vec_id", "embedding"),
       Seq(1L, 2L, 3L).map(id => (id.toInt, v(id))).toDF("centroid_id", "cv"))
+    // a PUBLISHED training epoch carries full doc rows — it is inside
+    // the propagate-everywhere contract like any other derived layer
+    val shardsRoot = s"$root/stores/shards"
+    TrainingShards.build(spark, shardsRoot,
+      docs.select(col("doc_id"), lit(10L).as("n_tokens"),
+        col("doc_id").as("train_pos"), col("text")), nShards = 2)
 
     // subject: doc 2. The dedup store keys on the CONTENT fingerprint, so
     // its erasure input derives from the subject's text — read BEFORE the
@@ -70,9 +76,12 @@ class GdprStoresE2ESpec extends SparkSpec {
             ids.select(col("subject_id").as("doc_id")))),
         Gdpr.StoreErasure("ann_index", Seq("embedding", "qv8"),
           ids => AnnIndexStore.forgetMatched(spark, annRoot,
-            ids.select(col("subject_id").as("vec_id"))))),
+            ids.select(col("subject_id").as("vec_id")))),
+        Gdpr.StoreErasure("training_shards", Seq("text", "n_tokens"),
+          ids => TrainingShards.forgetMatched(spark, shardsRoot,
+            ids.select(col("subject_id").as("doc_id"))))),
       audit, "salt", now)
-    assert(storeAudit.count() == 3)
+    assert(storeAudit.count() == 4)
     Gdpr.propagate(spark, Seq(2L).toDF("id"), "document",
       Seq(Gdpr.Policy("silver_docs", "doc_id", Map(
         "text" -> (_ => lit("[ERASED]")),
@@ -97,6 +106,12 @@ class GdprStoresE2ESpec extends SparkSpec {
       Seq((999L, v(2L))).toDF("query_id", "qv"), k = 1)
       .filter(col("neighbor_id") === 2L).isEmpty,
       "the subject's vector must be unretrievable")
+    assert(AtomicRewrite.read(spark, TrainingShards.Paths(shardsRoot).shards)
+      .filter(col("doc_id") === 2L).isEmpty,
+      "the published epoch still holds the subject's document")
+    assert(TrainingShards.readManifest(spark, shardsRoot)
+      .agg(sum("n_docs")).head().getLong(0) == 2L,
+      "the epoch manifest must describe only the committed survivors")
 
     // -- the ghost is gone: the same content re-submits cleanly --
     val resubmit = Seq((42L, "bob commutes on the central line with a monthly pass"))
@@ -107,11 +122,12 @@ class GdprStoresE2ESpec extends SparkSpec {
 
     // -- audit: the table row from propagate + exactly one row per store --
     val a = Gdpr.readAudit(spark, audit)
-    assert(a.count() == 4, s"expected 4 audit rows, got ${a.count()}")
+    assert(a.count() == 5, s"expected 5 audit rows, got ${a.count()}")
     val perTable = a.groupBy("table_name").count()
       .as[(String, Long)].collect().toMap
     assert(perTable == Map("silver_docs" -> 1L, "dedup_store" -> 1L,
-      "neardup_store" -> 1L, "ann_index" -> 1L), s"got $perTable")
+      "neardup_store" -> 1L, "ann_index" -> 1L, "training_shards" -> 1L),
+      s"got $perTable")
     // one subject, one salted fingerprint — and never the raw id
     assert(a.select("subject_fingerprint").distinct().count() == 1)
     assert(a.select("subject_fingerprint").as[String].collect()
@@ -130,7 +146,7 @@ class GdprStoresE2ESpec extends SparkSpec {
             ids.select(col("subject_id").as("vec_id"))))),
       audit, "salt", now)
     assert(miss.isEmpty, "an untouched store must not claim an audit row")
-    assert(Gdpr.readAudit(spark, audit).count() == 4,
+    assert(Gdpr.readAudit(spark, audit).count() == 5,
       "the no-op erasure must append nothing")
     spark.catalog.clearCache()
   }

@@ -90,6 +90,73 @@ class TrainingShardsSpec extends SparkSpec {
     assert(data.filter(col("doc_id") === 1L).head().getAs[Int]("shard_id") == 0)
   }
 
+  test("forget: erased docs gone, survivors byte-identical, manifest refreshed, bystanders untouched") {
+    import spark.implicits._
+    import graft.tx.AtomicRewrite
+    val root = Files.createTempDirectory("graft-shards-f").toString
+    val p = TrainingShards.Paths(root)
+    TrainingShards.build(spark, root, corpus, nShards = 5)
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards).get
+    val mv0 = AtomicRewrite.currentVersion(spark, p.manifest).get
+    val before = AtomicRewrite.read(spark, p.shards)
+      .select("doc_id", "shard_id").as[(Long, Int)].collect().toSet
+
+    // a forget nobody matches burns no version on either table
+    assert(!TrainingShards.forget(spark, root, Seq(99999L).toDF("doc_id")))
+    assert(AtomicRewrite.currentVersion(spark, p.shards).contains(v0))
+    assert(AtomicRewrite.currentVersion(spark, p.manifest).contains(mv0))
+
+    // subject set: three docs, all inside shard 0
+    val subjects = AtomicRewrite.read(spark, p.shards)
+      .filter(col("shard_id") === 0).select("doc_id")
+      .as[Long].collect().sorted.take(3).toSeq
+    def files(shard: Int) =
+      new java.io.File(s"${p.shards}/v=$v0/shard_id=$shard").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val bystanders = (1 to 4).map(files)
+
+    val matched = TrainingShards.forgetMatched(spark, root,
+      subjects.toDF("doc_id"))
+    assert(matched.map(_.asInstanceOf[Long]).toSet == subjects.toSet,
+      "forgetMatched must return exactly the held subject ids")
+    val v1 = AtomicRewrite.currentVersion(spark, p.shards).get
+    assert(v1 == v0 + 1, "one forget = one shard-table commit")
+    // only the touched shard partition was staged in the new version
+    val staged = new java.io.File(s"${p.shards}/v=$v1").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).toSet
+    assert(staged == Set("shard_id=0"), s"staged $staged")
+    assert((1 to 4).map(files) == bystanders,
+      "untouched shards' files were rewritten")
+
+    // erased rows gone; every survivor keeps its original assignment
+    val after = AtomicRewrite.read(spark, p.shards)
+    assert(after.join(subjects.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .isEmpty, "no shard row of a forgotten doc may survive")
+    assert(after.select("doc_id", "shard_id").as[(Long, Int)].collect().toSet
+      == before.filterNot { case (id, _) => subjects.contains(id) },
+      "survivor assignments must be byte-identical")
+
+    // manifest refreshed from the COMMITTED survivors, order col intact
+    val m = TrainingShards.readManifest(spark, root)
+    assert(m.agg(sum("n_docs")).head().getLong(0) == 197L)
+    assert(m.select("order_col").distinct().as[String].collect().toSeq
+      == Seq("train_pos"))
+    val re = after.groupBy("shard_id").agg(count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"), min("train_pos").as("order_min"),
+      max("train_pos").as("order_max"))
+    assert(re.join(m, Seq("shard_id", "n_docs", "n_tokens",
+      "order_min", "order_max")).count() == 5)
+
+    // erasing EVERYTHING a shard holds removes it from the manifest too
+    val shard4 = after.filter(col("shard_id") === 4).select("doc_id")
+    assert(TrainingShards.forget(spark, root, shard4))
+    val m2 = TrainingShards.readManifest(spark, root)
+    assert(m2.select("shard_id").as[Int].collect().toSet == Set(0, 1, 2, 3),
+      "a fully-erased shard must vanish from the manifest")
+    spark.catalog.clearCache()
+  }
+
   test("hash mode: every doc lands exactly once, spread over the shards") {
     val root = Files.createTempDirectory("graft-shards-h").toString
     TrainingShards.buildHashed(spark, root, corpus, nShards = 4)
