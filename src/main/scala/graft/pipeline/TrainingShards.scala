@@ -58,6 +58,25 @@ object TrainingShards {
             nShards: Int, orderCol: String = "train_pos"): Unit = {
     require(nShards > 0, s"shard count must be positive, got $nShards")
     val p = Paths(root)
+    val (assigned, cached) = rangeAssign(corpus, nShards, orderCol)
+    AtomicRewrite.write(spark, p.shards, assigned,
+      partitionBy = Seq("shard_id"))
+    cached.unpersist()
+    // the manifest derives from the COMMITTED shard table, not the
+    // in-flight frame: nothing corpus-sized is ever pinned in cache, and
+    // the manifest can only ever describe bytes that actually landed
+    AtomicRewrite.write(spark, p.manifest,
+      manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
+  }
+
+  /** The range-mode assignment frame — exposed package-private so
+    * PlanAssertionsSpec can pin its physical shape (the only
+    * unpartitioned window must be [[graft.ops.PrefixSum]]'s
+    * O(partitions) offset frame, never a corpus-sized global cumsum).
+    * Returns (assigned, cached); the caller unpersists `cached` after
+    * materializing whatever it derives from `assigned`. */
+  private[graft] def rangeAssign(corpus: DataFrame, nShards: Int,
+                                 orderCol: String): (DataFrame, DataFrame) = {
     val (cum, cached) = graft.ops.PrefixSum.runningTotal(corpus,
       Seq(col(orderCol)), col("n_tokens"), "__cum")
     // O(1) scalars from the cached narrow frame: total tokens → the
@@ -74,14 +93,7 @@ object TrainingShards {
         greatest(least(floor((col("__cum") - 1) / col("__target")),
           lit(nShards - 1L)), lit(0L)).cast("int"))
       .drop("__cum", "__target")
-    AtomicRewrite.write(spark, p.shards, assigned,
-      partitionBy = Seq("shard_id"))
-    cached.unpersist()
-    // the manifest derives from the COMMITTED shard table, not the
-    // in-flight frame: nothing corpus-sized is ever pinned in cache, and
-    // the manifest can only ever describe bytes that actually landed
-    AtomicRewrite.write(spark, p.manifest,
-      manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
+    (assigned, cached)
   }
 
   /** Order-free balanced sharding by salted hash of `idCol` (`corpus`

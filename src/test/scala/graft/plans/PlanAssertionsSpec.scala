@@ -142,6 +142,46 @@ class PlanAssertionsSpec extends SparkSpec {
       s"a corpus-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
   }
 
+  test("q120 path: the shard-assignment cumsum is a distributed prefix sum, not one global window") {
+    // the epoch publish shares q115's scale contract: corpus rows cumsum
+    // inside range partitions keyed by partition id, and ONLY the
+    // O(partitions) offset frame may pass through an unpartitioned
+    // window — a regression to Window.orderBy(train_pos) would still
+    // produce correct shards (the q120 oracle can't see it) while
+    // serializing the corpus through one task
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 37 + 1).as("n_tokens"), (col("id") + 1).as("train_pos"))
+    val (assigned, cached) =
+      graft.pipeline.TrainingShards.rangeAssign(corpus, 8, "train_pos")
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    cached.unpersist()
+    assert(p.contains("rangepartitioning"),
+      s"corpus must be range-repartitioned on the order key:\n${p.take(2000)}")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(_.contains("__ps_pid")),
+      s"the corpus cumsum window must be keyed by partition id:\n${windows.mkString("\n")}")
+    val unkeyed = windows.filterNot(_.contains("__ps_pid"))
+    assert(unkeyed.forall(_.contains("__ps_t")),
+      s"a corpus-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
+  }
+
+  test("q121: coverage cumsum and rank share partition-id windows; only the offset frame is unpartitioned") {
+    // the vocab-sizing curve runs BOTH running totals (coverage mass and
+    // rank) through one PrefixSum pass — the pin rejects a regression
+    // where either re-plans as a vocab-sized single-partition window
+    val p = planOf("q121_vocab_coverage")
+    assert(p.contains("rangepartitioning"),
+      s"vocab must be range-repartitioned on the frequency order:\n${p.take(2000)}")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(_.contains("__ps_pid")),
+      s"the coverage cumsum window must be keyed by partition id:\n${windows.mkString("\n")}")
+    val unkeyed = windows.filterNot(_.contains("__ps_pid"))
+    assert(unkeyed.forall(_.contains("__ps_t")),
+      s"a vocab-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
+  }
+
   test("q118: batch shaping plans with zero window operators") {
     // the batching cut's scale claim is that it is PURE keyed
     // aggregation — hash sharding within length buckets instead of any
