@@ -44,20 +44,26 @@ object VectorQueries {
   private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame =
     QueryUtil.materializeAndRelease(out, inputs: _*)
 
-  /** Trained fixed-K centroid set shared by the whole cell family
+  /** Trained K=⌈√N⌉ centroid set shared by the whole inline cell family
     * ([[graft.pipeline.AnnIndexStore.trainCentroids]]: deterministic
     * salted-hash seed, [[TrainIters]] Lloyd rounds, exact-decimal
-    * means). K is CONSTANT as the corpus grows, so every [[assign]] is
-    * N·K cosines — linear in N. The corpus-derived every-50th subset
-    * this replaces made K = N/50 and the same assignment N²/50: a
-    * designed quadratic that would dominate at 100×. Training cost is
-    * 2 extra linear passes, paid once per query and amortized to zero
-    * through the persisted store in production ([[q83]]/[[q94]]). */
-  private def centroids(e: DataFrame): DataFrame =
+    * means) — the [[graft.tools.AnnScaleProbe]]-pinned production
+    * policy. √N balances BOTH costs a cell family pays: assignment is
+    * N·K = N^1.5 cosines and the within-cell pair blocks total
+    * ~N²/K = N^1.5 — no parameter choice leaves a designed quadratic.
+    * (The corpus-derived every-50th subset this replaces made
+    * assignment N²/50; a FIXED K would flip the quadratic onto the
+    * pair side instead.) Training is paid once per query and amortized
+    * to zero through the persisted store in production, where K is the
+    * caller's policy knob ([[q83]]/[[q94]] pin the fixed-[[TrainK]]
+    * store shape). */
+  private def centroids(e: DataFrame): DataFrame = {
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
     broadcast(graft.pipeline.AnnIndexStore.trainCentroids(
-      e.select(col("vec_id"), col("embedding")), k = TrainK, iters = TrainIters))
+      e.select(col("vec_id"), col("embedding")), k, TrainIters))
+  }
 
-  /** Fixed centroid count of the cell family (the q94 store value). */
+  /** Fixed centroid count of the persisted-store queries (q83/q94/q101). */
   val TrainK = 16
 
   /** Lloyd rounds of the cell family's centroid training. */
@@ -433,23 +439,31 @@ object VectorQueries {
        |       FROM c$p c LEFT JOIN m$i USING (centroid_id))""".stripMargin
   }
 
-  /** The shared trained fixed-K centroid chain (the exact
+  /** The shared trained-centroid chain (the exact
     * [[graft.pipeline.AnnIndexStore.trainCentroids]] replay: salted-hash
-    * seed of [[TrainK]], [[TrainIters]] Lloyd rounds) ending in a `cents`
-    * CTE — every cell-family oracle pins its centroid set on this, the
-    * same set the Spark side trains, so no oracle anywhere reproduces
-    * the corpus-derived (quadratic) every-50th shape. Claims CTE names
-    * h, seed, c0..c$TrainIters and the per-round a/x/s/m prefixes. */
-  private val TrainedCentsSql: String =
+    * seed of `limitSql` vectors, [[TrainIters]] Lloyd rounds) ending in
+    * a `cents` CTE — every cell-family oracle pins its centroid set on
+    * this, the same set the Spark side trains, so no oracle anywhere
+    * reproduces the corpus-derived (quadratic) every-50th shape. Claims
+    * CTE names h, seed, c0..c$TrainIters and the per-round a/x/s/m
+    * prefixes. */
+  private def trainedCentsSql(limitSql: String): String =
     s"""h AS (SELECT vec_id, embedding,
        |       sha256('centroid|' || CAST(vec_id AS VARCHAR)) AS hh
        |     FROM embeddings),
-       |seed AS (SELECT vec_id, embedding, hh FROM h ORDER BY hh, vec_id LIMIT $TrainK),
+       |seed AS (SELECT vec_id, embedding, hh FROM h ORDER BY hh, vec_id LIMIT $limitSql),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT)
        |         AS centroid_id, embedding AS cv
        |       FROM seed),
        |${(1 to TrainIters).map(lloydRoundSql).mkString(",\n")},
        |cents AS (SELECT centroid_id, cv FROM c$TrainIters)""".stripMargin
+
+  /** Inline cell family: K = ⌈√N⌉ (the centroids() policy). */
+  private val TrainedCentsSql: String = trainedCentsSql(
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)")
+
+  /** Persisted-store queries: the fixed-[[TrainK]] build. */
+  private val FixedCentsSql: String = trainedCentsSql(TrainK.toString)
 
   val oracles: Map[String, String] = Map(
     "q109_hard_negatives" ->
@@ -571,7 +585,7 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin
     },
     "q83_ann_index_store" ->
-      s"""WITH $TrainedCentsSql,
+      s"""WITH $FixedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -591,7 +605,7 @@ object VectorQueries {
     // probes still assign against the (untouched) centroid set — so a
     // forgotten vector can still ASK, but can never be RETRIEVED.
     "q101_ann_forget" ->
-      s"""WITH $TrainedCentsSql,
+      s"""WITH $FixedCentsSql,
          |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |            ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
@@ -608,7 +622,7 @@ object VectorQueries {
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
     "q94_ann_trained_store" ->
-      s"""WITH $TrainedCentsSql,
+      s"""WITH $FixedCentsSql,
          |af AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
