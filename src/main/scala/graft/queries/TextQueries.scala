@@ -967,6 +967,48 @@ object TextQueries {
       survivors.join(manifest, "shard_id")
     }),
 
+    // The persisted BM25 index end-to-end (the retrieval twin of q83's
+    // ANN store): build the bucket-partitioned inverted index, then
+    // answer an ARBITRARY query batch THROUGH the store — each query's
+    // terms read only their token-hash bucket partitions, df comes from
+    // the postings read, N/avgdl from the narrow docstats table, and the
+    // per-(query, doc) sum runs through exact decimals (the q108
+    // convention) into the TopKPerKey heap. The oracle replays the full
+    // build→score pipeline in SQL, so the store's write→read round-trip,
+    // the denormalized dl, and the bucket pruning are all under the hash
+    // compare. Queries: every 50th doc asks its 4 lexicographically
+    // first distinct tokens.
+    "q123_bm25_store" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "bm25")
+      val d = docs(s, dir)
+      graft.pipeline.IndexStore.build(s, root, d)
+      val q = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(array_sort(array_distinct(toks)), 1, 4).as("terms"))
+      graft.pipeline.IndexStore.query(s, root, q, k = 5)
+    }),
+
+    // GDPR erasure through the persisted BM25 index (the q101/q122
+    // contract on the retrieval layer): build, FORGET a deterministic
+    // subject set, then run the q123 query batch — erased docs must be
+    // unretrievable AND every surviving score must reflect the
+    // post-erasure corpus statistics (N, avgdl and df all shift, because
+    // scoring derives them from the committed tables; the oracle
+    // recomputes everything over the surviving docs only). The forget
+    // itself touches at most PostingBuckets partitions — the forgotten
+    // docs' distinct token buckets — never the whole index.
+    "q124_bm25_forget" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "bm25f")
+      val d = docs(s, dir)
+      graft.pipeline.IndexStore.build(s, root, d)
+      graft.pipeline.IndexStore.forget(s, root,
+        d.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      val q = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(array_sort(array_distinct(toks)), 1, 4).as("terms"))
+      graft.pipeline.IndexStore.query(s, root, q, k = 5)
+    }),
+
     // Vocabulary-coverage curve (the tokenizer-sizing question: how many
     // vocabulary entries cover 50/90/99% of corpus tokens?): rank the
     // vocab by frequency and take, per threshold, the smallest prefix
@@ -1093,6 +1135,43 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.doc),
        |cc AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY 1)""".stripMargin
+
+  /** Shared q123/q124 oracle: full build→score replay of the persisted
+    * BM25 index over the docs satisfying `kept` (q124 erases
+    * doc_id % 7 = 3; the query batch always derives from the FULL
+    * corpus — an erased subject can still ASK, never be retrieved).
+    * Mirrors [[graft.pipeline.IndexStore.query]] exactly: df over the
+    * surviving postings, N/avgdl over surviving docs, bit-identical
+    * per-term doubles summed through DECIMAL(38,6), round 6, rank ties
+    * on doc_id. */
+  private def bm25StoreOracle(kept: String): String = {
+    val k1 = graft.pipeline.IndexStore.K1
+    val b = graft.pipeline.IndexStore.B
+    s"""WITH t0 AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |t AS (SELECT * FROM t0 WHERE $kept),
+       |q AS (SELECT doc_id AS query_id,
+       |        unnest(list_sort(list_distinct(toks))[1:4]) AS token
+       |      FROM t0 WHERE doc_id % 50 = 0),
+       |post AS (SELECT token, doc_id, CAST(count(*) AS DOUBLE) AS tf
+       |         FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+       |         GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+       |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+       |c AS (SELECT q.query_id, p.doc_id,
+       |        CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * ($k1 + 1.0)) /
+       |          (tf + $k1 * (1.0 - $b + $b * dl.dl / avgdl))
+       |          AS DECIMAL(38,6)) AS contrib
+       |      FROM q JOIN post p USING (token) JOIN dfq USING (token)
+       |           JOIN dl ON p.doc_id = dl.doc_id, s),
+       |g AS (SELECT query_id, doc_id,
+       |        round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+       |      FROM c GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM g)
+       |SELECT query_id, doc_id, bm25, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q103_span_dedup" ->
@@ -1302,6 +1381,8 @@ object TextQueries {
          | min(train_pos) AS order_min, max(train_pos) AS order_max,
          | 'train_pos' AS order_col
          |FROM a GROUP BY 1""".stripMargin,
+    "q123_bm25_store" -> bm25StoreOracle(kept = "TRUE"),
+    "q124_bm25_forget" -> bm25StoreOracle(kept = "doc_id % 7 <> 3"),
     "q122_shards_forget" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
          |             doc_id + 1 AS train_pos FROM documents),

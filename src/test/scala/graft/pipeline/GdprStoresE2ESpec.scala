@@ -11,8 +11,8 @@ import java.sql.Timestamp
   * across every derived layer", gdpr/gdpr_propagate_erasure.py) applied
   * at LLM-pipeline scope: one flow erases a subject from the relational
   * table ([[Gdpr.propagate]]) AND every derived corpus artifact — dedup
-  * fingerprints, MinHash signatures, ANN cells, and the PUBLISHED
-  * training-shard epoch — via [[Gdpr.forgetStores]], leaving no derived
+  * fingerprints, MinHash signatures, ANN cells, BM25 postings, and the
+  * PUBLISHED training-shard epoch — via [[Gdpr.forgetStores]], leaving no derived
   * trace anywhere, unblocking legitimate re-submission, and appending
   * exactly one audit record per store. */
 class GdprStoresE2ESpec extends SparkSpec {
@@ -49,6 +49,9 @@ class GdprStoresE2ESpec extends SparkSpec {
     TrainingShards.build(spark, shardsRoot,
       docs.select(col("doc_id"), lit(10L).as("n_tokens"),
         col("doc_id").as("train_pos"), col("text")), nShards = 2)
+    // the serving-side retrieval index is derived state too
+    val idxRoot = s"$root/stores/bm25"
+    IndexStore.build(spark, idxRoot, docs)
 
     // subject: doc 2. The dedup store keys on the CONTENT fingerprint, so
     // its erasure input derives from the subject's text — read BEFORE the
@@ -79,9 +82,12 @@ class GdprStoresE2ESpec extends SparkSpec {
             ids.select(col("subject_id").as("vec_id")))),
         Gdpr.StoreErasure("training_shards", Seq("text", "n_tokens"),
           ids => TrainingShards.forgetMatched(spark, shardsRoot,
+            ids.select(col("subject_id").as("doc_id")))),
+        Gdpr.StoreErasure("bm25_index", Seq("postings", "dl"),
+          ids => IndexStore.forgetMatched(spark, idxRoot,
             ids.select(col("subject_id").as("doc_id"))))),
       audit, "salt", now)
-    assert(storeAudit.count() == 4)
+    assert(storeAudit.count() == 5)
     Gdpr.propagate(spark, Seq(2L).toDF("id"), "document",
       Seq(Gdpr.Policy("silver_docs", "doc_id", Map(
         "text" -> (_ => lit("[ERASED]")),
@@ -112,6 +118,13 @@ class GdprStoresE2ESpec extends SparkSpec {
     assert(TrainingShards.readManifest(spark, shardsRoot)
       .agg(sum("n_docs")).head().getLong(0) == 2L,
       "the epoch manifest must describe only the committed survivors")
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(idxRoot).postings)
+      .filter(col("doc_id") === 2L).isEmpty,
+      "the retrieval index still holds the subject's postings")
+    assert(IndexStore.query(spark, idxRoot,
+      Seq((999L, Seq("bob", "central", "monthly"))).toDF("query_id", "terms"))
+      .filter(col("doc_id") === 2L).isEmpty,
+      "the subject's document must be unretrievable by content terms")
 
     // -- the ghost is gone: the same content re-submits cleanly --
     val resubmit = Seq((42L, "bob commutes on the central line with a monthly pass"))
@@ -122,12 +135,12 @@ class GdprStoresE2ESpec extends SparkSpec {
 
     // -- audit: the table row from propagate + exactly one row per store --
     val a = Gdpr.readAudit(spark, audit)
-    assert(a.count() == 5, s"expected 5 audit rows, got ${a.count()}")
+    assert(a.count() == 6, s"expected 6 audit rows, got ${a.count()}")
     val perTable = a.groupBy("table_name").count()
       .as[(String, Long)].collect().toMap
     assert(perTable == Map("silver_docs" -> 1L, "dedup_store" -> 1L,
-      "neardup_store" -> 1L, "ann_index" -> 1L, "training_shards" -> 1L),
-      s"got $perTable")
+      "neardup_store" -> 1L, "ann_index" -> 1L, "training_shards" -> 1L,
+      "bm25_index" -> 1L), s"got $perTable")
     // one subject, one salted fingerprint — and never the raw id
     assert(a.select("subject_fingerprint").distinct().count() == 1)
     assert(a.select("subject_fingerprint").as[String].collect()
@@ -146,7 +159,7 @@ class GdprStoresE2ESpec extends SparkSpec {
             ids.select(col("subject_id").as("vec_id"))))),
       audit, "salt", now)
     assert(miss.isEmpty, "an untouched store must not claim an audit row")
-    assert(Gdpr.readAudit(spark, audit).count() == 5,
+    assert(Gdpr.readAudit(spark, audit).count() == 6,
       "the no-op erasure must append nothing")
     spark.catalog.clearCache()
   }

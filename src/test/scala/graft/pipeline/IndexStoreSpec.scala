@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contract of the persisted BM25 index: build→query parity with the
+  * formula, append REPLACEMENT semantics (a changed doc's stale
+  * postings never ghost-match), partition-aware erasure with shifted
+  * statistics, and bounded bucket layout.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus: DataFrame = Seq(
+    (1L, "red line trains run fast every morning"),
+    (2L, "blue line trams crawl slow every evening"),
+    (3L, "red buses and red trams share the red depot"),
+    (4L, "ferries cross the harbour twice daily"))
+    .toDF("doc_id", "text")
+
+  private def q(terms: String*): DataFrame =
+    Seq((100L, terms)).toDF("query_id", "terms")
+
+  test("build -> query: hits carry exact BM25 scores, ranked desc with doc_id ties") {
+    val root = Files.createTempDirectory("graft-idx").toString + "/idx"
+    IndexStore.build(spark, root, corpus)
+    val hits = IndexStore.query(spark, root, q("red"), k = 5).collect()
+    // 'red' appears in docs 1 and 3 (tf 1 and 3); doc 3 has higher tf
+    // but also longer dl — verify against the hand formula
+    assert(hits.map(_.getLong(1)).toSet == Set(1L, 3L))
+    val byDoc = hits.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    def bm25(tf: Double, dl: Double, df: Double, n: Double, avgdl: Double) =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (IndexStore.K1 + 1.0)) /
+        (tf + IndexStore.K1 * (1.0 - IndexStore.B + IndexStore.B * dl / avgdl))
+    val avgdl = (7.0 + 7.0 + 9.0 + 6.0) / 4
+    assert(math.abs(byDoc(1L) - BigDecimal(bm25(1, 7, 2, 4, avgdl))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(byDoc(3L) - BigDecimal(bm25(3, 9, 2, 4, avgdl))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // ranks dense from 1 in score order
+    assert(hits.sortBy(_.getInt(3)).map(_.getInt(3)).toSeq == Seq(1, 2))
+    spark.catalog.clearCache()
+  }
+
+  test("append replaces a re-submitted doc: stale postings never ghost-match") {
+    val root = Files.createTempDirectory("graft-idx-a").toString + "/idx"
+    IndexStore.build(spark, root, corpus)
+    assert(IndexStore.query(spark, root, q("harbour"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    // doc 4 re-submitted with entirely different content: its old
+    // tokens live in buckets the new tokens may never touch
+    IndexStore.append(spark, root,
+      Seq((4L, "night owl coaches replace the ferries")).toDF("doc_id", "text"))
+    assert(IndexStore.query(spark, root, q("harbour"), k = 5).isEmpty,
+      "a replaced doc's stale posting still matches")
+    assert(IndexStore.query(spark, root, q("coaches"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    // docstats replaced too, not duplicated
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(root).docstats)
+      .filter(col("doc_id") === 4L).count() == 1)
+    spark.catalog.clearCache()
+  }
+
+  test("forget: erased docs unretrievable, statistics shift, bystander buckets untouched") {
+    val root = Files.createTempDirectory("graft-idx-f").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    val v0 = AtomicRewrite.currentVersion(spark, p.postings).get
+
+    // no-op forget burns no version
+    assert(!IndexStore.forget(spark, root, Seq(999L).toDF("doc_id")))
+    assert(AtomicRewrite.currentVersion(spark, p.postings).contains(v0))
+
+    val before = IndexStore.query(spark, root, q("red"), k = 5)
+      .filter(col("doc_id") === 3L).select("bm25").as[Double].head()
+    // bystander bucket files must survive by reference
+    val doc4Buckets = AtomicRewrite.read(spark, p.postings)
+      .filter(col("doc_id") === 4L).select("bucket").as[Int].collect().toSet
+    val doc1Buckets = AtomicRewrite.read(spark, p.postings)
+      .filter(col("doc_id") === 1L).select("bucket").as[Int].collect().toSet
+    val bystander = (doc4Buckets -- doc1Buckets).headOption
+    def files(b: Int) =
+      new java.io.File(s"${p.postings}/v=$v0/bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val snap = bystander.map(files)
+
+    val matched = IndexStore.forgetMatched(spark, root, Seq(1L).toDF("doc_id"))
+    assert(matched.map(_.asInstanceOf[Long]).toSet == Set(1L))
+    bystander.foreach(b => assert(files(b) == snap.get,
+      s"bucket $b held no forgotten posting but was rewritten"))
+
+    val after = IndexStore.query(spark, root, q("red"), k = 5)
+    assert(after.filter(col("doc_id") === 1L).isEmpty,
+      "an erased doc must be unretrievable")
+    // N, avgdl and df all changed -> the surviving score must shift
+    val shifted = after.filter(col("doc_id") === 3L)
+      .select("bm25").as[Double].head()
+    assert(shifted != before,
+      "surviving scores must reflect the post-erasure statistics")
+    spark.catalog.clearCache()
+  }
+
+  test("layout: postings land in at most PostingBuckets hive partitions") {
+    val root = Files.createTempDirectory("graft-idx-b").toString + "/idx"
+    IndexStore.build(spark, root, corpus)
+    val buckets = AtomicRewrite.read(spark, IndexStore.Paths(root).postings)
+      .select("bucket").distinct().as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < IndexStore.PostingBuckets))
+    spark.catalog.clearCache()
+  }
+}
