@@ -113,6 +113,22 @@ class PlanAssertionsSpec extends SparkSpec {
       s"cell scans must prune on centroid_id:\n${cellScans.mkString("\n")}")
   }
 
+  test("q123: BM25 postings scans prune to the query terms' hash buckets") {
+    // the retrieval store's 100 TB contract: a query batch reads ONLY
+    // the bucket partitions its terms hash into, with the term filter
+    // pushed into the scan — an unpruned postings scan would read the
+    // whole index per query batch
+    val p = planOf("q123_bm25_store")
+    val postScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings/")).toSeq
+    assert(postScans.nonEmpty, s"no postings scan found:\n${p.take(3000)}")
+    assert(postScans.forall(l => l.contains("PartitionFilters: [") &&
+      !l.replaceAll("\\s", "").contains("PartitionFilters:[]")),
+      s"a postings scan reads ALL buckets — term pruning lost:\n${postScans.mkString("\n")}")
+    assert(postScans.forall(_.contains("token#")),
+      s"the term filter must reach the postings scan:\n${postScans.mkString("\n")}")
+  }
+
   test("q111: the DSIR top-K cut plans as TakeOrderedAndProject, not a global sort") {
     // the selection over a 100 TB pool must be per-partition top-K +
     // driver merge of K·P rows — a global Sort before the limit would
