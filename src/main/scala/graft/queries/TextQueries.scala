@@ -664,6 +664,34 @@ object TextQueries {
       materializeAndRelease(out, cur)
     }),
 
+    // Tokenizer-fertility report by source, THROUGH the persisted
+    // TokenizerStore (the question a tokenizer owner actually asks
+    // before committing a vocab: how many subword tokens per word does
+    // each domain pay?): train once on the corpus snapshot, encode via
+    // the store's single codegen projection, roll up per source. The
+    // oracle replays train+encode in pure SQL (the q110 chain), so the
+    // store's merge-table round-trip and the encode projection are both
+    // under the hash compare — q110 proves per-doc parity, this proves
+    // the train-once/apply-everywhere artifact path end-to-end.
+    "q125_fertility_by_source" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "tokstore")
+      val d = docs(s, dir)
+      graft.pipeline.TokenizerStore.train(s, root, d, rounds = BpeRounds)
+      val enc = graft.pipeline.TokenizerStore.encode(s, root, d)
+        .select(col("doc_id"), col("n_tokens").as("n_encoded"))
+      d.select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_words"),
+          size(TextOps.subwordTokens(col("text"))).cast("long").as("n_subwords"))
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_subwords").as("n_subwords"),
+          sum("n_encoded").as("n_encoded"),
+          round(sum("n_encoded") / sum("n_words"), 6).as("fertility"),
+          round(sum("n_encoded") / sum("n_subwords"), 6).as("compression"))
+    }),
+
     // DSIR-style data selection (importance resampling against a target
     // domain, Xie et al. 2023): score every doc by the average unigram
     // log-likelihood ratio between a small target corpus (source =
@@ -1114,6 +1142,35 @@ object TextQueries {
     s"(CAST(floor((position(substr(sha256(t), $d, 1) IN '0123456789abcdef') - 1) / $p) AS INT) % 2)"
   }
 
+  /** Shared BPE-training CTE chain (the q110 trainer replay, reused by
+    * q125's store-backed fertility rollup): d0 is the double-space-
+    * encoded corpus; each round is one CTE triple (tokens → argmax pair
+    * → merged corpus), generated from the same [[BpeRounds]] constant
+    * the Spark loop and [[graft.pipeline.TokenizerStore.train]] use.
+    * Ends at `d$BpeRounds(doc_id, s, n0)`. */
+  private lazy val BpeChainSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"d${r - 1}"
+      s"""t$r AS (SELECT doc_id, string_split(trim(s), '  ') AS t FROM $prev),
+         |p$r AS (SELECT pair, count(*) AS freq FROM
+         |       (SELECT unnest(list_transform(range(1, greatest(len(t)-1,1)+1),
+         |         i -> array_to_string(t[i:i+1], ' '))) AS pair FROM t$r)
+         |       WHERE contains(pair, ' ') GROUP BY 1),
+         |m$r AS (SELECT pair FROM
+         |       (SELECT pair, freq FROM p$r UNION ALL SELECT '', -1)
+         |       ORDER BY freq DESC, pair LIMIT 1),
+         |d$r AS (SELECT doc_id,
+         |  replace(s, ' ' || replace(m$r.pair, ' ', '  ') || ' ',
+         |             ' ' || replace(m$r.pair, ' ', '') || ' ') AS s, n0
+         |  FROM $prev, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""d0 AS (SELECT doc_id,
+       |  ' ' || array_to_string($SubwordsSql, '  ') || ' ' AS s,
+       |  len($SubwordsSql) AS n0
+       |  FROM documents),
+       |$rounds""".stripMargin
+  }
+
   /** Shared CTE chain: trigram-Jaccard pair graph → recursive-walk
     * connected components (`cc(doc_id, cluster_id)`) — the oracle twin of
     * the q48 delta iteration, reused by q71's canonical selection. */
@@ -1235,34 +1292,26 @@ object TextQueries {
          |      AND list_contains(skb, h))) / CAST(len(u) AS DOUBLE), 6)
          |    AS kmv_jaccard
          |FROM j""".stripMargin,
-    "q110_bpe_encode" -> {
-      // one CTE triple (tokens -> argmax pair -> merged corpus) per round,
-      // generated from the same BpeRounds constant the Spark loop uses
-      val rounds = (1 to BpeRounds).map { r =>
-        val prev = s"d${r - 1}"
-        s"""t$r AS (SELECT doc_id, string_split(trim(s), '  ') AS t FROM $prev),
-           |p$r AS (SELECT pair, count(*) AS freq FROM
-           |       (SELECT unnest(list_transform(range(1, greatest(len(t)-1,1)+1),
-           |         i -> array_to_string(t[i:i+1], ' '))) AS pair FROM t$r)
-           |       WHERE contains(pair, ' ') GROUP BY 1),
-           |m$r AS (SELECT pair FROM
-           |       (SELECT pair, freq FROM p$r UNION ALL SELECT '', -1)
-           |       ORDER BY freq DESC, pair LIMIT 1),
-           |d$r AS (SELECT doc_id,
-           |  replace(s, ' ' || replace(m$r.pair, ' ', '  ') || ' ',
-           |             ' ' || replace(m$r.pair, ' ', '') || ' ') AS s, n0
-           |  FROM $prev, m$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH d0 AS (SELECT doc_id,
-         |  ' ' || array_to_string($SubwordsSql, '  ') || ' ' AS s,
-         |  len($SubwordsSql) AS n0
-         |  FROM documents),
-         |$rounds
+    "q110_bpe_encode" ->
+      s"""WITH $BpeChainSql
          |SELECT doc_id, CAST(n0 AS BIGINT) AS n_subwords,
          |  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_encoded,
          |  round(len(string_split(trim(s), '  ')) / n0, 6) AS compression
-         |FROM d$BpeRounds""".stripMargin
-    },
+         |FROM d$BpeRounds""".stripMargin,
+    "q125_fertility_by_source" ->
+      s"""WITH $BpeChainSql,
+         |e AS (SELECT doc_id, CAST(n0 AS BIGINT) AS n_subwords,
+         |        CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_encoded
+         |      FROM d$BpeRounds),
+         |w AS (SELECT doc_id, source,
+         |        CAST(len($ToksSql) AS BIGINT) AS n_words FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+         |  CAST(sum(n_encoded) AS BIGINT) AS n_encoded,
+         |  round(sum(n_encoded) / sum(n_words), 6) AS fertility,
+         |  round(sum(n_encoded) / sum(n_subwords), 6) AS compression
+         |FROM e JOIN w USING (doc_id) GROUP BY 1""".stripMargin,
     "q114_filter_cascade" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
