@@ -103,10 +103,18 @@ object IndexStore {
     * re-submitted doc ids: their previous postings are ERASED first
     * (a changed doc's old tokens may hash into buckets the new tokens
     * never touch — merge-only would strand them as ghost hits), then
-    * only the buckets the new postings land in are rewritten. */
+    * only the buckets the new postings land in are rewritten.
+    *
+    * The erase and the insert are separate commits: a crash between the
+    * two loses the batch's docs from the index until the source's
+    * at-least-once replay re-lands them (the streaming sink's
+    * redelivery contract) — never a half-merged doc or a stale ghost,
+    * which are the failure modes that can't self-heal. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val p = Paths(root)
+    require(AtomicRewrite.exists(spark, p.postings),
+      s"no index at $root — build() an index before appending to it")
     val ids = batch.select(col(idCol).as("doc_id"))
     AtomicRewrite.deleteMatching(spark, p.postings, ids, "doc_id")
     AtomicRewrite.deleteMatching(spark, p.docstats, ids, "doc_id")
