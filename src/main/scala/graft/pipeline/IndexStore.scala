@@ -69,23 +69,36 @@ object IndexStore {
   private def bucketOf(token: Column): Column =
     pmod(xxhash64(token), lit(PostingBuckets.toLong)).cast("int")
 
-  /** (token, doc_id, tf, dl, bucket) postings of a corpus batch —
+  /** One (doc_id, text) row per doc id: a batch carrying SEVERAL
+    * versions of the same id (an at-least-once source compacting a
+    * correction into one micro-batch) keeps the max-content-hash
+    * version — deterministic, so every derived table (postings AND
+    * docstats) agrees on ONE text. Without this, postingsOf's keyed
+    * count would merge both versions' tokens (old tokens ghost-match
+    * forever) and docstats would double-count the doc into N/avgdl.
+    * Version ORDER is the source's concern: a correction that must win
+    * belongs in a later batch (the streaming replacement contract). */
+  private def canonicalBatch(corpus: DataFrame, textCol: String,
+                             idCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .groupBy("doc_id")
+      .agg(max_by(col("__text"), sha2(col("__text"), 256)).as("__text"))
+
+  /** (token, doc_id, tf, dl, bucket) postings of a canonical batch —
     * term frequencies via one explode + keyed count, dl carried on
     * every row so scoring never joins the corpus. */
-  private def postingsOf(corpus: DataFrame, textCol: String,
-                         idCol: String): DataFrame =
-    corpus.select(col(idCol).as("doc_id"),
-        graft.ops.TextOps.tokens(col(textCol)).as("__toks"))
+  private def postingsOf(canonical: DataFrame): DataFrame =
+    canonical.select(col("doc_id"),
+        graft.ops.TextOps.tokens(col("__text")).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
         explode(col("__toks")).as("token"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       .withColumn("bucket", bucketOf(col("token")))
 
-  private def docstatsOf(corpus: DataFrame, textCol: String,
-                         idCol: String): DataFrame =
-    corpus.select(col(idCol).as("doc_id"),
-        size(graft.ops.TextOps.tokens(col(textCol))).cast("double").as("dl"))
+  private def docstatsOf(canonical: DataFrame): DataFrame =
+    canonical.select(col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("__text"))).cast("double").as("dl"))
       .withColumn("doc_bucket",
         pmod(xxhash64(col("doc_id")), lit(DocBuckets.toLong)).cast("int"))
 
@@ -93,10 +106,11 @@ object IndexStore {
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val p = Paths(root)
+    val canon = canonicalBatch(corpus, textCol, idCol)
     AtomicRewrite.write(spark, p.postings,
-      postingsOf(corpus, textCol, idCol), partitionBy = Seq("bucket"))
+      postingsOf(canon), partitionBy = Seq("bucket"))
     AtomicRewrite.write(spark, p.docstats,
-      docstatsOf(corpus, textCol, idCol), partitionBy = Seq("doc_bucket"))
+      docstatsOf(canon), partitionBy = Seq("doc_bucket"))
   }
 
   /** Append a batch incrementally. Replacement semantics for
@@ -105,20 +119,26 @@ object IndexStore {
     * never touch — merge-only would strand them as ghost hits), then
     * only the buckets the new postings land in are rewritten.
     *
-    * The erase and the insert are separate commits: a crash between the
-    * two loses the batch's docs from the index until the source's
-    * at-least-once replay re-lands them (the streaming sink's
-    * redelivery contract) — never a half-merged doc or a stale ghost,
-    * which are the failure modes that can't self-heal. */
+    * The append is FOUR independent commits (two erases, two inserts),
+    * each atomic, none joint — the honest crash windows: a crash before
+    * the postings insert loses the batch's docs from the index; a crash
+    * between the postings insert and the docstats insert leaves them
+    * retrievable while N/avgdl still exclude them, so scores in their
+    * buckets are computed from slightly stale statistics. Both states
+    * self-heal on the source's at-least-once replay (the streaming
+    * sink's redelivery contract); what can NEVER occur is the
+    * non-healing failure mode — a half-merged doc or a stale ghost
+    * posting, which replay would not repair. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val p = Paths(root)
     require(AtomicRewrite.exists(spark, p.postings),
       s"no index at $root — build() an index before appending to it")
-    val ids = batch.select(col(idCol).as("doc_id"))
+    val canon = canonicalBatch(batch, textCol, idCol)
+    val ids = canon.select("doc_id")
     AtomicRewrite.deleteMatching(spark, p.postings, ids, "doc_id")
     AtomicRewrite.deleteMatching(spark, p.docstats, ids, "doc_id")
-    val post = postingsOf(batch, textCol, idCol).persist()
+    val post = postingsOf(canon).persist()
     val touched = post.select("bucket").distinct()
     val bucketIds = touched.collect().map(_.getInt(0)).toSeq
     if (bucketIds.nonEmpty) {
@@ -129,7 +149,7 @@ object IndexStore {
         replaced = Some(touched.toDF()))
     }
     post.unpersist()
-    val ds = docstatsOf(batch, textCol, idCol).persist()
+    val ds = docstatsOf(canon).persist()
     val touchedDs = ds.select("doc_bucket").distinct()
     val dsIds = touchedDs.collect().map(_.getInt(0)).toSeq
     if (dsIds.nonEmpty) {
@@ -158,23 +178,39 @@ object IndexStore {
   }
 
   /** [[forget]] returning the matched doc ids (empty = index untouched)
-    * — the audit-precision shape for [[Gdpr.StoreErasure]]. */
+    * — the audit-precision shape for [[Gdpr.StoreErasure]]. The match
+    * set is the UNION over both tables: a doc present only in docstats
+    * (an append that crashed between its erase and insert commits)
+    * still carries derived subject data (its dl shifts N/avgdl), so its
+    * erasure must be audited, not silently dropped. */
   def forgetMatched(spark: SparkSession, root: String,
                     ids: DataFrame): Seq[Any] = {
     val p = Paths(root)
     val docIds = ids.toDF("doc_id")
-    val matched = AtomicRewrite.deleteMatchingKeys(spark, p.postings,
+    val fromPostings = AtomicRewrite.deleteMatchingKeys(spark, p.postings,
       docIds, "doc_id")
-    AtomicRewrite.deleteMatching(spark, p.docstats, docIds, "doc_id")
-    matched
+    val fromStats = AtomicRewrite.deleteMatchingKeys(spark, p.docstats,
+      docIds, "doc_id")
+    (fromPostings ++ fromStats).distinct
   }
+
+  /** Ceiling on a query batch's distinct-term vocabulary: the term set
+    * is collected to the driver and inlined into the postings scan's
+    * pruning predicates, so it must stay plan-sized — the
+    * [[AtomicRewrite.MaxInlinedPartitionTerms]] risk class, bounded
+    * loudly here like [[TokenizerStore.MaxMerges]]. Batch bigger query
+    * loads into several query() calls. */
+  val MaxQueryTerms = 4096
 
   /** Top-`k` BM25 hits per query. `queries` carries (`query_id`,
     * `terms` array<string>); duplicate terms within a query count once
     * (the conjunctive-bag convention of the q105 fixed query). Reads
     * ONLY the term set's hash-bucket partitions; ranking is the
     * TopKPerKey heap. A query whose terms match nothing returns no
-    * rows. */
+    * rows. The returned frame is NOT cached — the bucket-pruned
+    * postings scan is cheap enough to run once per branch, and a
+    * serving loop must not accumulate pinned executor memory per
+    * batch. */
   def query(spark: SparkSession, root: String, queries: DataFrame,
             k: Int = 5): DataFrame = {
     val p = Paths(root)
@@ -185,13 +221,14 @@ object IndexStore {
     // lineage, the q83 probed-cell idiom)
     val terms = qt.select("token").distinct()
       .collect().map(_.getString(0)).toSeq
+    require(terms.size <= MaxQueryTerms,
+      s"query batch carries ${terms.size} distinct terms, beyond the " +
+        s"$MaxQueryTerms plan-size bound — split the batch")
     if (terms.isEmpty) return qt.select(col("query_id"),
       lit(0L).as("doc_id"), lit(0.0).as("bm25"), lit(0).as("rank")).limit(0)
     val post = AtomicRewrite.read(spark, p.postings)
       .filter(col("bucket").isin(bucketIdsOf(spark, terms): _*) &&
         col("token").isin(terms: _*))
-      .persist()
-    post.count()
     // df per token from the postings just read (one row per (token, doc));
     // N and avgdl from the narrow docstats table
     val df = post.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
@@ -210,13 +247,9 @@ object IndexStore {
         contrib.cast("decimal(38,6)").as("__c"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("__c")).cast("double"), 6).as("bm25"))
-    val out = graft.plans.TopKPerKey.perKeyWithRank(scored,
+    graft.plans.TopKPerKey.perKeyWithRank(scored,
       Seq("query_id"), Seq(col("bm25").desc, col("doc_id")), k, "rank")
       .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
-      .persist()
-    out.count()
-    post.unpersist()
-    out
   }
 
   /** The distinct posting buckets a term set hashes into — computed

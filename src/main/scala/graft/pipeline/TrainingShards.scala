@@ -137,9 +137,10 @@ object TrainingShards {
     * for per-subject audit trails. */
   def forget(spark: SparkSession, root: String, docIds: DataFrame,
              idCol: String = "doc_id"): Boolean = {
+    val orderCol = refreshableOrderCol(spark, root)
     val changed = AtomicRewrite.deleteMatching(spark, Paths(root).shards,
       docIds, idCol)
-    if (changed) refreshManifest(spark, root)
+    if (changed) refreshManifest(spark, root, orderCol)
     changed
   }
 
@@ -148,25 +149,34 @@ object TrainingShards {
     * [[Gdpr.StoreErasure]]. */
   def forgetMatched(spark: SparkSession, root: String, docIds: DataFrame,
                     idCol: String = "doc_id"): Seq[Any] = {
+    val orderCol = refreshableOrderCol(spark, root)
     val matched = AtomicRewrite.deleteMatchingKeys(spark,
       Paths(root).shards, docIds, idCol)
-    if (matched.nonEmpty) refreshManifest(spark, root)
+    if (matched.nonEmpty) refreshManifest(spark, root, orderCol)
     matched
   }
 
-  /** Re-derive the manifest from the committed shard table, preserving
-    * the epoch's recorded order column. */
-  private def refreshManifest(spark: SparkSession, root: String): Unit = {
-    val p = Paths(root)
-    val prev = AtomicRewrite.read(spark, p.manifest)
+  /** The epoch's recorded order column — resolved (and its presence
+    * REQUIRED) BEFORE any delete commits: failing after the shard
+    * rewrite would leave a manifest permanently over-promising deleted
+    * docs, the exact state the refresh exists to prevent, with no
+    * recovery short of re-publishing from the original corpus. */
+  private def refreshableOrderCol(spark: SparkSession, root: String): String = {
+    val prev = AtomicRewrite.read(spark, Paths(root).manifest)
     require(prev.columns.contains("order_col"),
       s"$root manifest predates the self-describing order_col column — " +
         "re-publish the epoch (build) before erasing from it")
-    val orderCol = prev.select("order_col").limit(1).collect()
+    prev.select("order_col").limit(1).collect()
       .headOption.map(_.getString(0))
       // a manifest can only be row-less if the epoch was ALREADY fully
       // erased; any order column yields the same empty aggregate
       .getOrElse("doc_id")
+  }
+
+  /** Re-derive the manifest from the committed shard table. */
+  private def refreshManifest(spark: SparkSession, root: String,
+                              orderCol: String): Unit = {
+    val p = Paths(root)
     AtomicRewrite.write(spark, p.manifest,
       manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
   }

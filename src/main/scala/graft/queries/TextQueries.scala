@@ -1113,8 +1113,10 @@ object TextQueries {
 
   /** BM25 parameters and the fixed benchmark query (q105). */
   val BmQuery = Seq("table", "scan", "fast")
-  val BmK1 = 1.2
-  val BmB = 0.75
+  /** BM25 parameters — single source of truth is the persisted store;
+    * the inline q105 and the store's scoring must never diverge. */
+  val BmK1: Double = graft.pipeline.IndexStore.K1
+  val BmB: Double = graft.pipeline.IndexStore.B
 
   /** KMV sketch size for source-overlap estimation (q106): resolution is
     * 1/k, so 64 resolves the corpus's 0.01-0.08 trigram-Jaccard band. */

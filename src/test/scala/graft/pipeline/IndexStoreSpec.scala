@@ -105,6 +105,42 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a batch carrying two versions of one doc id indexes exactly one, consistently") {
+    val root = Files.createTempDirectory("graft-idx-d").toString + "/idx"
+    IndexStore.build(spark, root, corpus)
+    // an at-least-once source compacts a correction into ONE micro-batch
+    IndexStore.append(spark, root, Seq(
+      (9L, "harbour ferries cross twice"),
+      (9L, "night owl coaches instead")).toDF("doc_id", "text"))
+    // exactly one docstats row, and the postings all come from ONE
+    // version — never a merged vocabulary of both
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(root).docstats)
+      .filter(col("doc_id") === 9L).count() == 1)
+    val toks = AtomicRewrite.read(spark, IndexStore.Paths(root).postings)
+      .filter(col("doc_id") === 9L).select("token").as[String].collect().toSet
+    val a = Set("harbour", "ferries", "cross", "twice")
+    val b = Set("night", "owl", "coaches", "instead")
+    assert(toks == a || toks == b,
+      s"postings merged two versions' tokens: $toks")
+    // the kept dl matches the kept version
+    val dl = AtomicRewrite.read(spark, IndexStore.Paths(root).docstats)
+      .filter(col("doc_id") === 9L).select("dl").as[Double].head()
+    assert(dl == 4.0, s"dl $dl disagrees with the 4-token kept version")
+    spark.catalog.clearCache()
+  }
+
+  test("query batches beyond MaxQueryTerms fail loudly at the API boundary") {
+    val root = Files.createTempDirectory("graft-idx-m").toString + "/idx"
+    IndexStore.build(spark, root, corpus)
+    val wide = Seq((1L, (0 to IndexStore.MaxQueryTerms).map(i => s"t$i")))
+      .toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.query(spark, root, wide)
+    }
+    assert(e.getMessage.contains("split the batch"))
+    spark.catalog.clearCache()
+  }
+
   test("layout: postings land in at most PostingBuckets hive partitions") {
     val root = Files.createTempDirectory("graft-idx-b").toString + "/idx"
     IndexStore.build(spark, root, corpus)

@@ -157,6 +157,28 @@ class TrainingShardsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("forget refuses a pre-order_col manifest BEFORE deleting anything") {
+    import spark.implicits._
+    import graft.tx.AtomicRewrite
+    val root = Files.createTempDirectory("graft-shards-l").toString
+    val p = TrainingShards.Paths(root)
+    TrainingShards.build(spark, root, corpus, nShards = 3)
+    // simulate an epoch published before the self-describing manifest
+    AtomicRewrite.write(spark, p.manifest,
+      TrainingShards.readManifest(spark, root).drop("order_col"))
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards).get
+    val e = intercept[IllegalArgumentException] {
+      TrainingShards.forget(spark, root, Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("re-publish"))
+    // the refusal must come BEFORE the delete commits: a half-completed
+    // erasure would leave the stale manifest permanently over-promising
+    assert(AtomicRewrite.currentVersion(spark, p.shards).contains(v0),
+      "forget deleted shard rows before discovering the manifest " +
+        "cannot be refreshed")
+    spark.catalog.clearCache()
+  }
+
   test("hash mode: every doc lands exactly once, spread over the shards") {
     val root = Files.createTempDirectory("graft-shards-h").toString
     TrainingShards.buildHashed(spark, root, corpus, nShards = 4)
