@@ -89,12 +89,20 @@ class GdprRequestsSpec extends SparkSpec {
     val control = s"$root/control/gdpr_control"
     AtomicRewrite.write(spark, s"$root/silver/passengers",
       Seq((1L, "Alice"), (2L, "Bob")).toDF("passenger_id", "full_name"))
-    // a derived signature store keyed by the subject id
-    val nearRoot = s"$root/stores/neardup"
-    NearDupStore.acceptNew(spark, nearRoot,
-      Seq((1L, "alice writes about the northern line all week"),
+    // derived stores keyed by the subject id: signatures, a published
+    // training epoch, and the serving-side retrieval index — the full
+    // propagate-everywhere surface driven from ONE request cycle
+    val docs = Seq((1L, "alice writes about the northern line all week"),
         (2L, "bob prefers the central line in the morning"))
-        .toDF("doc_id", "text"), "doc_id", "text")
+      .toDF("doc_id", "text")
+    val nearRoot = s"$root/stores/neardup"
+    NearDupStore.acceptNew(spark, nearRoot, docs, "doc_id", "text")
+    val shardsRoot = s"$root/stores/shards"
+    TrainingShards.build(spark, shardsRoot,
+      docs.select(col("doc_id"), lit(8L).as("n_tokens"),
+        col("doc_id").as("train_pos"), col("text")), nShards = 2)
+    val idxRoot = s"$root/stores/bm25"
+    IndexStore.build(spark, idxRoot, docs)
 
     def policiesFor(st: String) = Seq(
       Gdpr.Policy("silver/passengers", "passenger_id",
@@ -102,6 +110,12 @@ class GdprRequestsSpec extends SparkSpec {
     def storesFor(st: String) = Seq(
       Gdpr.StoreErasure("neardup_store", Seq("minhash_signature"),
         ids => NearDupStore.forgetMatched(spark, nearRoot,
+          ids.select(col("subject_id").as("doc_id")))),
+      Gdpr.StoreErasure("training_shards", Seq("text", "n_tokens"),
+        ids => TrainingShards.forgetMatched(spark, shardsRoot,
+          ids.select(col("subject_id").as("doc_id")))),
+      Gdpr.StoreErasure("bm25_index", Seq("postings", "dl"),
+        ids => IndexStore.forgetMatched(spark, idxRoot,
           ids.select(col("subject_id").as("doc_id")))))
 
     val n = GdprRequests.runIncremental(spark, control,
@@ -118,10 +132,19 @@ class GdprRequestsSpec extends SparkSpec {
     assert(AtomicRewrite.read(spark, nearRoot)
       .filter(col("doc_id") === 2L).count() == 1,
       "the bystander's signatures must survive")
-    // one audit row for the table, one for the store, same fingerprint
+    assert(AtomicRewrite.read(spark, TrainingShards.Paths(shardsRoot).shards)
+      .filter(col("doc_id") === 1L).isEmpty,
+      "the published epoch still holds the subject's row")
+    assert(TrainingShards.readManifest(spark, shardsRoot)
+      .agg(sum("n_docs")).head().getLong(0) == 1L)
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(idxRoot).postings)
+      .filter(col("doc_id") === 1L).isEmpty,
+      "the retrieval index still holds the subject's postings")
+    // one audit row for the table, one per store, same fingerprint
     val audit = Gdpr.readAudit(spark, s"$root/audit")
     assert(audit.select("table_name").as[String].collect().sorted.toSeq ==
-      Seq("neardup_store", "silver/passengers"))
+      Seq("bm25_index", "neardup_store", "silver/passengers",
+        "training_shards"))
     assert(audit.select("subject_fingerprint").distinct().count() == 1)
     spark.catalog.clearCache()
   }
