@@ -664,6 +664,50 @@ object TextQueries {
       materializeAndRelease(out, cur)
     }),
 
+    // Mixture RESAMPLING toward a uniform target (the transform behind
+    // q74's observed weights and q116's per-source caps: actually DRAW
+    // the training mix): every source contributes up to an equal share
+    // of the [[TokenBudgetShare]] global token budget, docs taken in
+    // salted-hash order (reproducible, order-free, no quality coupling —
+    // the pure mixture knob). Shape: one narrow map + a SOURCE-KEYED
+    // cumsum window (partitions by a real key, never a global window) +
+    // a broadcast scalar; a source smaller than its slot contributes
+    // everything it has.
+    "q126_mixture_resample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        sha2(concat_ws("|", lit("mix"), col("doc_id").cast("string")), 256)
+          .as("__h"))
+      val target = d.agg(
+        floor(sum("n_tokens") * lit(TokenBudgetShare) /
+          countDistinct(col("source"))).cast("long").as("target"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      d.withColumn("cum_tokens", sum("n_tokens").over(w))
+        .crossJoin(broadcast(target))
+        .filter(col("cum_tokens") <= col("target"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+    }),
+
+    // Exact-duplicate rate per source (the curation dashboard number
+    // behind q34's keep-list: which ingest feeds are actually paying
+    // for dedup?): canonical = lowest doc_id per normalized-text hash,
+    // everything else per source counts as a duplicate. Two keyed
+    // aggregations, linear.
+    "q127_dedup_rate_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hash = d.select(col("doc_id"), col("source"),
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("h"))
+      val canon = hash.groupBy("h").agg(min("doc_id").as("canon_id"))
+      hash.join(canon, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("canon_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_rate", round(col("n_dups") / col("n_docs"), 6))
+    }),
+
     // Tokenizer-fertility report by source, THROUGH the persisted
     // TokenizerStore (the question a tokenizer owner actually asks
     // before committing a vocab: how many subword tokens per word does
@@ -1432,6 +1476,30 @@ object TextQueries {
          | min(train_pos) AS order_min, max(train_pos) AS order_max,
          | 'train_pos' AS order_col
          |FROM a GROUP BY 1""".stripMargin,
+    "q126_mixture_resample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |        CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |        sha256('mix|' || CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents),
+         |t AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare /
+         |        count(DISTINCT source)) AS BIGINT) AS target FROM d),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c, t WHERE cum_tokens <= target""".stripMargin,
+    "q127_dedup_rate_by_source" ->
+      """WITH h AS (SELECT doc_id, source,
+        |        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hh
+        |      FROM documents),
+        |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> canon_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  round(sum(CASE WHEN doc_id <> canon_id THEN 1 ELSE 0 END)
+        |    / count(*), 6) AS dup_rate
+        |FROM h JOIN canon USING (hh) GROUP BY 1""".stripMargin,
     "q123_bm25_store" -> bm25StoreOracle(kept = "TRUE"),
     "q124_bm25_forget" -> bm25StoreOracle(kept = "doc_id % 7 <> 3"),
     "q122_shards_forget" ->

@@ -320,6 +320,25 @@ object VectorQueries {
       graft.pipeline.AnnIndexStore.query(s, root, q, k = 3, nprobe = 1)
     }),
 
+    // Recall@3 of the PRODUCTION index (the trained fixed-K store,
+    // q94's path) against brute-force ground truth — the q57 eval
+    // harness pointed at the index a deployment would actually serve
+    // from, so the recall/nprobe trade-off of the persisted store is a
+    // measured, oracle-pinned number instead of a hope. Composition of
+    // the q94 store round-trip + the q39 truth scan + one keyed join.
+    "q128_ann_recall_trained" -> ((s, dir) => {
+      val truth = defs("q39_ann_topk")(s, dir)
+        .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      val approx = defs("q94_ann_trained_store")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("hits"))
+        .select(col("query_id"), col("n_truth"), col("hits"),
+          round(col("hits") / col("n_truth"), 6).as("recall"))
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -621,6 +640,39 @@ object VectorQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    "q128_ann_recall_trained" ->
+      s"""WITH $FixedCentsSql,
+         |af AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |       FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, embedding, centroid_id FROM af WHERE rn = 1),
+         |qa AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+         |       FROM embeddings e, cents c WHERE e.vec_id % 50 = 0),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+         |           FROM qa WHERE rn <= 2),
+         |cand AS (SELECT query_id, cells.vec_id AS neighbor_id,
+         |           ${cosSql("qv", "cells.embedding")} AS cos_sim
+         |         FROM probes JOIN cells USING (centroid_id)
+         |         WHERE cells.vec_id <> probes.query_id),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand),
+         |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 3),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id % 50 = 0),
+         |bc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("qv", "e.embedding")} AS cos_sim
+         |       FROM bq, embeddings e WHERE e.vec_id <> bq.query_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bc),
+         |truth AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3)
+         |SELECT t.query_id, count(*) AS n_truth,
+         |  count(a.neighbor_id) AS hits,
+         |  round(count(a.neighbor_id) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     "q94_ann_trained_store" ->
       s"""WITH $FixedCentsSql,
          |af AS (SELECT e.vec_id, e.embedding, c.centroid_id,
