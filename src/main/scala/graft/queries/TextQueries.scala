@@ -690,6 +690,23 @@ object TextQueries {
           col("cum_tokens"))
     }),
 
+    // Per-source length-distribution quantiles (the sequence-budget
+    // sizing signal behind q118's batch shaping: what p50/p90/p99 doc
+    // lengths is each feed actually delivering?): EXACT interpolated
+    // percentiles — Spark's percentile aggregate is a per-group
+    // sorted-merge of numeric values, fine for per-SOURCE groups whose
+    // value sets are doc counts, and bit-compatible with the oracle's
+    // quantile_cont (same (n-1)·p linear-interpolation convention).
+    "q129_length_quantiles" -> ((s, dir) =>
+      docs(s, dir).select(col("source"),
+          size(toks).cast("double").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tokens, 0.99)"), 6).as("p99"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))),
+
     // Exact-duplicate rate per source (the curation dashboard number
     // behind q34's keep-list: which ingest feeds are actually paying
     // for dedup?): canonical = lowest doc_id per normalized-text hash,
@@ -1489,6 +1506,15 @@ object TextQueries {
          |      FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens <= target""".stripMargin,
+    "q129_length_quantiles" ->
+      s"""WITH d AS (SELECT source, CAST(len($ToksSql) AS DOUBLE) AS n_tokens
+         |           FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         |FROM d GROUP BY 1""".stripMargin,
     "q127_dedup_rate_by_source" ->
       """WITH h AS (SELECT doc_id, source,
         |        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hh
