@@ -690,6 +690,36 @@ object TextQueries {
           col("cum_tokens"))
     }),
 
+    // Train/test vocabulary overlap (the LEAKAGE dashboard number q56's
+    // shingle decontamination complements at token granularity: how
+    // much of the test split's vocabulary — and token mass — does the
+    // train split already cover?): q53's deterministic split, two
+    // vocab-sized distinct sets, one token-keyed join. All shuffles are
+    // token-keyed over VOCAB-sized frames — sublinear in corpus bytes.
+    "q130_split_vocab_overlap" -> ((s, dir) => {
+      val splits = defs("q53_train_split")(s, dir)
+        .select(col("doc_id"), col("split"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .join(splits, "doc_id")
+      val vocab = tok.groupBy(col("split"), col("token"))
+        .agg(count(lit(1)).as("cf"))
+      val test = vocab.filter(col("split") === "test")
+        .select(col("token"), col("cf").as("test_cf"))
+      val train = vocab.filter(col("split") === "train")
+        .select(col("token"), lit(1).as("__in_train"))
+      test.join(train, Seq("token"), "left")
+        .agg(count(lit(1)).as("test_vocab"),
+          sum(col("__in_train")).cast("long").as("covered_vocab"),
+          sum(col("test_cf")).as("test_tokens"),
+          sum(when(col("__in_train").isNotNull, col("test_cf"))
+            .otherwise(0L)).as("covered_tokens"))
+        .select(col("test_vocab"), col("covered_vocab"),
+          round(col("covered_vocab") / col("test_vocab"), 6).as("vocab_coverage"),
+          col("test_tokens"), col("covered_tokens"),
+          round(col("covered_tokens") / col("test_tokens"), 6).as("token_coverage"))
+    }),
+
     // Per-source length-distribution quantiles (the sequence-budget
     // sizing signal behind q118's batch shaping: what p50/p90/p99 doc
     // lengths is each feed actually delivering?): EXACT interpolated
@@ -1506,6 +1536,30 @@ object TextQueries {
          |      FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens <= target""".stripMargin,
+    "q130_split_vocab_overlap" ->
+      s"""WITH spl AS (SELECT doc_id,
+         |        ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |          AS bucket
+         |      FROM documents),
+         |sp AS (SELECT doc_id,
+         |        CASE WHEN bucket < 80 THEN 'train'
+         |             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM spl),
+         |tok AS (SELECT t.doc_id, sp.split, unnest($ToksSql) AS token
+         |        FROM documents t JOIN sp ON t.doc_id = sp.doc_id),
+         |vocab AS (SELECT split, token, CAST(count(*) AS BIGINT) AS cf
+         |          FROM tok GROUP BY 1, 2),
+         |te AS (SELECT token, cf AS test_cf FROM vocab WHERE split = 'test'),
+         |tr AS (SELECT token, 1 AS in_train FROM vocab WHERE split = 'train')
+         |SELECT count(*) AS test_vocab,
+         |  CAST(sum(in_train) AS BIGINT) AS covered_vocab,
+         |  round(sum(in_train) / count(*), 6) AS vocab_coverage,
+         |  CAST(sum(test_cf) AS BIGINT) AS test_tokens,
+         |  CAST(sum(CASE WHEN in_train IS NOT NULL THEN test_cf ELSE 0 END)
+         |    AS BIGINT) AS covered_tokens,
+         |  round(sum(CASE WHEN in_train IS NOT NULL THEN test_cf ELSE 0 END)
+         |    / sum(test_cf), 6) AS token_coverage
+         |FROM te LEFT JOIN tr USING (token)""".stripMargin,
     "q129_length_quantiles" ->
       s"""WITH d AS (SELECT source, CAST(len($ToksSql) AS DOUBLE) AS n_tokens
          |           FROM documents)

@@ -198,6 +198,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"a vocab-sized window runs unpartitioned:\n${unkeyed.mkString("\n")}")
   }
 
+  test("q126: the mixture cumsum windows are source-keyed, never global") {
+    // the resampler's scale contract: every window partitions by the
+    // real source key — a regression to an unpartitioned cumsum would
+    // serialize the corpus through one task
+    val p = planOf("q126_mixture_resample")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected a source-keyed window:\n${p.take(2000)}")
+    assert(windows.forall(_.contains("source")),
+      s"a window runs without the source key:\n${windows.mkString("\n")}")
+  }
+
   test("q118: batch shaping plans with zero window operators") {
     // the batching cut's scale claim is that it is PURE keyed
     // aggregation — hash sharding within length buckets instead of any
