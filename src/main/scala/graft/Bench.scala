@@ -137,22 +137,22 @@ object Bench {
     catch { case _: Throwable => () } // a read-only CWD costs the file, not the run
     // The FINAL line must fit the 2000-char tail WHOLE next to sbt's
     // ~75-char epilogue, or truncation eats it front-first — so it
-    // carries [median, min] per query at the smallest parseable shape:
-    // keys are the qNN ids (names live in the chunked lines + file),
-    // values are CENTISECONDS ("cs":1 marks the unit; 10 ms granularity
-    // tells steal from work just as well), and n rides only in "flaky"
-    // (n == runs everywhere else). ~13 bytes/query keeps ~145 queries
-    // inside the window.
+    // carries median and min per query at the smallest parseable shape:
+    // ONE string field "q" of comma-joined `<id>:<median_cs>:<min_cs>`
+    // triples (ids are the qNN numbers — names live in the chunked
+    // lines + file; values are CENTISECONDS, "cs":1 marks the unit —
+    // 10 ms granularity tells steal from work just as well), and n
+    // rides only in "flaky" (n == runs everywhere else). ~12
+    // bytes/query keeps ~150 queries inside the window.
     def cs(v: Double): String =
       if (v < 0) "-1" else Math.round(v * 100).toString
     val ids = results.map { case (n, _, _, _, _) => n.takeWhile(_ != '_').drop(1) }
     require(ids.distinct.size == ids.size,
       "short query keys must stay unique (qNN prefix)")
     val qs = results.zip(ids).map { case ((_, v, mn, _, _), id) =>
-      "\"" + id + "\":[" + cs(v) + "," + cs(mn) + "]" }
-      .mkString("{", ",", "}")
+      id + ":" + cs(v) + ":" + cs(mn) }.mkString(",")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsPerQuery,"cs":1,"flaky":$flaky,"sf":"${new java.io.File(sfDir).getName}","queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsPerQuery,"cs":1,"flaky":$flaky,"sf":"${new java.io.File(sfDir).getName}","q":"$qs"}"""
     require(line.length <= 1900,
       s"final bench line (${line.length} chars) outgrew the 2000-char " +
         "tail window — shrink the encoding before the artifact silently truncates")
