@@ -891,6 +891,35 @@ object TextQueries {
       materializeAndRelease(out, q56)
     }),
 
+    // The composed curation cut a release ACTUALLY ships: the q114
+    // release-gate verdict feeds the q115 token-budget selection, so
+    // only kept docs compete for the budget and the budget derives
+    // from the KEPT token mass — the cascade→selection pipeline
+    // end-to-end under one hash compare. Same scale shapes as its
+    // parts: doc-keyed signals + one distributed prefix sum.
+    "q132_curated_budget" -> ((s, dir) => {
+      // q114's def returns a PERSISTED frame — released after the cut
+      // materializes (the q75 idiom)
+      val gate = defs("q114_filter_cascade")(s, dir)
+      val keptIds = gate.filter(col("keep")).select("doc_id")
+      val d = docs(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
+        .join(keptIds, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))
+      val (cum, cached) = graft.ops.PrefixSum.runningTotal(d,
+        Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
+        "cum_tokens")
+      val budget = cached.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
+        .cast("long").as("budget"))
+      val out = cum.crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("cum_tokens"))
+      materializeAndRelease(out, cached, gate)
+    }),
+
     // Token-budget selection (the curation cut every pretraining run
     // makes: "keep the best documents until N tokens"): order the corpus
     // by quality (q31's score), take the greedy prefix whose cumulative
@@ -1235,6 +1264,46 @@ object TextQueries {
     s"(CAST(floor((position(substr(sha256(t), $d, 1) IN '0123456789abcdef') - 1) / $p) AS INT) % 2)"
   }
 
+  /** Shared release-gate CTE chain (the q114 cascade replay, reused by
+    * q132's composed budget cut): every curation signal — capped-shingle
+    * contamination, canonical-hash dups, length/stopword quality, the
+    * q53 split — ending in `v(doc_id, reason)`. Claims CTE names
+    * t, shg, keep, shf, bench, hits, contam, h, canon, dup, q, spl, v. */
+  private lazy val FilterCascadeCteSql: String =
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+       |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+       |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
+       |bench AS (SELECT sh, doc_id AS bench_doc_id FROM shf WHERE doc_id % 10 = 0),
+       |hits AS (SELECT s.doc_id, s.sh
+       |         FROM shf s JOIN bench b USING (sh) WHERE s.doc_id % 10 <> 0),
+       |contam AS (SELECT doc_id, (count(DISTINCT sh) >= 3) AS contaminated
+       |           FROM hits GROUP BY 1),
+       |h AS (SELECT doc_id,
+       |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+       |      FROM documents),
+       |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+       |dup AS (SELECT doc_id, (doc_id <> canon_id) AS exact_dup
+       |        FROM h JOIN canon USING (hh)),
+       |q AS (SELECT d.doc_id, d.n_chars, len(t.toks) AS n_tokens,
+       |        len(list_filter(t.toks,
+       |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+       |      FROM documents d JOIN t ON d.doc_id = t.doc_id),
+       |spl AS (SELECT doc_id,
+       |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+       |            AS bucket
+       |        FROM documents),
+       |v AS (SELECT q.doc_id,
+       |        CASE WHEN dup.exact_dup THEN 'exact_duplicate'
+       |             WHEN q.n_chars < 100 THEN 'too_short'
+       |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+       |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+       |             WHEN coalesce(c.contaminated, false) THEN 'contaminated'
+       |             ELSE 'kept' END AS reason
+       |      FROM q JOIN dup USING (doc_id)
+       |             JOIN spl USING (doc_id)
+       |             LEFT JOIN contam c USING (doc_id))""".stripMargin
+
   /** Shared BPE-training CTE chain (the q110 trainer replay, reused by
     * q125's store-backed fertility rollup): d0 is the double-space-
     * encoded corpus; each round is one CTE triple (tokens → argmax pair
@@ -1406,40 +1475,27 @@ object TextQueries {
          |  round(sum(n_encoded) / sum(n_subwords), 6) AS compression
          |FROM e JOIN w USING (doc_id) GROUP BY 1""".stripMargin,
     "q114_filter_cascade" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |shg AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
-         |keep AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
-         |shf AS (SELECT shg.* FROM shg JOIN keep USING (sh)),
-         |bench AS (SELECT sh, doc_id AS bench_doc_id FROM shf WHERE doc_id % 10 = 0),
-         |hits AS (SELECT s.doc_id, s.sh
-         |         FROM shf s JOIN bench b USING (sh) WHERE s.doc_id % 10 <> 0),
-         |contam AS (SELECT doc_id, (count(DISTINCT sh) >= 3) AS contaminated
-         |           FROM hits GROUP BY 1),
-         |h AS (SELECT doc_id,
-         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
-         |      FROM documents),
-         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
-         |dup AS (SELECT doc_id, (doc_id <> canon_id) AS exact_dup
-         |        FROM h JOIN canon USING (hh)),
-         |q AS (SELECT d.doc_id, d.n_chars, len(t.toks) AS n_tokens,
-         |        len(list_filter(t.toks,
-         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
-         |      FROM documents d JOIN t ON d.doc_id = t.doc_id),
-         |spl AS (SELECT doc_id,
-         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
-         |            AS bucket
-         |        FROM documents),
-         |v AS (SELECT q.doc_id,
-         |        CASE WHEN dup.exact_dup THEN 'exact_duplicate'
-         |             WHEN q.n_chars < 100 THEN 'too_short'
-         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
-         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
-         |             WHEN coalesce(c.contaminated, false) THEN 'contaminated'
-         |             ELSE 'kept' END AS reason
-         |      FROM q JOIN dup USING (doc_id)
-         |             JOIN spl USING (doc_id)
-         |             LEFT JOIN contam c USING (doc_id))
+      s"""WITH $FilterCascadeCteSql
          |SELECT doc_id, reason, (reason = 'kept') AS keep FROM v""".stripMargin,
+    "q132_curated_budget" ->
+      s"""WITH $FilterCascadeCteSql,
+         |kept AS (SELECT doc_id FROM v WHERE reason = 'kept'),
+         |b2 AS (SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
+         |      FROM documents d JOIN t ON d.doc_id = t.doc_id
+         |           JOIN kept k ON d.doc_id = k.doc_id),
+         |q2 AS (SELECT doc_id, n_tokens,
+         |        $QualityScoreSql AS quality_score
+         |      FROM b2),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM q2),
+         |c2 AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens
+         |      FROM q2)
+         |SELECT doc_id, n_tokens, quality_score, cum_tokens
+         |FROM c2, bud WHERE cum_tokens <= budget""".stripMargin,
     "q115_token_budget" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -339,6 +339,36 @@ object VectorQueries {
           round(col("hits") / col("n_truth"), 6).as("recall"))
     }),
 
+    // Label-centroid similarity matrix (the embedding-space drift /
+    // class-confusability report: which labels' populations sit close
+    // enough to blur a contrastive objective?): exact-decimal mean
+    // vector per label (the q59 convention — order-independent sums,
+    // deterministic assembly by dimension), then pairwise cosine over
+    // the L label centroids. Linear pass + an L² pair block over a
+    // HANDFUL of rows — the corpus never self-joins.
+    "q131_label_centroid_sim" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      // q59's integer micro-unit mean: round(double, 6) diverges
+      // cross-engine on boundary means (observed at sf0.1 for the
+      // thousand-member label populations), so the mean is a pure
+      // integer half-away-from-zero divide over exact micro-unit sums
+      val cents = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("col").cast("double").cast(DecimalType(38, 6)) * 1000000)
+            .cast("long")).as("s"))
+        .select(col("label"), col("pos"),
+          expr("cast(cast(signum(s) as bigint) * " +
+            "((abs(s) * 2 + n) div (n * 2)) as double) / 1000000").as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cv"))
+      cents.alias("a").join(cents.alias("b"),
+          col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          cosN(col("a.cv"), col("b.cv")).as("cos_sim"))
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit coordinate-sign bucket.
     "q40_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -640,6 +670,23 @@ object VectorQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    "q131_label_centroid_sim" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+         |        unnest(embedding::FLOAT[]::DOUBLE[]) AS val
+         |      FROM embeddings),
+         |g AS (SELECT label, dim, count(*) AS n,
+         |        CAST(sum(CAST(CAST(val AS DECIMAL(38,6)) * 1000000 AS BIGINT))
+         |          AS BIGINT) AS s
+         |      FROM x GROUP BY 1, 2),
+         |m AS (SELECT label, dim,
+         |        CAST(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+         |          ((abs(s) * 2 + n) // (n * 2)) AS DOUBLE) / 1000000 AS REAL)
+         |          AS mu
+         |      FROM g),
+         |c AS (SELECT label, list(mu ORDER BY dim) AS cv FROM m GROUP BY 1)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  ${cosSql("a.cv", "b.cv")} AS cos_sim
+         |FROM c a JOIN c b ON a.label < b.label""".stripMargin,
     "q128_ann_recall_trained" ->
       s"""WITH $FixedCentsSql,
          |af AS (SELECT e.vec_id, e.embedding, c.centroid_id,
