@@ -891,6 +891,29 @@ object TextQueries {
       materializeAndRelease(out, q56)
     }),
 
+    // Quality-score calibration bands (the threshold-tuning table for
+    // q31's score: per 0.1-wide score band, how many docs does the
+    // release gate actually keep, and how contaminated is the band?):
+    // fixed arithmetic bands — never a global-ntile window — so the
+    // report is one doc-keyed join + one keyed agg.
+    "q133_quality_bands" -> ((s, dir) => {
+      val gate = defs("q114_filter_cascade")(s, dir)
+      val d = docs(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
+        .select(col("doc_id"),
+          qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))
+      val out = d.join(gate.select(col("doc_id"), col("reason")), "doc_id")
+        .withColumn("band", floor(col("quality_score") * 10).cast("int"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("reason") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("reason") === "contaminated", 1L).otherwise(0L))
+            .as("n_contaminated"))
+        .withColumn("keep_rate", round(col("n_kept") / col("n_docs"), 6))
+      materializeAndRelease(out, gate)
+    }),
+
     // The composed curation cut a release ACTUALLY ships: the q114
     // release-gate verdict feeds the q115 token-budget selection, so
     // only kept docs compete for the budget and the budget derives
@@ -1477,6 +1500,20 @@ object TextQueries {
     "q114_filter_cascade" ->
       s"""WITH $FilterCascadeCteSql
          |SELECT doc_id, reason, (reason = 'kept') AS keep FROM v""".stripMargin,
+    "q133_quality_bands" ->
+      s"""WITH $FilterCascadeCteSql,
+         |q3 AS (SELECT doc_id, $QualityScoreSql AS quality_score FROM q),
+         |j AS (SELECT q3.doc_id, q3.quality_score, v.reason
+         |      FROM q3 JOIN v USING (doc_id))
+         |SELECT CAST(floor(quality_score * 10) AS INT) AS band,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) / count(*), 6)
+         |    AS keep_rate
+         |FROM j GROUP BY 1""".stripMargin,
     "q132_curated_budget" ->
       s"""WITH $FilterCascadeCteSql,
          |kept AS (SELECT doc_id FROM v WHERE reason = 'kept'),
