@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): times every SparkEntry query
   * at SPARK_GRAFT_SF_DIR and prints ONE JSON line (the final "total" line;
-  * its "queries" map carries [median, min] centisecond pairs per qNN id —
-  * sized to survive the 2000-char tail capture whole — while the chunked
-  * "query_medians" lines and the bench_full.json file carry full names
-  * and 3-decimal triples).
+  * its "q" field is one comma-joined string of `<id>:<median_cs>:<min_cs>`
+  * triples per qNN id, in centiseconds — sized to survive the 2000-char
+  * tail capture whole — while the chunked "query_medians" lines and the
+  * bench_full.json file carry full names and 3-decimal triples).
   *
   * Each query is forced through the `noop` sink so the full plan executes
   * (a bare count() would let Catalyst prune projections away). One warm-up

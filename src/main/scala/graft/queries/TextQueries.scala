@@ -119,7 +119,7 @@ object TextQueries {
     "q34_exact_dedup" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+          graft.pipeline.DedupStore.textFingerprint(col("text"))
             .as("text_hash"))
         .groupBy("text_hash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))),
@@ -674,20 +674,24 @@ object TextQueries {
     // a broadcast scalar; a source smaller than its slot contributes
     // everything it has.
     "q126_mixture_resample" -> ((s, dir) => {
+      // persisted: the target aggregate and the cumsum branch share the
+      // tokenized frame — uncached they would each re-scan and
+      // re-tokenize the corpus (the q116 idiom)
       val d = docs(s, dir).select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         sha2(concat_ws("|", lit("mix"), col("doc_id").cast("string")), 256)
-          .as("__h"))
+          .as("__h")).persist()
       val target = d.agg(
         floor(sum("n_tokens") * lit(TokenBudgetShare) /
           countDistinct(col("source"))).cast("long").as("target"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("__h"), col("doc_id"))
-      d.withColumn("cum_tokens", sum("n_tokens").over(w))
+      val out = d.withColumn("cum_tokens", sum("n_tokens").over(w))
         .crossJoin(broadcast(target))
         .filter(col("cum_tokens") <= col("target"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"))
+      materializeAndRelease(out, d)
     }),
 
     // Train/test vocabulary overlap (the LEAKAGE dashboard number q56's
@@ -731,11 +735,17 @@ object TextQueries {
       docs(s, dir).select(col("source"),
           size(toks).cast("double").as("n_tokens"))
         .groupBy("source")
+        // ONE array-percentile aggregate: the exact Percentile buffer
+        // holds every group value — three scalar calls would keep three
+        // copies of each source's length set during the merge
         .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
-          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
-          round(expr("percentile(n_tokens, 0.99)"), 6).as("p99"),
-          max(col("n_tokens")).cast("long").as("max_tokens"))),
+          expr("percentile(n_tokens, array(0.5, 0.9, 0.99))").as("__p"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))
+        .select(col("source"), col("n_docs"),
+          round(col("__p")(0), 6).as("p50"),
+          round(col("__p")(1), 6).as("p90"),
+          round(col("__p")(2), 6).as("p99"),
+          col("max_tokens"))),
 
     // Exact-duplicate rate per source (the curation dashboard number
     // behind q34's keep-list: which ingest feeds are actually paying
@@ -745,7 +755,7 @@ object TextQueries {
     "q127_dedup_rate_by_source" -> ((s, dir) => {
       val d = docs(s, dir)
       val hash = d.select(col("doc_id"), col("source"),
-        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("h"))
+        graft.pipeline.DedupStore.textFingerprint(col("text")).as("h"))
       val canon = hash.groupBy("h").agg(min("doc_id").as("canon_id"))
       hash.join(canon, "h")
         .groupBy("source")
@@ -864,7 +874,7 @@ object TextQueries {
     "q114_filter_cascade" -> ((s, dir) => {
       val d = docs(s, dir)
       val hash = d.select(col("doc_id"),
-        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("h"))
+        graft.pipeline.DedupStore.textFingerprint(col("text")).as("h"))
       val canon = hash.groupBy("h").agg(min("doc_id").as("canon_id"))
       val dup = hash.join(canon, "h")
         .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("exact_dup"))
@@ -1517,11 +1527,9 @@ object TextQueries {
     "q132_curated_budget" ->
       s"""WITH $FilterCascadeCteSql,
          |kept AS (SELECT doc_id FROM v WHERE reason = 'kept'),
-         |b2 AS (SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |        CAST(len(list_filter(t.toks,
-         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS BIGINT) AS stop_hits
-         |      FROM documents d JOIN t ON d.doc_id = t.doc_id
-         |           JOIN kept k ON d.doc_id = k.doc_id),
+         |b2 AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        CAST(q.stop_hits AS BIGINT) AS stop_hits
+         |      FROM q JOIN kept USING (doc_id)),
          |q2 AS (SELECT doc_id, n_tokens,
          |        $QualityScoreSql AS quality_score
          |      FROM b2),
