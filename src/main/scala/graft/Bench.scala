@@ -134,7 +134,9 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
-    catch { case _: Throwable => () } // a read-only CWD costs the file, not the run
+    // a read-only CWD costs the file, not the run — but fatal VM errors
+    // (OutOfMemoryError etc.) must propagate, never be read as an IO miss
+    catch { case scala.util.control.NonFatal(_) => () }
     // The FINAL line must fit the 2000-char tail WHOLE next to sbt's
     // ~75-char epilogue, or truncation eats it front-first — so it
     // carries median and min per query at the smallest parseable shape:

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *   <root>/postings   // token, doc_id, tf, dl — hive-partitioned by
   *                     // bucket = pmod(xxhash64(token), buckets)
   *   <root>/docstats   // doc_id, dl — partitioned by doc-hash bucket
+  *   <root>/stats      // ONE row (n_docs, sum_dl) — the running corpus
+  *                     // summary, refreshed by every mutation
   * }}}
   *
   * Scale shape:
@@ -28,14 +30,22 @@ import org.apache.spark.sql.functions._
   *    of the full index. `dl` is DENORMALIZED into the postings so
   *    scoring needs no corpus-sized doc-stats join.
   *  - df comes from the postings already read (one row per (token,
-  *    doc)), and N/avgdl from the narrow docstats table — O(docs) rows
-  *    of two columns; at true 100 TB keep a running 1-row summary
-  *    beside it (the watermark-table shape) rather than re-aggregating.
-  *  - APPEND first erases the batch's doc ids (replacement semantics —
-  *    a re-submitted doc's OLD tokens may live in buckets its new
-  *    tokens never touch, so insert-only merging would strand stale
-  *    postings), then rewrites only the buckets the new postings land
-  *    in: O(batch tokens + touched buckets), never O(index).
+  *    doc)); N and avgdl come from the 1-row `stats` summary (the
+  *    watermark-table shape) — the serving path never re-aggregates the
+  *    O(docs) docstats table. `sum_dl` is an exact LONG (document
+  *    lengths are integral), so `sum_dl / n_docs` in double is
+  *    bit-identical to `avg(dl)` over the committed docstats — scores
+  *    cannot drift between the summary and a recompute.
+  *  - APPEND replaces the batch's doc ids (replacement semantics — a
+  *    re-submitted doc's OLD tokens may live in buckets its new tokens
+  *    never touch, so insert-only merging would strand stale postings)
+  *    in ONE atomic commit per table: the replaced partition set is the
+  *    union of the buckets holding the batch ids' old postings and the
+  *    buckets the new postings land in, and the committed frame is
+  *    (survivors of those buckets) ∪ (new postings) — erase and insert
+  *    can never be split by a crash. The commit writes O(touched
+  *    buckets); finding the old buckets is the same semi-join scan any
+  *    doc-keyed erase of a token-partitioned index pays.
   *  - FORGET deletes by doc_id: the touched partition set is the
   *    forgotten docs' distinct token buckets — capped at
   *    [[PostingBuckets]] regardless of corpus size. N/avgdl/df shift
@@ -53,6 +63,7 @@ object IndexStore {
   case class Paths(root: String) {
     val postings: String = s"$root/postings"
     val docstats: String = s"$root/docstats"
+    val stats: String = s"$root/stats"
   }
 
   /** Token-hash partition count of the postings table — the cap on how
@@ -111,55 +122,82 @@ object IndexStore {
       postingsOf(canon), partitionBy = Seq("bucket"))
     AtomicRewrite.write(spark, p.docstats,
       docstatsOf(canon), partitionBy = Seq("doc_bucket"))
+    refreshStats(spark, root)
   }
 
   /** Append a batch incrementally. Replacement semantics for
-    * re-submitted doc ids: their previous postings are ERASED first
-    * (a changed doc's old tokens may hash into buckets the new tokens
-    * never touch — merge-only would strand them as ghost hits), then
-    * only the buckets the new postings land in are rewritten.
+    * re-submitted doc ids: their previous postings are erased and the
+    * new ones inserted in ONE atomic commit per table — the replaced
+    * partition set is (buckets holding the batch ids' old rows) ∪
+    * (buckets the new rows land in), and the committed frame is the
+    * survivors of those buckets plus the new rows. A changed doc's old
+    * tokens may hash into buckets the new tokens never touch, which is
+    * why the old buckets must join the replaced set: merge-only would
+    * strand them as ghost hits.
     *
-    * The append is FOUR independent commits (two erases, two inserts),
-    * each atomic, none joint — the honest crash windows: a crash before
-    * the postings insert loses the batch's docs from the index; a crash
-    * between the postings insert and the docstats insert leaves them
-    * retrievable while N/avgdl still exclude them, so scores in their
-    * buckets are computed from slightly stale statistics. Both states
-    * self-heal on the source's at-least-once replay (the streaming
-    * sink's redelivery contract); what can NEVER occur is the
-    * non-healing failure mode — a half-merged doc or a stale ghost
-    * posting, which replay would not repair. */
+    * Three commits total (postings, docstats, stats), each atomic —
+    * the honest crash windows: a crash between the postings and
+    * docstats commits leaves the batch retrievable while per-doc dl
+    * bookkeeping excludes it; a crash before the stats commit leaves
+    * the 1-row summary one batch behind the committed docstats. Both
+    * states self-heal on the source's at-least-once replay (the
+    * streaming sink's redelivery contract), and any later successful
+    * mutation — or [[refreshStats]] directly — repairs the summary,
+    * because stats always recomputes from COMMITTED docstats. What can
+    * NEVER occur is the non-healing failure mode — a half-merged doc,
+    * a stale ghost posting, or a batch silently dropped between an
+    * erase and its insert, none of which replay would repair. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val p = Paths(root)
-    require(AtomicRewrite.exists(spark, p.postings),
-      s"no index at $root — build() an index before appending to it")
+    require(AtomicRewrite.exists(spark, p.postings) &&
+        AtomicRewrite.exists(spark, p.docstats),
+      s"no complete index at $root (postings + docstats) — build() an " +
+        "index before appending to it")
     val canon = canonicalBatch(batch, textCol, idCol)
     val ids = canon.select("doc_id")
-    AtomicRewrite.deleteMatching(spark, p.postings, ids, "doc_id")
-    AtomicRewrite.deleteMatching(spark, p.docstats, ids, "doc_id")
     val post = postingsOf(canon).persist()
-    val touched = post.select("bucket").distinct()
-    val bucketIds = touched.collect().map(_.getInt(0)).toSeq
-    if (bucketIds.nonEmpty) {
-      val existing = AtomicRewrite.read(spark, p.postings)
-        .filter(col("bucket").isin(bucketIds: _*))
-      AtomicRewrite.writePartitions(spark, p.postings,
-        existing.unionByName(post), Seq("bucket"),
-        replaced = Some(touched.toDF()))
-    }
+    mergeReplace(spark, p.postings, ids, post, "bucket")
     post.unpersist()
     val ds = docstatsOf(canon).persist()
-    val touchedDs = ds.select("doc_bucket").distinct()
-    val dsIds = touchedDs.collect().map(_.getInt(0)).toSeq
-    if (dsIds.nonEmpty) {
-      val existing = AtomicRewrite.read(spark, p.docstats)
-        .filter(col("doc_bucket").isin(dsIds: _*))
-      AtomicRewrite.writePartitions(spark, p.docstats,
-        existing.unionByName(ds), Seq("doc_bucket"),
-        replaced = Some(touchedDs.toDF()))
-    }
+    mergeReplace(spark, p.docstats, ids, ds, "doc_bucket")
     ds.unpersist()
+    refreshStats(spark, root)
+  }
+
+  /** One-commit replace-merge: commit (survivors of the touched
+    * partitions) ∪ `fresh` where touched = partitions holding `ids`'
+    * old rows ∪ partitions `fresh` lands in. */
+  private def mergeReplace(spark: SparkSession, table: String,
+                           ids: DataFrame, fresh: DataFrame,
+                           partCol: String): Unit = {
+    val existing = AtomicRewrite.read(spark, table)
+    val touched = existing.join(ids, Seq("doc_id"), "left_semi")
+      .select(partCol).union(fresh.select(partCol)).distinct()
+    val partIds = touched.collect().map(_.getInt(0)).toSeq
+    if (partIds.nonEmpty) {
+      val survivors = existing.filter(col(partCol).isin(partIds: _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+      AtomicRewrite.writePartitions(spark, table,
+        survivors.unionByName(fresh), Seq(partCol),
+        replaced = Some(touched.toDF()))
+    }
+  }
+
+  /** Recompute the 1-row corpus summary (doc count, exact total token
+    * length) from the COMMITTED docstats and commit it. Called by every
+    * mutation; callable directly to repair a summary stranded by a
+    * crash between the docstats and stats commits. One narrow
+    * aggregation over the two-column docstats table — a cost every
+    * mutation already pays in the same order, and what it buys is a
+    * serving path that never does. */
+  def refreshStats(spark: SparkSession, root: String): Unit = {
+    val p = Paths(root)
+    AtomicRewrite.write(spark, p.stats,
+      AtomicRewrite.read(spark, p.docstats)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+        .coalesce(1))
   }
 
   /** Right-to-be-forgotten: remove the given doc ids' postings and
@@ -174,6 +212,7 @@ object IndexStore {
     val docIds = ids.toDF("doc_id")
     val a = AtomicRewrite.deleteMatching(spark, p.postings, docIds, "doc_id")
     val b = AtomicRewrite.deleteMatching(spark, p.docstats, docIds, "doc_id")
+    if (b) refreshStats(spark, root)
     a || b
   }
 
@@ -191,6 +230,7 @@ object IndexStore {
       docIds, "doc_id")
     val fromStats = AtomicRewrite.deleteMatchingKeys(spark, p.docstats,
       docIds, "doc_id")
+    if (fromStats.nonEmpty) refreshStats(spark, root)
     (fromPostings ++ fromStats).distinct
   }
 
@@ -224,16 +264,26 @@ object IndexStore {
     require(terms.size <= MaxQueryTerms,
       s"query batch carries ${terms.size} distinct terms, beyond the " +
         s"$MaxQueryTerms plan-size bound — split the batch")
-    if (terms.isEmpty) return qt.select(col("query_id"),
-      lit(0L).as("doc_id"), lit(0.0).as("bm25"), lit(0).as("rank")).limit(0)
+    if (terms.isEmpty) {
+      // the empty frame derives its doc_id type from the committed
+      // postings, so an empty batch's schema can never diverge from the
+      // normal path's (a corpus keyed by string ids would otherwise get
+      // a LongType doc_id here and break downstream unions)
+      val docIdType = AtomicRewrite.read(spark, p.postings)
+        .schema("doc_id").dataType
+      return qt.select(col("query_id"),
+        lit(null).cast(docIdType).as("doc_id"),
+        lit(0.0).as("bm25"), lit(0).as("rank")).limit(0)
+    }
     val post = AtomicRewrite.read(spark, p.postings)
       .filter(col("bucket").isin(bucketIdsOf(spark, terms): _*) &&
         col("token").isin(terms: _*))
     // df per token from the postings just read (one row per (token, doc));
-    // N and avgdl from the narrow docstats table
+    // N and avgdl from the 1-ROW committed summary — the serving path
+    // never aggregates the O(docs) docstats table. sum_dl is an exact
+    // long, so sum_dl / n in double IS avg(dl) bit-for-bit.
     val df = post.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-    val stats = AtomicRewrite.read(spark, p.docstats)
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val stats = corpusStats(spark, p)
     val contrib =
       log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * lit(K1 + 1.0)) /
@@ -251,6 +301,22 @@ object IndexStore {
       Seq("query_id"), Seq(col("bm25").desc, col("doc_id")), k, "rank")
       .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
   }
+
+  /** The (n, avgdl) scalar frame for scoring: the committed 1-row
+    * summary, or — for an index whose summary predates the stats table
+    * or was stranded by a crash between the docstats and stats commits
+    * of the LAST mutation before an upgrade — the docstats aggregate
+    * the summary replaced. The fallback computes the identical values
+    * (sum_dl is exact), so serving correctness never depends on which
+    * path ran. */
+  private def corpusStats(spark: SparkSession, p: Paths): DataFrame =
+    if (AtomicRewrite.exists(spark, p.stats))
+      AtomicRewrite.read(spark, p.stats)
+        .select(col("n_docs").cast("double").as("n"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    else
+      AtomicRewrite.read(spark, p.docstats)
+        .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
 
   /** The distinct posting buckets a term set hashes into — computed
     * with the same xxhash64 the write path used, via a literal frame

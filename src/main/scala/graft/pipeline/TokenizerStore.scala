@@ -21,18 +21,25 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * corpus plus one merge map — linear per round (the measured q110
   * shape). The argmax is a single row COLLECTED per round — the store
   * must persist it, and rounds are the bounded driver-side set (the
-  * merge list IS the artifact). Encoding chains `rounds` boundary-safe
-  * string replaces inside one whole-stage-codegen projection: zero
-  * shuffles, zero state, linear in batch bytes regardless of corpus
-  * size. The merge count is BOUNDED at [[MaxMerges]] (enforced at both
-  * train and encode, the RankLimitToTopK/RewriteMaxK convention): each
-  * merge nests one more replace into the projection's expression tree,
-  * and an unbounded list would eventually blow the codegen method-size
-  * limit or the analyzer's stack on the driver — loud at the API
-  * boundary, never deep inside Catalyst. A production vocabulary beyond
-  * the bound belongs in chunked application (apply [[MaxMerges]]-sized
-  * merge groups with a materialization barrier between chunks), which a
-  * caller can compose from [[merges]] + [[graft.ops.Bpe.applyMerge]].
+  * merge list IS the artifact). Training materializes the corpus after
+  * every round (the cache substitutes each round's input, so a round's
+  * physical plan is always ONE replace over a cached relation), which
+  * is why the projection bound below does not constrain how many merges
+  * can be TRAINED — a production 32k-merge vocabulary trains through
+  * the same loop, paying one aggregation per merge, the BPE optimum.
+  *
+  * Encoding chains boundary-safe string replaces inside one
+  * whole-stage-codegen projection: zero shuffles, zero state, linear in
+  * batch bytes regardless of corpus size. A single projection is
+  * BOUNDED at [[MaxMerges]] merges (the RankLimitToTopK/RewriteMaxK
+  * convention): each merge nests one more replace into the expression
+  * tree, and an unbounded chain would eventually blow the codegen
+  * method-size limit or the analyzer's stack on the driver — loud at
+  * the API boundary, never deep inside Catalyst. [[encode]] serves
+  * vocabularies within the bound; [[encodeChunked]] serves anything
+  * bigger by applying [[MaxMerges]]-sized merge groups with a
+  * materialization barrier between chunks — same semantics, same
+  * result, O(ceil(merges / chunk)) barrier passes over the batch.
   *
   * Erasure note: like trained centroids and the unigram LM
   * ([[LmStore]]), the merge list holds corpus-WIDE pair frequencies —
@@ -65,11 +72,15 @@ object TokenizerStore {
   def train(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text", rounds: Int = 3): Unit = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    require(rounds <= MaxMerges,
-      s"rounds must be <= $MaxMerges (codegen/analyzer bound — chunk " +
-        s"larger vocabularies, see TokenizerStore doc), got $rounds")
-    var cur = corpus.select(Bpe.corpusString(col(textCol)).as("s")).persist()
-    cur.count()
+    // no MaxMerges bound here: each round materializes through an EAGER
+    // localCheckpoint, so neither the expression tree nor the RDD
+    // lineage ever nests — the projection bound protects
+    // single-projection ENCODING only (class note; encodeChunked
+    // round-trips any trained size). persist() is NOT enough as the
+    // barrier: it bounds recompute but keeps the full dependency chain,
+    // and at ~250 rounds the serialized task graph overflows the stack.
+    var cur = corpus.select(Bpe.corpusString(col(textCol)).as("s"))
+      .localCheckpoint()
     val merges = Seq.newBuilder[org.apache.spark.sql.Row]
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -77,15 +88,11 @@ object TokenizerStore {
         case Some(row) if row.getString(0).nonEmpty =>
           val pair = row.getString(0)
           merges += org.apache.spark.sql.Row(r, pair, pair.replace(" ", ""))
-          val next = cur
-            .withColumn("s", Bpe.applyMerge(col("s"), lit(pair))).persist()
-          next.count()
-          cur.unpersist()
-          cur = next
+          cur = cur.withColumn("s", Bpe.applyMerge(col("s"), lit(pair)))
+            .localCheckpoint() // superseded rounds' blocks are GC-reaped
         case _ => done = true // sentinel: no adjacent pair left anywhere
       }
     }
-    cur.unpersist()
     AtomicRewrite.write(spark, Paths(root).merges,
       AtomicRewrite.literalFrame(spark, merges.result(), MergeSchema))
   }
@@ -102,11 +109,50 @@ object TokenizerStore {
     val ms = merges(spark, root).collect()
     require(ms.length <= MaxMerges,
       s"stored merge list has ${ms.length} entries, beyond the " +
-        s"$MaxMerges single-projection bound — apply in chunks instead")
-    val encoded = ms.foldLeft(Bpe.corpusString(col(textCol))) {
-      (s, m) => Bpe.applyMerge(s, lit(m.getString(1)))
-    }
-    df.select(col(idCol), Bpe.streamTokens(encoded).as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+        s"$MaxMerges single-projection bound — use encodeChunked")
+    finish(applyChain(ms, df.select(col(idCol),
+      Bpe.corpusString(col(textCol)).as("__s"))), idCol)
   }
+
+  /** [[encode]] for merge lists beyond the single-projection bound (a
+    * production 32k-merge vocabulary): the ranked merges apply in
+    * groups of `chunkSize`, each group one codegen projection, with a
+    * MATERIALIZATION BARRIER (eager localCheckpoint — plan AND rdd
+    * lineage truncated, the train-loop discipline) between groups, so
+    * no plan ever nests more than `chunkSize` replaces — the analyzer
+    * and codegen see constant-depth trees no matter how large the
+    * vocabulary. Identical output to a single-projection [[encode]] of
+    * the same list (the merge order is the rank order either way).
+    *
+    * The returned frame reads the LAST barrier's checkpointed blocks —
+    * session-lifetime, like the other store round-trips' pinned
+    * results; a durable multi-job handoff belongs in an
+    * [[graft.tx.AtomicRewrite]] table of the encoded output. */
+  def encodeChunked(spark: SparkSession, root: String, df: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    chunkSize: Int = MaxMerges): DataFrame = {
+    require(chunkSize > 0 && chunkSize <= MaxMerges,
+      s"chunkSize must be in [1, $MaxMerges], got $chunkSize")
+    val ms = merges(spark, root).collect()
+    val base = df.select(col(idCol), Bpe.corpusString(col(textCol)).as("__s"))
+    if (ms.length <= chunkSize) return finish(applyChain(ms, base), idCol)
+    var cur: DataFrame = base
+    ms.grouped(chunkSize).foreach { grp =>
+      // the barrier: downstream chunks read checkpointed blocks, never
+      // this chunk's expression chain (superseded blocks GC-reap)
+      cur = applyChain(grp, cur).localCheckpoint()
+    }
+    finish(cur, idCol)
+  }
+
+  /** One projection applying `ms` (in order) to the `__s` stream. */
+  private def applyChain(ms: Array[org.apache.spark.sql.Row],
+                         in: DataFrame): DataFrame =
+    in.withColumn("__s", ms.foldLeft(col("__s")) {
+      (s, m) => Bpe.applyMerge(s, lit(m.getString(1)))
+    })
+
+  private def finish(encoded: DataFrame, idCol: String): DataFrame =
+    encoded.select(col(idCol), Bpe.streamTokens(col("__s")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
 }

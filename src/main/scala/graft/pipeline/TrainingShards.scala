@@ -169,8 +169,13 @@ object TrainingShards {
     prev.select("order_col").limit(1).collect()
       .headOption.map(_.getString(0))
       // a manifest can only be row-less if the epoch was ALREADY fully
-      // erased; any order column yields the same empty aggregate
-      .getOrElse("doc_id")
+      // erased, so any column yields the same empty aggregate — but the
+      // fallback must be a column the shard table actually HAS (an
+      // epoch keyed by something other than doc_id would otherwise hit
+      // an unresolved-column error if this invariant ever shifts), so
+      // take the table's first column rather than assuming a name
+      .getOrElse(
+        AtomicRewrite.read(spark, Paths(root).shards).columns.head)
   }
 
   /** Re-derive the manifest from the committed shard table. */

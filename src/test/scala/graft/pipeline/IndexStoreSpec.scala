@@ -141,6 +141,68 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stats summary: maintained by every mutation; the serving plan never scans docstats") {
+    val root = Files.createTempDirectory("graft-idx-s").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    def stats() = AtomicRewrite.read(spark, p.stats)
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    assert(stats() == (4L, 29L)) // dls 7 + 7 + 9 + 6
+    // the query plan reads postings + the 1-row summary — never the
+    // O(docs) docstats table (the 100 TB serving-path contract)
+    val plan = IndexStore.query(spark, root, q("red"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("docstats"),
+      "serving query plan re-aggregates the docstats table")
+    // forget shifts the summary in the same cycle, and the score shift
+    // it implies is exactly what the forget spec above pins
+    IndexStore.forget(spark, root, Seq(1L).toDF("doc_id"))
+    assert(stats() == (3L, 22L))
+    // append refreshes it too (replacement: doc 4's 6 tokens -> 2)
+    IndexStore.append(spark, root,
+      Seq((4L, "ferries retired")).toDF("doc_id", "text"))
+    assert(stats() == (3L, 18L))
+    // a stranded summary (crash between the docstats and stats commits)
+    // is repairable in place
+    IndexStore.refreshStats(spark, root)
+    assert(stats() == (3L, 18L))
+    spark.catalog.clearCache()
+  }
+
+  test("append is one atomic commit per table: erase+insert can never split") {
+    val root = Files.createTempDirectory("graft-idx-1c").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    val v0 = AtomicRewrite.currentVersion(spark, p.postings).get
+    val d0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    IndexStore.append(spark, root,
+      Seq((4L, "night owl coaches replace the ferries")).toDF("doc_id", "text"))
+    // exactly ONE new version per table — the old four-commit shape
+    // (erase, erase, insert, insert) had a crash window that silently
+    // dropped the batch's docs between its erase and insert
+    assert(AtomicRewrite.currentVersion(spark, p.postings).contains(v0 + 1))
+    assert(AtomicRewrite.currentVersion(spark, p.docstats).contains(d0 + 1))
+    spark.catalog.clearCache()
+  }
+
+  test("append requires BOTH tables: a build crashed between its commits fails upfront") {
+    val root = Files.createTempDirectory("graft-idx-r").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    // simulate the crashed-build state: postings committed, docstats not
+    val fs = new org.apache.hadoop.fs.Path(p.docstats)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p.docstats), true)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.append(spark, root,
+        Seq((9L, "late batch")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("complete index"))
+    // and nothing was mutated before the failure
+    assert(AtomicRewrite.currentVersion(spark, p.postings).contains(0L))
+    spark.catalog.clearCache()
+  }
+
   test("layout: postings land in at most PostingBuckets hive partitions") {
     val root = Files.createTempDirectory("graft-idx-b").toString + "/idx"
     IndexStore.build(spark, root, corpus)

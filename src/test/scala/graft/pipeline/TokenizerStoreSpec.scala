@@ -66,6 +66,57 @@ class TokenizerStoreSpec extends SparkSpec {
       "every single-subword doc must survive unmerged")
   }
 
+  test("a 512+-merge vocabulary trains and round-trips through encodeChunked") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tok-big").toString
+    // two 300-token docs of globally UNIQUE all-alpha tokens: every
+    // adjacent pair is unique (freq 1), so each round merges exactly one
+    // occurrence — 598 merges available, headroom for 515 rounds.
+    // (Repetitive tokens would collapse many positions per merge and
+    // exhaust the corpus early; digits would split into subwords.)
+    def alpha(n: Int): String =
+      "" + ('a' + n / 676).toChar + ('a' + (n / 26) % 26).toChar +
+        ('a' + n % 26).toChar
+    val texts = (0 until 2).map(i =>
+      (i.toLong, (0 until 300).map(j => alpha(i * 300 + j)).mkString(" ")))
+    val corpus = texts.toDF("doc_id", "text")
+    val rounds = 515
+    TokenizerStore.train(spark, root, corpus, rounds = rounds)
+    val ms = TokenizerStore.merges(spark, root).collect()
+    assert(ms.length == rounds, s"expected $rounds merges, got ${ms.length}")
+
+    // a vocabulary past the single-projection bound refuses encode()
+    // loudly and round-trips through the chunked path instead
+    val e = intercept[IllegalArgumentException] {
+      TokenizerStore.encode(spark, root, corpus)
+    }
+    assert(e.getMessage.contains("encodeChunked"))
+
+    // ground truth: the inline Bpe.applyMerge chain applied driver-side
+    // on the same double-space encoding (replace is the same sequential
+    // left-to-right scan in UTF8String, java.lang.String and DuckDB)
+    val pairs = ms.map(_.getString(1))
+    def inline(text: String): Seq[String] = {
+      var s = " " + text.split("\\s+").mkString("  ") + " "
+      for (p <- pairs)
+        s = s.replace(" " + p.replace(" ", "  ") + " ",
+          " " + p.replace(" ", "") + " ")
+      s.trim.split("  ").toSeq
+    }
+    val got = TokenizerStore.encodeChunked(spark, root, corpus)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) == inline(text),
+        s"doc $id: chunked encode diverged from the inline merge chain")
+    }
+    // and a different chunk size yields the identical result (chunking
+    // is an execution shape, never a semantic)
+    val got64 = TokenizerStore.encodeChunked(spark, root, corpus, chunkSize = 64)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(got64 == got)
+    spark.catalog.clearCache()
+  }
+
   test("training is deterministic across runs") {
     val r1 = Files.createTempDirectory("graft-tok-a").toString
     val r2 = Files.createTempDirectory("graft-tok-b").toString
