@@ -1,0 +1,267 @@
+package graft.pipeline
+
+import graft.ops.{PrefixSum, TextOps}
+import graft.tx.{AtomicRewrite, Watermarks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The composed curation-release job — the LLM-side [[Runner]]: one
+  * batch call runs clean → exact-dedup ([[DedupStore]]) → release gate
+  * (quality / holdout / contamination, the q114 cascade minus the dup
+  * check dedup already made) → token-budget selection (q115's
+  * distributed prefix cut) → training-shard publish
+  * ([[TrainingShards]]) → retrieval-index refresh ([[IndexStore]], and
+  * [[AnnIndexStore]] when the batch carries embeddings), all against
+  * PERSISTENT store roots under one root directory, guarded by the same
+  * control-table watermark contract the medallion pipeline uses
+  * (reference analog: the bronze→silver→gold DAG of scripts/run/,
+  * src/bronze/trips_oltp_to_bronze.py:98-176 — re-keyed from trips to
+  * training documents).
+  *
+  * Layout under `root`:
+  * {{{
+  *   _control     // Watermarks table, job = "curation_release"
+  *   dedup_store  // all-time accepted fingerprints (DedupStore)
+  *   corpus       // accepted docs + ingest-time signals, hive-
+  *                // partitioned by batch_id (landed BEFORE the
+  *                // fingerprint commit — the DedupStore crash contract)
+  *   curated      // the released selection (budget cut), one snapshot
+  *   shards       // TrainingShards epoch of the curated selection
+  *   index        // IndexStore over the accepted corpus
+  *   ann          // AnnIndexStore over appended embedding batches
+  * }}}
+  *
+  * Scale shape — the parts that keep a 100 TB corpus incremental:
+  *  - INGEST is O(batch): tokenize/score/gate once per document at
+  *    landing time, so no release ever re-tokenizes history; the dedup
+  *    anti-join probes fingerprints (bytes per doc), the corpus landing
+  *    and index append commit O(batch) through partition manifests.
+  *  - CONTAMINATION is batch ⋈ benchmark (the eval set — small by
+  *    definition), with a benchmark-side document-frequency cap
+  *    bounding stop-shingle fan-out; never corpus ⋈ corpus.
+  *  - RELEASE is a metadata pass: the budget cut orders precomputed
+  *    (id, n_tokens, quality_score) rows via [[PrefixSum]] — the only
+  *    unpartitioned window is its O(partitions) offset frame — and the
+  *    epoch publish writes O(selection). Publishing every batch is the
+  *    oracle shape; production runs ingest-only batches
+  *    (`publish = false`) and publishes on release cadence.
+  *
+  * Replay contract (the M1 never-regress semantics):
+  *  - a batch whose `asOf` does not advance the watermark is a FULL
+  *    no-op — no store version burns anywhere, byte-identical state;
+  *  - a crash anywhere before the watermark advance replays the batch:
+  *    landing is idempotent (same batch_id partition, same rows), the
+  *    dedup store re-accepts only what its committed fingerprints
+  *    don't hold, the index append has replacement semantics, and the
+  *    release re-publishes identical content (burning versions, never
+  *    changing state);
+  *  - a FAILED run records `FAIL:<cause>` with a NULL watermark
+  *    (never-regress), so the next run retries the same cut.
+  */
+object CurationRunner {
+
+  val Job = "curation_release"
+
+  case class Paths(root: String) {
+    val control: String = s"$root/_control"
+    val dedupStore: String = s"$root/dedup_store"
+    val corpus: String = s"$root/corpus"
+    val curated: String = s"$root/curated"
+    val shards: String = s"$root/shards"
+    val index: String = s"$root/index"
+    val ann: String = s"$root/ann"
+  }
+
+  /** Gate + selection knobs. Defaults mirror the oracle-pinned q114 /
+    * q115 constants so the composed job and the inline queries describe
+    * the same release policy. */
+  case class Conf(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      /** Eval/benchmark docs (same idCol/textCol schema) driving the
+        * contamination gate; None disables that gate. */
+      benchmark: Option[DataFrame] = None,
+      budgetShare: Double = 0.4,
+      nShards: Int = 8,
+      minChars: Int = 100,
+      minStopRatio: Double = 0.05,
+      /** A doc sharing at least this many distinct 3-gram shingles with
+        * the benchmark is contaminated. */
+      contamShingles: Int = 3,
+      /** Benchmark-side doc-frequency cap per shingle — bounds the
+        * stop-shingle join fan-out (the q56 [2,100] cap's upper half;
+        * the lower half is a dedup-join symmetry concern that does not
+        * apply to a fixed reference side). */
+      benchDfCap: Int = 100,
+      /** ANN store training shape for the first embedding batch. */
+      annK: Int = 16,
+      annIters: Int = 2)
+
+  /** Run one curation batch end-to-end; returns the (possibly
+    * re-)published curated selection. `embeddings` (vec_id, embedding)
+    * rides the same cycle into the ANN store when present;
+    * `publish = false` skips the release phase (ingest-only cadence).
+    */
+  def runBatch(spark: SparkSession, root: String, batch: DataFrame,
+               asOf: Timestamp, batchId: String, conf: Conf = Conf(),
+               embeddings: Option[DataFrame] = None,
+               publish: Boolean = true): DataFrame = {
+    val p = Paths(root)
+    Watermarks.bootstrap(spark, p.control)
+    val wm = Watermarks.read(spark, p.control, Job)
+    if (wm.exists(w => !asOf.after(w)))
+      // watermark not advanced -> the batch was already fully committed
+      // (or is out of order): FULL no-op, nothing burns a version
+      return AtomicRewrite.read(spark, p.curated)
+    try {
+      val gated = gate(clean(batch, conf), conf)
+      val accepted = DedupStore.acceptNew(spark, p.dedupStore, gated,
+        conf.idCol, DedupStore.textFingerprint(col(conf.textCol)),
+        land = df => land(spark, p, df, batchId, conf))
+      refreshIndexes(spark, p, accepted, embeddings, conf)
+      accepted.unpersist()
+      if (publish) release(spark, p, conf)
+      Watermarks.advance(spark, p.control, Job, Some(asOf), "SUCCESS", asOf)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try Watermarks.advance(spark, p.control, Job, None,
+          s"FAIL:${e.getClass.getSimpleName}", asOf)
+        catch { case scala.util.control.NonFatal(e2) => e.addSuppressed(e2) }
+        throw e
+    }
+    AtomicRewrite.read(spark, p.curated)
+  }
+
+  /** Rows with nothing to curate never enter the pipeline: no id, no
+    * text, or blank text (a blank doc has no fingerprint, no tokens and
+    * no index presence — rejecting it here keeps every downstream
+    * invariant trivially true). */
+  private def clean(batch: DataFrame, conf: Conf): DataFrame =
+    batch.filter(col(conf.idCol).isNotNull && col(conf.textCol).isNotNull &&
+      trim(col(conf.textCol)) =!= "")
+
+  /** Ingest-time signals + the release-gate verdict, one row per doc:
+    * `n_tokens`, `quality_score` (q31's formula), and `reason`/`keep`
+    * (the q114 cascade order minus exact-dup, which [[DedupStore]]
+    * enforces upstream). Everything is a narrow map or a batch-sized
+    * keyed agg; the one join is batch ⋈ benchmark shingles. */
+  private def gate(batch: DataFrame, conf: Conf): DataFrame = {
+    val id = col(conf.idCol)
+    val toks = TextOps.tokens(col(conf.textCol))
+    val base = batch
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__stop", TextOps.tokenHits(toks, TextOps.StopwordsEn))
+      .withColumn("quality_score",
+        round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+          least(col("__stop") / col("n_tokens") * 5, lit(1.0)) * 0.5, 6))
+      .withColumn("__nchars", length(col(conf.textCol)).cast("long"))
+      .withColumn("__bucket",
+        conv(substring(sha2(concat_ws("|", lit("split"),
+          id.cast("string")), 256), 1, 4), 16, 10).cast("long") % 100)
+    val contam = contaminated(batch, conf)
+    base.join(contam, Seq(conf.idCol), "left")
+      .withColumn("reason",
+        when(col("__nchars") < conf.minChars, "too_short")
+          .when(col("__stop") / col("n_tokens") < conf.minStopRatio,
+            "low_stopword")
+          .when(col("__bucket") >= 90, "benchmark_holdout")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .otherwise("kept"))
+      .withColumn("keep", col("reason") === "kept")
+      .drop("__stop", "__nchars", "__bucket", "contaminated")
+  }
+
+  /** (idCol, contaminated=true) for batch docs sharing at least
+    * `contamShingles` distinct 3-gram shingles with the benchmark set.
+    * The benchmark side drops shingles carried by more than
+    * `benchDfCap` of ITS docs before the join — the fan-out bound that
+    * keeps a stop-shingle from matching every batch doc. A doc
+    * identical to an eval doc is contaminated by construction,
+    * including the eval doc itself leaking into ingest. */
+  private def contaminated(batch: DataFrame, conf: Conf): DataFrame = {
+    val empty = batch.select(col(conf.idCol)).limit(0)
+      .withColumn("contaminated", lit(true))
+    conf.benchmark match {
+      case None => empty
+      case Some(bench) =>
+        val bsh = bench.select(col(conf.idCol).as("__bid"),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col(conf.textCol)), 3))).as("__sh"))
+        val bkeep = bsh.groupBy("__sh")
+          .agg(countDistinct(col("__bid")).as("__bdf"))
+          .filter(col("__bdf") <= conf.benchDfCap)
+          .select("__sh").distinct()
+        batch.select(col(conf.idCol),
+            explode(array_distinct(
+              TextOps.shingles(TextOps.tokens(col(conf.textCol)), 3))).as("__sh"))
+          .join(bkeep, "__sh")
+          .groupBy(conf.idCol)
+          .agg(countDistinct(col("__sh")).as("__shared"))
+          .filter(col("__shared") >= conf.contamShingles)
+          .select(col(conf.idCol), lit(true).as("contaminated"))
+    }
+  }
+
+  /** Land the accepted rows into the corpus, hive-partitioned by
+    * batch_id: a replay of the same batch replaces its own partition
+    * with identical rows (idempotent), every other batch rides the
+    * manifest by reference — O(batch) bytes per commit. Skipped when
+    * nothing was accepted: an empty landing must not burn a version,
+    * and must NEVER name its partition as replaced (a fully-replayed
+    * batch would otherwise erase its own previously landed rows). */
+  private def land(spark: SparkSession, p: Paths, accepted: DataFrame,
+                   batchId: String, conf: Conf): Unit =
+    if (!accepted.isEmpty)
+      AtomicRewrite.writePartitions(spark, p.corpus,
+        accepted.withColumn("batch_id", lit(batchId)), Seq("batch_id"))
+
+  /** Incremental index refresh from the accepted rows: BM25 postings
+    * append (replacement semantics) and, when the batch carries
+    * embeddings, the ANN cell append — both O(batch + touched
+    * partitions). First batch builds; empty batches skip entirely. */
+  private def refreshIndexes(spark: SparkSession, p: Paths,
+                             accepted: DataFrame,
+                             embeddings: Option[DataFrame],
+                             conf: Conf): Unit = {
+    if (!accepted.isEmpty) {
+      if (AtomicRewrite.exists(spark, IndexStore.Paths(p.index).postings))
+        IndexStore.append(spark, p.index, accepted, conf.textCol, conf.idCol)
+      else
+        IndexStore.build(spark, p.index, accepted, conf.textCol, conf.idCol)
+    }
+    embeddings.filterNot(_.isEmpty).foreach { em =>
+      val vecs = em.select(col("vec_id"), col("embedding"))
+      if (AtomicRewrite.exists(spark, AnnIndexStore.Paths(p.ann).centroids))
+        AnnIndexStore.append(spark, p.ann, vecs)
+      else
+        AnnIndexStore.build(spark, p.ann, vecs,
+          AnnIndexStore.trainCentroids(vecs, conf.annK, conf.annIters))
+    }
+  }
+
+  /** The release phase: greedy token-budget cut over the ALL-TIME kept
+    * corpus (quality DESC, id — q115's distributed prefix sum, which
+    * also mints the contiguous `train_pos` training order in the same
+    * pass), snapshot to `curated`, then publish the epoch through
+    * [[TrainingShards.build]]. A pure metadata pass over precomputed
+    * ingest signals — the corpus text is read only by the shard
+    * publish, which is O(selection) by definition. */
+  private def release(spark: SparkSession, p: Paths, conf: Conf): Unit = {
+    val kept = AtomicRewrite.read(spark, p.corpus).filter(col("keep"))
+    val (cum, cached) = PrefixSum.runningTotals(kept,
+      Seq(col("quality_score").desc, col(conf.idCol)),
+      Seq((col("n_tokens"), "cum_tokens"), (lit(1L), "train_pos")))
+    val budget = cached.agg(
+      floor(sum("n_tokens") * lit(conf.budgetShare)).cast("long").as("__budget"))
+    val sel = cum.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("__budget")).drop("__budget")
+    AtomicRewrite.write(spark, p.curated, sel)
+    cached.unpersist()
+    // the epoch derives from the COMMITTED selection (the
+    // TrainingShards manifest discipline applied one level up)
+    TrainingShards.build(spark, p.shards,
+      AtomicRewrite.read(spark, p.curated), conf.nShards)
+  }
+}

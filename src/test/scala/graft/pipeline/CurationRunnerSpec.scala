@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contract of the composed curation-release job: batches are
+  * incremental (dedup against all-time state, index appends, epoch
+  * republish), a watermark-guarded replay is a FULL no-op (no version
+  * burns anywhere), a crash-shaped replay cannot erase landed state,
+  * failures record FAIL without regressing the watermark, and the gate/
+  * budget/publish composition holds its invariants end-to-end.
+  */
+class CurationRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  // stopword-rich long text -> passes the length and stopword gates
+  private def longText(tag: String): String =
+    s"the $tag line of the network is a story of the morning " +
+      s"and the $tag crews in the yard keep it moving to a plan " +
+      s"that is part of the daily schedule of the city"
+
+  private def batch1: DataFrame = Seq(
+    (1L, longText("red")),
+    (2L, longText("blue")),
+    (3L, "tiny doc"), // too_short
+    (4L, longText("green"))).toDF("doc_id", "text")
+
+  private def batch2: DataFrame = Seq(
+    (5L, longText("red")), // exact dup of doc 1 -> rejected by the store
+    (6L, longText("amber")),
+    (7L, longText("violet"))).toDF("doc_id", "text")
+
+  private def versions(p: CurationRunner.Paths): Map[String, Option[Long]] = {
+    val sp = TrainingShards.Paths(p.shards)
+    val ip = IndexStore.Paths(p.index)
+    Map(
+      "control" -> AtomicRewrite.currentVersion(spark, p.control),
+      "dedup" -> AtomicRewrite.currentVersion(spark, p.dedupStore),
+      "corpus" -> AtomicRewrite.currentVersion(spark, p.corpus),
+      "curated" -> AtomicRewrite.currentVersion(spark, p.curated),
+      "shards" -> AtomicRewrite.currentVersion(spark, sp.shards),
+      "manifest" -> AtomicRewrite.currentVersion(spark, sp.manifest),
+      "postings" -> AtomicRewrite.currentVersion(spark, ip.postings),
+      "stats" -> AtomicRewrite.currentVersion(spark, ip.stats))
+  }
+
+  test("two incremental batches, watermark no-op replay, crash-replay safety") {
+    val root = Files.createTempDirectory("graft-cur").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2)
+
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf)
+    val corpus1 = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus1.count() == 4, "batch 1 lands every unseen doc")
+    assert(corpus1.filter(col("doc_id") === 3L).select("reason")
+      .as[String].head() == "too_short")
+
+    val cur2 = CurationRunner.runBatch(spark, root, batch2, ts(2), "b2", conf)
+    val corpus2 = AtomicRewrite.read(spark, p.corpus)
+    // doc 5 carries doc 1's exact text -> the all-time fingerprint
+    // store rejects it; only 6 and 7 land
+    assert(corpus2.count() == 6, s"got ${corpus2.count()}")
+    assert(corpus2.filter(col("doc_id") === 5L).isEmpty,
+      "a cross-batch exact duplicate must not re-land")
+    assert(corpus2.filter(col("batch_id") === "b2").count() == 2)
+
+    // the index serves the union and never the rejected duplicate
+    val hits = IndexStore.query(spark, root + "/index",
+      Seq((100L, Seq("violet"))).toDF("query_id", "terms"), k = 5)
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(7L))
+    val redHits = IndexStore.query(spark, root + "/index",
+      Seq((100L, Seq("red"))).toDF("query_id", "terms"), k = 5)
+    assert(redHits.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "the duplicate's text must resolve to its first-accepted id only")
+
+    // release invariants: curated is a subset of kept, the published
+    // epoch mirrors it, and the manifest counts the committed shards
+    val curated = AtomicRewrite.read(spark, p.curated)
+    assert(curated.join(corpus2.filter(!col("keep")), Seq("doc_id"),
+      "left_semi").isEmpty, "curated docs must all be gate-kept")
+    val sp = TrainingShards.Paths(p.shards)
+    val shardRows = AtomicRewrite.read(spark, sp.shards)
+    assert(shardRows.count() == curated.count())
+    val manifestDocs = AtomicRewrite.read(spark, sp.manifest)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(manifestDocs == curated.count())
+    assert(cur2.count() == curated.count())
+
+    // watermark-guarded replay: FULL no-op — identical state, zero
+    // version burns in ANY table of the root
+    val before = versions(p)
+    val replay = CurationRunner.runBatch(spark, root, batch2, ts(2), "b2", conf)
+    assert(versions(p) == before, "a watermark no-op must burn no version")
+    assert(replay.count() == curated.count())
+
+    // crash-shaped replay: the batch re-runs under a NEW asOf (the
+    // watermark had not advanced) with everything already committed —
+    // dedup accepts nothing, and the landed corpus partition must
+    // survive (an empty landing never names its partition as replaced)
+    CurationRunner.runBatch(spark, root, batch2, ts(3), "b2", conf)
+    val corpus3 = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus3.count() == 6,
+      "an all-rejected replay must not erase its batch's landed rows")
+    assert(AtomicRewrite.read(spark, p.curated).count() == curated.count())
+    spark.catalog.clearCache()
+  }
+
+  test("a failed batch records FAIL:<cause> and never regresses the watermark") {
+    val root = Files.createTempDirectory("graft-cur-f").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf)
+    // a batch without the text column fails at plan time
+    intercept[Exception] {
+      CurationRunner.runBatch(spark, root,
+        Seq((9L, 1)).toDF("doc_id", "other"), ts(2), "b2", conf)
+    }
+    val row = AtomicRewrite.read(spark, p.control)
+      .filter(col("job_name") === CurationRunner.Job).head()
+    assert(row.getString(3).startsWith("FAIL:"),
+      s"status was ${row.getString(3)}")
+    assert(row.getTimestamp(1) == ts(1),
+      "a FAIL must keep the previous watermark (never-regress)")
+    // the next good batch proceeds from the kept watermark
+    CurationRunner.runBatch(spark, root, batch2, ts(2), "b2", conf)
+    assert(AtomicRewrite.read(spark, p.corpus).count() == 6)
+    spark.catalog.clearCache()
+  }
+
+  test("ingest-only cadence (publish=false) skips the release tables") {
+    val root = Files.createTempDirectory("graft-cur-i").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    // 0.6 of the kept mass: wide enough that the top-quality doc (3x
+    // the mass of any other) fits the greedy prefix
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 0.6)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf)
+    val curatedV = AtomicRewrite.currentVersion(spark, p.curated)
+    val shardsV = AtomicRewrite.currentVersion(spark,
+      TrainingShards.Paths(p.shards).shards)
+    // doc 6 is 3x longer than every batch-1 doc -> top quality score,
+    // so the eventual budget cut MUST select it first (equal-quality
+    // docs would tiebreak to the older batch's lower ids instead)
+    val highQuality = batch2.withColumn("text",
+      when(col("doc_id") === 6L,
+        concat_ws(" ", col("text"), col("text"), col("text")))
+        .otherwise(col("text")))
+    CurationRunner.runBatch(spark, root, highQuality, ts(2), "b2", conf,
+      publish = false)
+    // ingest landed...
+    assert(AtomicRewrite.read(spark, p.corpus).count() == 6)
+    // ...but no epoch republish
+    assert(AtomicRewrite.currentVersion(spark, p.curated) == curatedV)
+    assert(AtomicRewrite.currentVersion(spark,
+      TrainingShards.Paths(p.shards).shards) == shardsV)
+    // the next publishing batch folds the backlog into the release
+    CurationRunner.runBatch(spark, root,
+      Seq((8L, longText("bronze"))).toDF("doc_id", "text"), ts(3), "b3", conf)
+    assert(AtomicRewrite.read(spark, p.curated)
+      .join(AtomicRewrite.read(spark, p.corpus)
+        .filter(col("batch_id") === "b2" && col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi").count() > 0,
+      "a later release must include the ingest-only batch's kept docs")
+    spark.catalog.clearCache()
+  }
+
+  test("embedding batches ride the cycle into the ANN store") {
+    val root = Files.createTempDirectory("graft-cur-a").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, annK = 2, annIters = 1)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(4)(i => (seed * 10 + i).toFloat / 100f)
+    val em1 = Seq((1L, vec(1)), (2L, vec(9))).toDF("vec_id", "embedding")
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf,
+      embeddings = Some(em1))
+    assert(AtomicRewrite.exists(spark, AnnIndexStore.Paths(p.ann).centroids))
+    val em2 = Seq((3L, vec(2))).toDF("vec_id", "embedding")
+    CurationRunner.runBatch(spark, root, batch2, ts(2), "b2", conf,
+      embeddings = Some(em2))
+    val cells = AtomicRewrite.read(spark, AnnIndexStore.Paths(p.ann).cells)
+    assert(cells.select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "the second embedding batch must APPEND, not replace")
+    spark.catalog.clearCache()
+  }
+}
