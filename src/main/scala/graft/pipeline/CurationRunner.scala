@@ -64,6 +64,13 @@ object CurationRunner {
 
   val Job = "curation_release"
 
+  /** The curated snapshot's id-hash partition grain: committed
+    * partition-wise so GDPR erasure rewrites only the buckets holding a
+    * forgotten doc ([[graft.tx.AtomicRewrite.deleteMatching]]), never
+    * the whole selection — the [[IndexStore]] forget-bound shape. */
+  val CuratedBuckets = 32
+  val CuratedBucketCol = "sel_bucket"
+
   case class Paths(root: String) {
     val control: String = s"$root/_control"
     val dedupStore: String = s"$root/dedup_store"
@@ -114,7 +121,7 @@ object CurationRunner {
     if (wm.exists(w => !asOf.after(w)))
       // watermark not advanced -> the batch was already fully committed
       // (or is out of order): FULL no-op, nothing burns a version
-      return AtomicRewrite.read(spark, p.curated)
+      return readCurated(spark, root)
     try {
       val gated = gate(clean(batch, conf), conf)
       val accepted = DedupStore.acceptNew(spark, p.dedupStore, gated,
@@ -131,7 +138,7 @@ object CurationRunner {
         catch { case scala.util.control.NonFatal(e2) => e.addSuppressed(e2) }
         throw e
     }
-    AtomicRewrite.read(spark, p.curated)
+    readCurated(spark, root)
   }
 
   /** Rows with nothing to curate never enter the pipeline: no id, no
@@ -257,11 +264,98 @@ object CurationRunner {
       floor(sum("n_tokens") * lit(conf.budgetShare)).cast("long").as("__budget"))
     val sel = cum.crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("__budget")).drop("__budget")
-    AtomicRewrite.write(spark, p.curated, sel)
+    // partition-committed by id-hash bucket: a release still replaces
+    // the whole snapshot, but an erasure between releases rewrites only
+    // the subject's buckets (see [[storeErasures]])
+    AtomicRewrite.write(spark, p.curated,
+      sel.withColumn(CuratedBucketCol,
+        pmod(xxhash64(lit("curated"), col(conf.idCol)),
+          lit(CuratedBuckets.toLong)).cast("int")),
+      partitionBy = Seq(CuratedBucketCol))
     cached.unpersist()
     // the epoch derives from the COMMITTED selection (the
     // TrainingShards manifest discipline applied one level up)
     TrainingShards.build(spark, p.shards,
-      AtomicRewrite.read(spark, p.curated), conf.nShards)
+      AtomicRewrite.read(spark, p.curated).drop(CuratedBucketCol),
+      conf.nShards)
+  }
+
+  /** The committed curated selection, bucket column dropped — what
+    * [[runBatch]] returns. */
+  def readCurated(spark: SparkSession, root: String): DataFrame =
+    AtomicRewrite.read(spark, Paths(root).curated).drop(CuratedBucketCol)
+
+  /** Per-layer [[Gdpr.StoreErasure]] hooks covering EVERY derived
+    * artifact under a curation root — wire as
+    * `GdprRequests.runIncremental(..., storesFor = _ =>
+    * CurationRunner.storeErasures(spark, root))` so one incoming
+    * erasure request propagates through the composed pipeline's whole
+    * persistent state (dedup fingerprints, landed corpus, curated
+    * selection, published shard epoch, BM25 postings, ANN cells) in the
+    * same watermarked cycle, one audit row per store that actually held
+    * the subject (the reference's propagate-everywhere contract,
+    * gdpr/gdpr_propagate_erasure.py, at composed-pipeline scope).
+    *
+    * Order is part of the contract — [[Gdpr.forgetStores]] runs hooks
+    * in sequence: the dedup store keys on CONTENT fingerprints, and the
+    * only subject→content mapping lives in the corpus this same
+    * sequence later deletes, so the fingerprint hook must run first.
+    *
+    * Subjects are DOCUMENTS here: `subject_id` carries the corpus
+    * `idCol` value; the ANN hook assumes document-keyed embeddings
+    * (`vec_id` = doc id, the layout [[runBatch]] ingests). Every hook
+    * no-ops (Nil — no version burned, no false audit) when its store
+    * doesn't exist yet or holds nothing of the subject, and every
+    * delete is partition-aware: O(touched buckets/shards/batches),
+    * never O(store). */
+  def storeErasures(spark: SparkSession, root: String,
+                    conf: Conf = Conf()): Seq[Gdpr.StoreErasure] = {
+    val p = Paths(root)
+    def asCol(subjects: DataFrame, name: String): DataFrame =
+      subjects.select(col("subject_id").as(name))
+    Seq(
+      Gdpr.StoreErasure("curation/dedup_store", Seq("fingerprint"),
+        subjects =>
+          if (!AtomicRewrite.exists(spark, p.corpus)) Nil
+          else {
+            // the subject's fingerprints derive from its landed text —
+            // read BEFORE the corpus hook below deletes it; matched
+            // fingerprints map back to subject ids through the same
+            // (subject, fingerprint) pairing. A doc REJECTED as a dup
+            // never landed, so its content exists nowhere to erase, and
+            // the canon doc's fingerprint rightly survives its request.
+            val pairs = AtomicRewrite.read(spark, p.corpus)
+              .join(subjects, col(conf.idCol) === col("subject_id"))
+              .select(col("subject_id"),
+                DedupStore.textFingerprint(col(conf.textCol))
+                  .as("fingerprint"))
+            val matched = DedupStore.forgetMatched(spark, p.dedupStore,
+              pairs.select("fingerprint"))
+            if (matched.isEmpty) Nil
+            else pairs.filter(col("fingerprint").isin(matched: _*))
+              .select("subject_id").distinct().collect()
+              .map(_.get(0)).toSeq
+          }),
+      Gdpr.StoreErasure("curation/corpus",
+        Seq(conf.textCol, "n_tokens", "quality_score"),
+        subjects => AtomicRewrite.deleteMatchingKeys(spark, p.corpus,
+          asCol(subjects, conf.idCol), conf.idCol)),
+      Gdpr.StoreErasure("curation/curated",
+        Seq(conf.textCol, "n_tokens", "quality_score"),
+        subjects => AtomicRewrite.deleteMatchingKeys(spark, p.curated,
+          asCol(subjects, conf.idCol), conf.idCol)),
+      Gdpr.StoreErasure("curation/training_shards",
+        Seq(conf.textCol, "n_tokens"),
+        subjects =>
+          if (!AtomicRewrite.exists(spark,
+            TrainingShards.Paths(p.shards).manifest)) Nil
+          else TrainingShards.forgetMatched(spark, p.shards,
+            asCol(subjects, conf.idCol), conf.idCol)),
+      Gdpr.StoreErasure("curation/bm25_index", Seq("postings", "dl"),
+        subjects => IndexStore.forgetMatched(spark, p.index,
+          asCol(subjects, "doc_id"))),
+      Gdpr.StoreErasure("curation/ann_index", Seq("embedding"),
+        subjects => AnnIndexStore.forgetMatched(spark, p.ann,
+          asCol(subjects, "vec_id"))))
   }
 }

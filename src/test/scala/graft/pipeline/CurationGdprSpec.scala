@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One erasure request through the COMPOSED curation pipeline's whole
+  * persistent state: [[GdprRequests.runIncremental]] wired with
+  * [[CurationRunner.storeErasures]] must remove the subject's rows from
+  * the landed corpus, the curated selection, the published shard epoch,
+  * the BM25 postings (+stats), the ANN cells and the dedup fingerprint
+  * store — one audit row per store that actually held the subject —
+  * leave every bystander byte-intact, unblock legitimate re-submission,
+  * and stay watermark-idempotent on replay. */
+class CurationGdprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def longText(tag: String): String =
+    s"the $tag line of the network is a story of the morning " +
+      s"and the $tag crews in the yard keep it moving to a plan " +
+      s"that is part of the daily schedule of the city"
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(4)(i => (seed * 10 + i).toFloat / 100f)
+
+  private def requests(rows: (String, Option[String], Option[Long], String, String, Option[String])*): DataFrame =
+    rows.toSeq
+      .toDF("request_id", "subject_type", "subject_id",
+        "request_type", "status", "processed_at")
+      .withColumn("processed_at", to_timestamp(col("processed_at")))
+
+  test("one request cycle erases a document from every curation layer") {
+    val base = Files.createTempDirectory("graft-cur-gdpr").toString
+    val root = s"$base/rel"
+    val control = s"$base/control"
+    val audit = s"$base/audit"
+    val p = CurationRunner.Paths(root)
+    // budgetShare 1.0: every gate-kept doc reaches curated AND the
+    // published epoch, so the erasure has to touch all six layers
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      annK = 2, annIters = 1)
+
+    CurationRunner.runBatch(spark, root,
+      Seq((1L, longText("red")), (2L, longText("blue")),
+        (3L, longText("green"))).toDF("doc_id", "text"),
+      ts("2024-01-01 00:00:00"), "b1", conf,
+      embeddings = Some(Seq((1L, vec(1)), (2L, vec(9)), (3L, vec(2)))
+        .toDF("vec_id", "embedding")))
+    CurationRunner.runBatch(spark, root,
+      Seq((6L, longText("amber"))).toDF("doc_id", "text"),
+      ts("2024-01-02 00:00:00"), "b2", conf)
+    assert(AtomicRewrite.read(spark, p.corpus).count() == 4)
+
+    val feed = requests(("r1", Some("document"), Some(2L), "erasure",
+      "processed", Some("2024-01-03 10:00:00")))
+    val n = GdprRequests.runIncremental(spark, control, feed,
+      policiesFor = _ => Nil, tableRoot = t => s"$base/$t", audit, "s",
+      ts("2024-01-04 00:00:00"),
+      storesFor = _ => CurationRunner.storeErasures(spark, root, conf))
+    assert(n == 1L)
+
+    // every layer forgot doc 2; every bystander row survived
+    val corpus = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus.filter(col("doc_id") === 2L).isEmpty)
+    assert(corpus.count() == 3)
+    val curated = CurationRunner.readCurated(spark, root)
+    assert(curated.filter(col("doc_id") === 2L).isEmpty)
+    assert(curated.count() == 3)
+    val sp = TrainingShards.Paths(p.shards)
+    val shards = AtomicRewrite.read(spark, sp.shards)
+    assert(shards.filter(col("doc_id") === 2L).isEmpty)
+    assert(shards.count() == 3)
+    assert(AtomicRewrite.read(spark, sp.manifest)
+      .agg(sum("n_docs")).as[Long].head() == 3L,
+      "the manifest must be refreshed from the committed survivors")
+    val ip = IndexStore.Paths(p.index)
+    assert(AtomicRewrite.read(spark, ip.postings)
+      .filter(col("doc_id") === 2L).isEmpty)
+    assert(AtomicRewrite.read(spark, ip.docstats)
+      .filter(col("doc_id") === 2L).isEmpty)
+    assert(AtomicRewrite.read(spark, ip.stats)
+      .select("n_docs").as[Long].head() == 3L,
+      "the 1-row corpus summary must shift in the same erasure cycle")
+    assert(AtomicRewrite.read(spark, AnnIndexStore.Paths(p.ann).cells)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+
+    // one audit row per curation layer, all under the same fingerprint
+    val auditRows = Gdpr.readAudit(spark, audit)
+    assert(auditRows.select("table_name").as[String].collect().sorted.toSeq ==
+      Seq("curation/ann_index", "curation/bm25_index", "curation/corpus",
+        "curation/curated", "curation/dedup_store",
+        "curation/training_shards"))
+    assert(auditRows.select("subject_fingerprint").distinct().count() == 1)
+
+    // replay: nothing past the watermark -> 0 processed, no new audits
+    val n2 = GdprRequests.runIncremental(spark, control, feed,
+      policiesFor = _ => Nil, tableRoot = t => s"$base/$t", audit, "s",
+      ts("2024-01-05 00:00:00"),
+      storesFor = _ => CurationRunner.storeErasures(spark, root, conf))
+    assert(n2 == 0L)
+    assert(Gdpr.readAudit(spark, audit).count() == 6)
+
+    // the fingerprint is gone with the subject: the SAME content under a
+    // new id is a legitimate re-submission, not a duplicate
+    CurationRunner.runBatch(spark, root,
+      Seq((10L, longText("blue"))).toDF("doc_id", "text"),
+      ts("2024-01-06 00:00:00"), "b3", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .filter(col("doc_id") === 10L).count() == 1,
+      "erasure must unblock re-submission of the erased content")
+    spark.catalog.clearCache()
+  }
+
+  test("a subject held nowhere burns no version and claims no audit row") {
+    val base = Files.createTempDirectory("graft-cur-gdpr-n").toString
+    val root = s"$base/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0)
+    CurationRunner.runBatch(spark, root,
+      Seq((1L, longText("red"))).toDF("doc_id", "text"),
+      ts("2024-01-01 00:00:00"), "b1", conf)
+    val before = Seq(p.corpus, p.curated, p.dedupStore,
+      TrainingShards.Paths(p.shards).shards,
+      IndexStore.Paths(p.index).postings)
+      .map(AtomicRewrite.currentVersion(spark, _))
+    val n = GdprRequests.runIncremental(spark, s"$base/control",
+      requests(("r1", Some("document"), Some(99L), "erasure", "processed",
+        Some("2024-01-02 10:00:00"))),
+      policiesFor = _ => Nil, tableRoot = t => s"$base/$t",
+      s"$base/audit", "s", ts("2024-01-03 00:00:00"),
+      storesFor = _ => CurationRunner.storeErasures(spark, root, conf))
+    assert(n == 1L, "the request is consumed even when nothing matches")
+    assert(Seq(p.corpus, p.curated, p.dedupStore,
+      TrainingShards.Paths(p.shards).shards,
+      IndexStore.Paths(p.index).postings)
+      .map(AtomicRewrite.currentVersion(spark, _)) == before,
+      "an unmatched erasure must not rewrite any store")
+    assert(!Gdpr.auditExists(spark, s"$base/audit"),
+      "no store held the subject, so no store may claim an audit row")
+    spark.catalog.clearCache()
+  }
+}
