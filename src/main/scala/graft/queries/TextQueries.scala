@@ -1239,7 +1239,11 @@ object TextQueries {
       val root = tmpStoreRoot(s, dir, "curation")
       val d = docs(s, dir)
       val conf = graft.pipeline.CurationRunner.Conf(
-        benchmark = Some(d.filter(col("doc_id") % 10 === 0)
+        // ~1% of the corpus: a benchmark the size of an eval set. A
+        // benchmark-sized slice keeps the contamination gate selective
+        // (at sf0.1 a 10% slice contaminates every gate-surviving doc
+        // and the release degenerates to an empty epoch).
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)
           .select("doc_id", "text")),
         budgetShare = TokenBudgetShare, nShards = ShardCount)
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
@@ -1259,6 +1263,57 @@ object TextQueries {
         .select(col("shard_id"), col("n_docs").as("shard_docs"),
           col("n_tokens").as("shard_tokens"))
       shards.join(manifest, "shard_id")
+    }),
+
+    // GDPR erasure through the COMPOSED pipeline (q122/q124's contract
+    // at CurationRunner scope): run the q134 release, then forget a
+    // deterministic subject set across EVERY layer in one
+    // [[graft.pipeline.Gdpr.forgetStores]] call wired with
+    // [[graft.pipeline.CurationRunner.storeErasures]] — dedup
+    // fingerprints, landed corpus, curated selection, published epoch,
+    // BM25 postings + the 1-row stats summary. Output: the surviving
+    // epoch joined with its REFRESHED manifest, plus the post-erasure
+    // curated count and the summary's n_docs — so the partition-aware
+    // deletes, the manifest refresh AND the stats maintenance all sit
+    // under one hash compare. Every delete is O(touched partitions):
+    // corpus by batch, curated by id-hash bucket, shards by shard,
+    // postings by token bucket.
+    "q135_curation_forget" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "curgdpr")
+      val d = docs(s, dir)
+      val conf = graft.pipeline.CurationRunner.Conf(
+        // ~1% of the corpus: a benchmark the size of an eval set. A
+        // benchmark-sized slice keeps the contamination gate selective
+        // (at sf0.1 a 10% slice contaminates every gate-surviving doc
+        // and the release degenerates to an empty epoch).
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)
+          .select("doc_id", "text")),
+        budgetShare = TokenBudgetShare, nShards = ShardCount)
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
+      graft.pipeline.Gdpr.forgetStores(s,
+        d.filter(col("doc_id") % 9 === 4).select(col("doc_id").as("subject_id")),
+        "document", graft.pipeline.CurationRunner.storeErasures(s, root, conf),
+        s"$root/audit", "s", ts(3))
+      val p = graft.pipeline.CurationRunner.Paths(root)
+      val sp = graft.pipeline.TrainingShards.Paths(p.shards)
+      val shards = graft.tx.AtomicRewrite.read(s, sp.shards)
+        .select("shard_id", "doc_id", "n_tokens", "quality_score",
+          "train_pos", "cum_tokens")
+      val manifest = graft.tx.AtomicRewrite.read(s, sp.manifest)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      val curatedDocs = graft.pipeline.CurationRunner.readCurated(s, root)
+        .agg(count(lit(1)).as("curated_docs"))
+      val indexDocs = graft.tx.AtomicRewrite.read(s,
+        graft.pipeline.IndexStore.Paths(p.index).stats)
+        .select(col("n_docs").as("index_docs"))
+      shards.join(manifest, "shard_id")
+        .crossJoin(broadcast(curatedDocs))
+        .crossJoin(broadcast(indexDocs))
     }))
 
   /** Coverage thresholds reported by the q121 vocab-sizing curve. */
@@ -1754,7 +1809,7 @@ object TextQueries {
          |        JOIN canon ON h.hh = canon.hh AND cl.doc_id = canon.canon_id),
          |t AS (SELECT doc_id, $ToksSql AS toks FROM acc),
          |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
-         |       WHERE doc_id % 10 = 0),
+         |       WHERE doc_id % 97 = 0),
          |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
          |        FROM bt),
          |bs AS (SELECT sh FROM bsh GROUP BY sh
@@ -1803,6 +1858,72 @@ object TextQueries {
          |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
          |  cum_tokens, shard_docs, shard_tokens
          |FROM a JOIN m USING (shard_id)""".stripMargin,
+    "q135_curation_forget" ->
+      s"""WITH cl AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |         AND trim(text) <> ''),
+         |h AS (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM cl),
+         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+         |acc AS (SELECT cl.* FROM cl JOIN h USING (doc_id)
+         |        JOIN canon ON h.hh = canon.hh AND cl.doc_id = canon.canon_id),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM acc),
+         |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
+         |        FROM bt),
+         |bs AS (SELECT sh FROM bsh GROUP BY sh
+         |       HAVING count(DISTINCT bid) <= 100),
+         |ash AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |contam AS (SELECT ash.doc_id FROM ash JOIN bs USING (sh)
+         |           GROUP BY 1 HAVING count(DISTINCT sh) >= 3),
+         |q AS (SELECT acc.doc_id, length(acc.text) AS nchars,
+         |        len(t.toks) AS n_tokens,
+         |        len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM acc JOIN t USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM acc),
+         |v AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        $QualityScoreSql AS quality_score,
+         |        CASE WHEN q.nchars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+         |             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN spl USING (doc_id) LEFT JOIN contam c USING (doc_id)),
+         |kept AS (SELECT doc_id, n_tokens, quality_score FROM v
+         |         WHERE reason = 'kept'),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM kept),
+         |c2 AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens,
+         |        CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS train_pos
+         |      FROM kept),
+         |sel AS (SELECT doc_id, n_tokens, quality_score, cum_tokens, train_pos
+         |        FROM c2, bud WHERE cum_tokens <= budget),
+         |tgt AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0)
+         |          AS BIGINT), 1) AS target FROM sel),
+         |a AS (SELECT sel.*,
+         |        CAST(greatest(least(CAST(floor((cum_tokens - 1) / target)
+         |          AS BIGINT), ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM sel, tgt),
+         |surv AS (SELECT * FROM a WHERE doc_id % 9 <> 4),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM surv GROUP BY 1),
+         |cd AS (SELECT count(*) AS curated_docs FROM sel
+         |       WHERE doc_id % 9 <> 4),
+         |idx AS (SELECT count(*) AS index_docs FROM acc
+         |        WHERE doc_id % 9 <> 4)
+         |SELECT surv.shard_id, doc_id, n_tokens, quality_score, train_pos,
+         |  cum_tokens, shard_docs, shard_tokens, curated_docs, index_docs
+         |FROM surv JOIN m USING (shard_id), cd, idx""".stripMargin,
     "q117_curriculum" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
          |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
