@@ -121,7 +121,7 @@ object CurationRunner {
     if (wm.exists(w => !asOf.after(w)))
       // watermark not advanced -> the batch was already fully committed
       // (or is out of order): FULL no-op, nothing burns a version
-      return readCurated(spark, root)
+      return curatedOrEmpty(spark, p, batch, conf)
     try {
       val gated = gate(clean(batch, conf), conf)
       val accepted = DedupStore.acceptNew(spark, p.dedupStore, gated,
@@ -138,8 +138,30 @@ object CurationRunner {
         catch { case scala.util.control.NonFatal(e2) => e.addSuppressed(e2) }
         throw e
     }
-    readCurated(spark, root)
+    curatedOrEmpty(spark, p, batch, conf)
   }
+
+  /** [[readCurated]], safe before the first release: an ingest-only
+    * cadence (`publish = false` from the first batch — the streaming
+    * front door's default) has no curated snapshot yet, so return an
+    * empty frame in the snapshot's exact shape instead of throwing
+    * AFTER the batch's state already committed (which would also make
+    * every watermark-guarded replay of that batch crash at the no-op
+    * return). The shape derives from the committed corpus when it
+    * exists, else from the gate over the (lazy, zero-row) batch. */
+  private def curatedOrEmpty(spark: SparkSession, p: Paths,
+                             batch: DataFrame, conf: Conf): DataFrame =
+    if (AtomicRewrite.exists(spark, p.curated)) readCurated(spark, p.root)
+    else {
+      val shape =
+        if (AtomicRewrite.exists(spark, p.corpus))
+          AtomicRewrite.read(spark, p.corpus)
+        else gate(clean(batch, conf), conf)
+          .withColumn("batch_id", lit(""))
+      shape.limit(0)
+        .withColumn("cum_tokens", lit(0L))
+        .withColumn("train_pos", lit(0L))
+    }
 
   /** Rows with nothing to curate never enter the pipeline: no id, no
     * text, or blank text (a blank doc has no fingerprint, no tokens and

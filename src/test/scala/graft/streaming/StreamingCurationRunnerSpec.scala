@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.{CurationRunner, IndexStore, TrainingShards}
+import graft.tx.AtomicRewrite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The streaming front door of the composed curation pipeline: every
+  * micro-batch ingests through the full [[CurationRunner]] cycle
+  * (gate → dedup → corpus landing → BM25 append), releases ride the
+  * publish cadence, and the runner's watermark contract turns the
+  * engine's at-least-once delivery into exactly-once state. */
+class StreamingCurationRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def longText(tag: String): String =
+    s"the $tag line of the network is a story of the morning " +
+      s"and the $tag crews in the yard keep it moving to a plan " +
+      s"that is part of the daily schedule of the city"
+
+  private def q1(terms: String*) =
+    Seq((900L, terms)).toDF("query_id", "terms")
+
+  test("ingest-only cadence publishes on schedule; duplicates and rejects never land") {
+    val root = Files.createTempDirectory("graft-scur").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    // the full kept mass: this test pins the cadence/dedup semantics,
+    // not the budget cut, and a doc may land in the 10% holdout split
+    // by id-hash — a partial share could then select nothing
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // publish every SECOND micro-batch: epoch 0 ingest-only, epoch 1
+    // releases, ... — the ingest-vs-release cadence split
+    val q = StreamingCurationRunner.sink(in.toDF(), root, conf,
+      publishEvery = 2)
+    try {
+      // epoch 0: ingest-only — corpus + index land (rejects land TOO,
+      // carrying their verdict for audit), NO curated epoch yet
+      in.addData(Doc(1L, longText("red")), Doc(2L, "tiny doc"))
+      q.processAllAvailable()
+      assert(AtomicRewrite.read(spark, p.corpus)
+        .filter(col("keep"))
+        .select("doc_id").as[Long].collect().toSet == Set(1L),
+        "only doc 1 may carry a keep verdict")
+      assert(IndexStore.query(spark, root + "/index", q1("red"))
+        .select("doc_id").as[Long].collect().toSet == Set(1L),
+        "an ingested doc must be retrievable before any release")
+      assert(AtomicRewrite.currentVersion(spark, p.curated).isEmpty,
+        "an ingest-only epoch must not publish")
+
+      // epoch 1: carries an exact dup of doc 1 plus a fresh doc, and
+      // RELEASES — the curated epoch folds the epoch-0 backlog in
+      in.addData(Doc(3L, longText("red")), Doc(4L, longText("blue")))
+      q.processAllAvailable()
+      assert(AtomicRewrite.read(spark, p.corpus)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
+        "the all-time fingerprint store must reject cross-batch dups")
+      val curated = CurationRunner.readCurated(spark, root)
+        .select("doc_id").as[Long].collect().toSet
+      assert(curated.subsetOf(Set(1L, 4L)) && curated.nonEmpty)
+      assert(AtomicRewrite.read(spark,
+        TrainingShards.Paths(p.shards).manifest).count() > 0,
+        "the release must publish a shard epoch")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
+  test("crash replay of a committed epoch is a byte-identical no-op") {
+    val root = Files.createTempDirectory("graft-scur-r").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2)
+    val epoch0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingCurationRunner.sink(in.toDF(), root, conf,
+      publishEvery = 1, epoch0 = epoch0)
+    try {
+      in.addData(Doc(1L, longText("red")), Doc(2L, longText("blue")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = Seq(p.control, p.dedupStore, p.corpus, p.curated)
+      .map(AtomicRewrite.currentVersion(spark, _))
+
+    // a restarted stream re-delivers epoch 0 (at-least-once): same
+    // epoch id -> same asOf -> the watermark guard makes it a FULL
+    // no-op, burning zero versions anywhere
+    val in2 = MemoryStream[Doc]
+    val q2 = StreamingCurationRunner.sink(in2.toDF(), root, conf,
+      publishEvery = 1, epoch0 = epoch0)
+    try {
+      in2.addData(Doc(1L, longText("red")), Doc(2L, longText("blue")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = Seq(p.control, p.dedupStore, p.corpus, p.curated)
+      .map(AtomicRewrite.currentVersion(spark, _))
+    assert(after == before,
+      s"replayed epoch burned a version: $before -> $after")
+    spark.catalog.clearCache()
+  }
+
+  test("empty micro-batches skip the runner entirely") {
+    val root = Files.createTempDirectory("graft-scur-e").toString + "/rel"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingCurationRunner.sink(in.toDF(), root)
+    try {
+      q.processAllAvailable() // no data at all
+      assert(!AtomicRewrite.exists(spark,
+        CurationRunner.Paths(root).control),
+        "an empty epoch must not even bootstrap the control table")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+}
