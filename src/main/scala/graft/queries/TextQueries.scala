@@ -1247,8 +1247,12 @@ object TextQueries {
           .select("doc_id", "text")),
         budgetShare = TokenBudgetShare, nShards = ShardCount)
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      // batch 1 is ingest-only (the production cadence: publish on
+      // release schedule, not per batch); the release is all-time, so
+      // batch 2's epoch folds the backlog in — identical final state,
+      // one release instead of two
       graft.pipeline.CurationRunner.runBatch(s, root,
-        d.filter(col("doc_id") < 200), ts(1), "b1", conf)
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
       graft.pipeline.CurationRunner.runBatch(s, root,
         d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
       // watermark-guarded replay: byte-identical state, no version burns
@@ -1290,8 +1294,9 @@ object TextQueries {
           .select("doc_id", "text")),
         budgetShare = TokenBudgetShare, nShards = ShardCount)
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      // ingest-only batch 1 + publishing batch 2, as in q134
       graft.pipeline.CurationRunner.runBatch(s, root,
-        d.filter(col("doc_id") < 200), ts(1), "b1", conf)
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
       graft.pipeline.CurationRunner.runBatch(s, root,
         d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
       graft.pipeline.Gdpr.forgetStores(s,
