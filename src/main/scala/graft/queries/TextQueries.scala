@@ -1190,6 +1190,37 @@ object TextQueries {
       graft.pipeline.IndexStore.query(s, root, q, k = 5)
     }),
 
+    // Incremental APPEND through the persisted BM25 index, under the
+    // same hash compare as q123: build over two-thirds of the corpus,
+    // then one append carrying both the remaining third (new docs) and
+    // CORRECTED re-submissions of already-indexed docs (their text
+    // gains two tokens), then the q123 query batch. The oracle scores
+    // the EFFECTIVE corpus — originals, except the corrected docs'
+    // amended text — so replacement semantics (a re-submitted doc's
+    // old postings erased everywhere, df/N/avgdl shifted to the merged
+    // state) sit under the score hash, not just a spec: a ghost
+    // posting, a double-counted dl or a stale stats summary would all
+    // move some bm25 value. The append itself is the one-atomic-commit
+    // merge per table (replaced = old ∪ new buckets).
+    "q136_bm25_append" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "bm25a")
+      val d = docs(s, dir)
+      graft.pipeline.IndexStore.build(s, root,
+        d.filter(col("doc_id") % 3 =!= 0))
+      val fresh = d.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+      val corrected = d
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" corrected review")).as("text"))
+      graft.pipeline.IndexStore.append(s, root,
+        fresh.unionByName(corrected))
+      val q = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(array_sort(array_distinct(toks)), 1, 4).as("terms"))
+      graft.pipeline.IndexStore.query(s, root, q, k = 5)
+    }),
+
     // Vocabulary-coverage curve (the tokenizer-sizing question: how many
     // vocabulary entries cover 50/90/99% of corpus tokens?): rank the
     // vocab by frequency and take, per threshold, the smallest prefix
@@ -1781,6 +1812,37 @@ object TextQueries {
         |FROM h JOIN canon USING (hh) GROUP BY 1""".stripMargin,
     "q123_bm25_store" -> bm25StoreOracle(kept = "TRUE"),
     "q124_bm25_forget" -> bm25StoreOracle(kept = "doc_id % 7 <> 3"),
+    "q136_bm25_append" -> {
+      val k1 = graft.pipeline.IndexStore.K1
+      val b = graft.pipeline.IndexStore.B
+      s"""WITH eff AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+         |             THEN text || ' corrected review' ELSE text END AS text
+         |      FROM documents),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM eff),
+         |q AS (SELECT doc_id AS query_id,
+         |        unnest(list_sort(list_distinct($ToksSql))[1:4]) AS token
+         |      FROM documents WHERE doc_id % 50 = 0),
+         |post AS (SELECT token, doc_id, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+         |         GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+         |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+         |c AS (SELECT q.query_id, p.doc_id,
+         |        CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * ($k1 + 1.0)) /
+         |          (tf + $k1 * (1.0 - $b + $b * dl.dl / avgdl))
+         |          AS DECIMAL(38,6)) AS contrib
+         |      FROM q JOIN post p USING (token) JOIN dfq USING (token)
+         |           JOIN dl ON p.doc_id = dl.doc_id, s),
+         |g AS (SELECT query_id, doc_id,
+         |        round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+         |      FROM c GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM g)
+         |SELECT query_id, doc_id, bm25, rank FROM r WHERE rank <= 5""".stripMargin
+    },
     "q122_shards_forget" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
          |             doc_id + 1 AS train_pos FROM documents),
