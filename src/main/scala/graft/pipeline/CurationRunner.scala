@@ -225,7 +225,11 @@ object CurationRunner {
         batch.select(col(conf.idCol),
             explode(array_distinct(
               TextOps.shingles(TextOps.tokens(col(conf.textCol)), 3))).as("__sh"))
-          .join(bkeep, "__sh")
+          // the benchmark is an eval set — small by definition — so its
+          // shingle keep-list broadcasts rather than shuffling the
+          // batch's full shingle explosion by key (pinned, not left to
+          // AQE's estimate of an agg intermediate)
+          .join(broadcast(bkeep), "__sh")
           .groupBy(conf.idCol)
           .agg(countDistinct(col("__sh")).as("__shared"))
           .filter(col("__shared") >= conf.contamShingles)
