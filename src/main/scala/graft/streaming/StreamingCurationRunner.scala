@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.pipeline.CurationRunner
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import java.sql.Timestamp
@@ -35,6 +36,11 @@ import java.sql.Timestamp
   */
 object StreamingCurationRunner {
 
+  /** Doc-keyed embeddings ride the same cycle into the ANN store when
+    * the stream carries this column (`Array[Float]`, the corpus layout
+    * [[CurationRunner.runBatch]] ingests — vec_id = doc id). */
+  val EmbeddingCol = "embedding"
+
   def sink(stream: DataFrame, root: String,
            conf: CurationRunner.Conf = CurationRunner.Conf(),
            publishEvery: Int = 1,
@@ -44,9 +50,15 @@ object StreamingCurationRunner {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
-          CurationRunner.runBatch(batch.sparkSession, root, batch,
+          val embeddings =
+            if (!batch.columns.contains(EmbeddingCol)) None
+            else Some(batch.filter(col(EmbeddingCol).isNotNull)
+              .select(col(conf.idCol).as("vec_id"), col(EmbeddingCol)))
+          CurationRunner.runBatch(batch.sparkSession, root,
+            batch.drop(EmbeddingCol),
             new Timestamp(epoch0.getTime + epochId + 1),
             s"$runId-$epochId", conf,
+            embeddings = embeddings,
             publish = (epochId + 1) % publishEvery == 0)
           batch.sparkSession.catalog.clearCache()
         }

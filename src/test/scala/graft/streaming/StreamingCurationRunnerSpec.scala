@@ -105,6 +105,31 @@ class StreamingCurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a stream carrying embeddings rides them into the ANN store; corpus stays blob-free") {
+    val root = Files.createTempDirectory("graft-scur-v").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      annK = 2, annIters = 1)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Array[Float])]
+    val q = StreamingCurationRunner.sink(
+      in.toDF().toDF("doc_id", "text", "embedding"), root, conf)
+    try {
+      in.addData((1L, longText("red"), Array(0.1f, 0.2f, 0.3f, 0.4f)),
+        (2L, longText("blue"), Array(0.9f, 0.1f, 0.0f, 0.2f)))
+      q.processAllAvailable()
+      assert(AtomicRewrite.read(spark,
+        graft.pipeline.AnnIndexStore.Paths(p.ann).cells)
+        .select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
+        "embedding rows must land in the ANN store keyed by doc id")
+      assert(!AtomicRewrite.read(spark, p.corpus).columns
+        .contains("embedding"),
+        "the corpus must not duplicate the embedding blob")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("empty micro-batches skip the runner entirely") {
     val root = Files.createTempDirectory("graft-scur-e").toString + "/rel"
     implicit val sqlCtx = spark.sqlContext
