@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 /** The composed curation-release job — the LLM-side [[Runner]]: one
-  * batch call runs clean → exact-dedup ([[DedupStore]]) → release gate
-  * (quality / holdout / contamination, the q114 cascade minus the dup
-  * check dedup already made) → token-budget selection (q115's
-  * distributed prefix cut) → training-shard publish
+  * batch call runs clean → exact-dedup ([[DedupStore]]) → near-dup
+  * rejection ([[NearDupStore]], when `Conf.nearDupThreshold` is set) →
+  * release gate (quality / holdout / contamination, the q114 cascade
+  * minus the dup checks the stores already made) → token-budget
+  * selection (q115's distributed prefix cut) → training-shard publish
   * ([[TrainingShards]]) → retrieval-index refresh ([[IndexStore]], and
   * [[AnnIndexStore]] when the batch carries embeddings), all against
   * PERSISTENT store roots under one root directory, guarded by the same
@@ -22,15 +23,17 @@ import java.sql.Timestamp
   *
   * Layout under `root`:
   * {{{
-  *   _control     // Watermarks table, job = "curation_release"
-  *   dedup_store  // all-time accepted fingerprints (DedupStore)
-  *   corpus       // accepted docs + ingest-time signals, hive-
-  *                // partitioned by batch_id (landed BEFORE the
-  *                // fingerprint commit — the DedupStore crash contract)
-  *   curated      // the released selection (budget cut), one snapshot
-  *   shards       // TrainingShards epoch of the curated selection
-  *   index        // IndexStore over the accepted corpus
-  *   ann          // AnnIndexStore over appended embedding batches
+  *   _control       // Watermarks table, job = "curation_release"
+  *   dedup_store    // all-time accepted fingerprints (DedupStore)
+  *   neardup_store  // all-time accepted MinHash signatures
+  *                  // (NearDupStore; only with nearDupThreshold)
+  *   corpus         // accepted docs + ingest-time signals, hive-
+  *                  // partitioned by batch_id (landed BEFORE the
+  *                  // store commits — the DedupStore crash contract)
+  *   curated        // the released selection (budget cut), one snapshot
+  *   shards         // TrainingShards epoch of the curated selection
+  *   index          // IndexStore over the accepted corpus
+  *   ann            // AnnIndexStore over appended embedding batches
   * }}}
   *
   * Scale shape — the parts that keep a 100 TB corpus incremental:
@@ -53,10 +56,14 @@ import java.sql.Timestamp
   *    no-op — no store version burns anywhere, byte-identical state;
   *  - a crash anywhere before the watermark advance replays the batch:
   *    landing is idempotent (same batch_id partition, same rows), the
-  *    dedup store re-accepts only what its committed fingerprints
-  *    don't hold, the index append has replacement semantics, and the
+  *    dedup stores re-accept only what their committed state doesn't
+  *    hold, the index appends have replacement semantics, and the
   *    release re-publishes identical content (burning versions, never
-  *    changing state);
+  *    changing state). The index refresh reads the batch's DURABLE
+  *    corpus partition rather than the in-flight accepted frame, so a
+  *    replay where the dedup stores reject everything (crash landed
+  *    after their commits) still converges the indexes to the landed
+  *    rows instead of silently skipping them;
   *  - a FAILED run records `FAIL:<cause>` with a NULL watermark
   *    (never-regress), so the next run retries the same cut.
   */
@@ -74,6 +81,7 @@ object CurationRunner {
   case class Paths(root: String) {
     val control: String = s"$root/_control"
     val dedupStore: String = s"$root/dedup_store"
+    val nearDupStore: String = s"$root/neardup_store"
     val corpus: String = s"$root/corpus"
     val curated: String = s"$root/curated"
     val shards: String = s"$root/shards"
@@ -104,7 +112,13 @@ object CurationRunner {
       benchDfCap: Int = 100,
       /** ANN store training shape for the first embedding batch. */
       annK: Int = 16,
-      annIters: Int = 2)
+      annIters: Int = 2,
+      /** Estimated-Jaccard threshold for MinHash/LSH NEAR-dup rejection
+        * against the all-time [[NearDupStore]]; None (the default)
+        * disables the stage. Runs AFTER exact dedup — the near-dup
+        * signature pass only pays for content the fingerprint store has
+        * not already rejected byte-for-byte. */
+      nearDupThreshold: Option[Double] = None)
 
   /** Run one curation batch end-to-end; returns the (possibly
     * re-)published curated selection. `embeddings` (vec_id, embedding)
@@ -124,11 +138,36 @@ object CurationRunner {
       return curatedOrEmpty(spark, p, batch, conf)
     try {
       val gated = gate(clean(batch, conf), conf)
-      val accepted = DedupStore.acceptNew(spark, p.dedupStore, gated,
-        conf.idCol, DedupStore.textFingerprint(col(conf.textCol)),
-        land = df => land(spark, p, df, batchId, conf))
-      refreshIndexes(spark, p, accepted, embeddings, conf)
-      accepted.unpersist()
+      // commit order: corpus landing → near-dup signatures → exact
+      // fingerprints. The durable landing always precedes every store
+      // commit (the DedupStore/NearDupStore crash contract), so a replay
+      // can re-derive everything downstream from the corpus partition.
+      // With near-dup on, the fingerprint store commits ONLY what the
+      // nested stage landed (acceptThrough): a ghost fingerprint of
+      // never-landed content would block re-submission forever and be
+      // unreachable by the corpus-driven GDPR hook below.
+      val fpCol = DedupStore.textFingerprint(col(conf.textCol))
+      (conf.nearDupThreshold match {
+        case None =>
+          DedupStore.acceptNew(spark, p.dedupStore, gated, conf.idCol,
+            fpCol, land = df => land(spark, p, df, batchId, conf))
+        case Some(t) =>
+          DedupStore.acceptThrough(spark, p.dedupStore, gated, conf.idCol,
+            fpCol) { df =>
+            NearDupStore.acceptNew(spark, p.nearDupStore, df,
+              conf.idCol, conf.textCol, t,
+              land = rows => land(spark, p, rows, batchId, conf))
+          }
+      }).unpersist()
+      // the index refresh derives from the DURABLE landing, never the
+      // in-flight accepted frame: a replay of a batch whose stores
+      // already committed (dedup accepts nothing) still re-appends the
+      // landed rows — replacement semantics make that idempotent — so
+      // no crash point between the store commits and here can strand
+      // corpus docs outside the indexes
+      val landed = landedBatch(spark, p, batchId)
+      refreshIndexes(spark, p, landed,
+        guardEmbeddings(embeddings, batch, landed, conf), conf)
       if (publish) release(spark, p, conf)
       Watermarks.advance(spark, p.control, Job, Some(asOf), "SUCCESS", asOf)
     } catch {
@@ -250,19 +289,55 @@ object CurationRunner {
       AtomicRewrite.writePartitions(spark, p.corpus,
         accepted.withColumn("batch_id", lit(batchId)), Seq("batch_id"))
 
-  /** Incremental index refresh from the accepted rows: BM25 postings
-    * append (replacement semantics) and, when the batch carries
+  /** The batch's DURABLY landed rows — the corpus partition written by
+    * [[land]], read back partition-pruned (one `batch_id` dir, O(batch)
+    * bytes). None when nothing of this batch ever landed (corpus absent,
+    * or every row was rejected upstream). This is the index refresh's
+    * input: durable state, identical on a fresh run and on any crash
+    * replay. */
+  private def landedBatch(spark: SparkSession, p: Paths,
+                          batchId: String): Option[DataFrame] = {
+    if (!AtomicRewrite.exists(spark, p.corpus)) None
+    else {
+      val rows = AtomicRewrite.read(spark, p.corpus)
+        .filter(col("batch_id") === batchId).drop("batch_id")
+      if (rows.isEmpty) None else Some(rows)
+    }
+  }
+
+  /** Drop embeddings ORPHANED by this batch's own rejections: a vec_id
+    * that rode in alongside its document but whose document was rejected
+    * (dup of earlier content, null/blank text) must not enter the ANN
+    * store — its canonical doc's embedding represents the content, and a
+    * GDPR erasure keyed by accepted doc ids would never reach the
+    * orphan. Embeddings whose vec_id is NOT in this batch pass through
+    * untouched (the late-rider contract: an embedding may arrive batches
+    * after its text). Both joins are O(batch). */
+  private def guardEmbeddings(embeddings: Option[DataFrame],
+                              batch: DataFrame, landed: Option[DataFrame],
+                              conf: Conf): Option[DataFrame] =
+    embeddings.map { em =>
+      val batchIds = batch.filter(col(conf.idCol).isNotNull)
+        .select(col(conf.idCol).as("vec_id"))
+      val landedIds = landed.map(_.select(col(conf.idCol).as("vec_id")))
+        .getOrElse(batchIds.limit(0))
+      val rejected = batchIds.join(landedIds, Seq("vec_id"), "left_anti")
+      em.join(rejected, Seq("vec_id"), "left_anti")
+    }
+
+  /** Incremental index refresh from the batch's landed rows: BM25
+    * postings append (replacement semantics) and, when the batch carries
     * embeddings, the ANN cell append — both O(batch + touched
     * partitions). First batch builds; empty batches skip entirely. */
   private def refreshIndexes(spark: SparkSession, p: Paths,
-                             accepted: DataFrame,
+                             landed: Option[DataFrame],
                              embeddings: Option[DataFrame],
                              conf: Conf): Unit = {
-    if (!accepted.isEmpty) {
+    landed.foreach { rows =>
       if (AtomicRewrite.exists(spark, IndexStore.Paths(p.index).postings))
-        IndexStore.append(spark, p.index, accepted, conf.textCol, conf.idCol)
+        IndexStore.append(spark, p.index, rows, conf.textCol, conf.idCol)
       else
-        IndexStore.build(spark, p.index, accepted, conf.textCol, conf.idCol)
+        IndexStore.build(spark, p.index, rows, conf.textCol, conf.idCol)
     }
     embeddings.filterNot(_.isEmpty).foreach { em =>
       val vecs = em.select(col("vec_id"), col("embedding"))
@@ -316,8 +391,9 @@ object CurationRunner {
     * `GdprRequests.runIncremental(..., storesFor = _ =>
     * CurationRunner.storeErasures(spark, root))` so one incoming
     * erasure request propagates through the composed pipeline's whole
-    * persistent state (dedup fingerprints, landed corpus, curated
-    * selection, published shard epoch, BM25 postings, ANN cells) in the
+    * persistent state (dedup fingerprints, near-dup signatures, landed
+    * corpus, curated selection, published shard epoch, BM25 postings,
+    * ANN cells) in the
     * same watermarked cycle, one audit row per store that actually held
     * the subject (the reference's propagate-everywhere contract,
     * gdpr/gdpr_propagate_erasure.py, at composed-pipeline scope).
@@ -362,6 +438,13 @@ object CurationRunner {
               .select("subject_id").distinct().collect()
               .map(_.get(0)).toSeq
           }),
+      Gdpr.StoreErasure("curation/neardup_store", Seq("minhash_signature"),
+        subjects =>
+          // content-derived like the fingerprints, but keyed directly by
+          // doc id — no corpus read needed, any order is safe
+          if (!AtomicRewrite.exists(spark, p.nearDupStore)) Nil
+          else NearDupStore.forgetMatched(spark, p.nearDupStore,
+            asCol(subjects, "doc_id"))),
       Gdpr.StoreErasure("curation/corpus",
         Seq(conf.textCol, "n_tokens", "quality_score"),
         subjects => AtomicRewrite.deleteMatchingKeys(spark, p.corpus,

@@ -37,7 +37,26 @@ object DedupStore {
     * rows. */
   def acceptNew(spark: SparkSession, storeRoot: String, batch: DataFrame,
                 idCol: String, fingerprint: Column,
-                land: DataFrame => Unit = _ => ()): DataFrame = {
+                land: DataFrame => Unit = _ => ()): DataFrame =
+    acceptThrough(spark, storeRoot, batch, idCol, fingerprint) { df =>
+      land(df); df
+    }
+
+  /** [[acceptNew]] whose durable sink may itself REJECT rows — the
+    * nested-dedup composition (e.g. a [[NearDupStore]] stage between the
+    * fingerprint check and the corpus landing). `land` returns the rows
+    * it actually landed, and ONLY those rows' fingerprints commit: a
+    * fingerprint of never-landed content would be a ghost — it blocks
+    * legitimate re-submission forever, and a corpus-driven GDPR erasure
+    * (which maps subjects to fingerprints THROUGH the landed text,
+    * [[graft.pipeline.CurationRunner.storeErasures]]) could never reach
+    * it. Misses this creates (a rejected row's exact copy re-probes the
+    * downstream stage instead of being cut here) are a cache miss, not a
+    * correctness loss — the downstream stage holds the authoritative
+    * reject. Returns the rows the SINK landed. */
+  def acceptThrough(spark: SparkSession, storeRoot: String, batch: DataFrame,
+                    idCol: String, fingerprint: Column)
+                   (land: DataFrame => DataFrame): DataFrame = {
     val fp = batch.withColumn("__fp", fingerprint).filter(col("__fp").isNotNull)
     val store =
       if (AtomicRewrite.exists(spark, storeRoot))
@@ -51,7 +70,10 @@ object DedupStore {
     // anti-join would see its own batch's fingerprints
     val out = accepted.drop("__fp").persist()
     out.count()
-    land(out) // durable consumer first — see crash-ordering contract above
+    val landed = land(out) // durable consumer first — crash contract above
+    val committed =
+      if (landed eq out) accepted
+      else accepted.join(landed.select(col(idCol)), Seq(idCol), "left_semi")
     // append-only store commit: each batch's fingerprints land in their
     // own batch_seq partition and every earlier partition rides the
     // manifest by reference — O(batch) bytes per commit, never O(store).
@@ -59,13 +81,13 @@ object DedupStore {
     // StoreMaintenance rebase — AtomicRewrite.compact preserves the
     // hive layout, so it cannot shrink the dir count).
     val seq = AtomicRewrite.currentVersion(spark, storeRoot).map(_ + 1).getOrElse(0L)
-    if (seq == 0L || !accepted.isEmpty) // nothing accepted → no store churn
+    if (seq == 0L || !committed.isEmpty) // nothing accepted → no store churn
       AtomicRewrite.writePartitions(spark, storeRoot,
-        accepted.select(col("__fp").as("fingerprint"))
+        committed.select(col("__fp").as("fingerprint"))
           .withColumn("batch_seq", lit(seq).cast("int")),
         Seq("batch_seq"))
     accepted.unpersist()
-    out
+    landed
   }
 
   /** The q34-style normalized-text fingerprint. */

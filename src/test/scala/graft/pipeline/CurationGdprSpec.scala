@@ -117,6 +117,55 @@ class CurationGdprSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("near-dup signatures are erased with the subject and unblock fuzzy re-submission") {
+    val base = Files.createTempDirectory("graft-cur-gdpr-nd").toString
+    val root = s"$base/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      nearDupThreshold = Some(0.5))
+    // genuinely distinct prose (longText variants are near-dups of
+    // each other and would collapse under the enabled near-dup stage)
+    val harbor = "a harbor ferry waits for the tide while gulls drift " +
+      "over the quay and the captain checks a list of cargo that must " +
+      "reach the island before dark on this cold evening run"
+    val valley = "when the mountain train climbs past the old mill the " +
+      "children wave from a bridge and the driver sounds a horn that " +
+      "echoes along the valley where the snow still sits on the stones"
+    CurationRunner.runBatch(spark, root,
+      Seq((1L, harbor), (2L, valley)).toDF("doc_id", "text"),
+      ts("2024-01-01 00:00:00"), "b1", conf)
+    // a fuzzy copy of doc 1 is blocked while its signature stands
+    CurationRunner.runBatch(spark, root,
+      Seq((5L, harbor + " " + harbor)).toDF("doc_id", "text"),
+      ts("2024-01-02 00:00:00"), "b2", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    GdprRequests.runIncremental(spark, s"$base/control",
+      requests(("r1", Some("document"), Some(1L), "erasure", "processed",
+        Some("2024-01-03 10:00:00"))),
+      policiesFor = _ => Nil, tableRoot = t => s"$base/$t",
+      s"$base/audit", "s", ts("2024-01-04 00:00:00"),
+      storesFor = _ => CurationRunner.storeErasures(spark, root, conf))
+
+    assert(AtomicRewrite.read(spark, p.nearDupStore)
+      .select("doc_id").as[Long].collect().toSet == Set(2L),
+      "the subject's MinHash signature must be erased; bystanders stay")
+    assert(Gdpr.readAudit(spark, s"$base/audit")
+      .select("table_name").as[String].collect()
+      .contains("curation/neardup_store"),
+      "the signature erasure must be audited")
+    // with the ghost signature gone, near-identical content under a new
+    // id is a legitimate re-submission
+    CurationRunner.runBatch(spark, root,
+      Seq((10L, harbor + " " + harbor)).toDF("doc_id", "text"),
+      ts("2024-01-05 00:00:00"), "b3", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .filter(col("doc_id") === 10L).count() == 1,
+      "erasure must unblock fuzzy re-submission of the erased content")
+    spark.catalog.clearCache()
+  }
+
   test("a subject held nowhere burns no version and claims no audit row") {
     val base = Files.createTempDirectory("graft-cur-gdpr-n").toString
     val root = s"$base/rel"

@@ -171,6 +171,97 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("near-dup stage rejects in-batch and cross-batch fuzzy copies") {
+    val root = Files.createTempDirectory("graft-cur-n").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2,
+      nearDupThreshold = Some(0.5))
+    // longText(tag) fixtures differ by ONE word — real near-dups — so
+    // this test needs genuinely distinct prose for its non-dup docs
+    val harbor = "a harbor ferry waits for the tide while gulls drift " +
+      "over the quay and the captain checks a list of cargo that must " +
+      "reach the island before dark on this cold evening run"
+    val valley = "when the mountain train climbs past the old mill the " +
+      "children wave from a bridge and the driver sounds a horn that " +
+      "echoes along the valley where the snow still sits on the stones"
+    // doc 2 doubles doc 1's text: a DIFFERENT fingerprint (exact dedup
+    // passes it) but an almost identical shingle set (near-dup catches)
+    val b1 = Seq(
+      (1L, longText("red")),
+      (2L, longText("red") + " " + longText("red")),
+      (4L, harbor)).toDF("doc_id", "text")
+    CurationRunner.runBatch(spark, root, b1, ts(1), "b1", conf)
+    val corpus1 = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus1.select("doc_id").as[Long].collect().toSet == Set(1L, 4L),
+      "the in-batch near-copy must collapse to its lowest id")
+    assert(AtomicRewrite.read(spark, p.nearDupStore)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 4L),
+      "only accepted survivors' signatures enter the store")
+
+    // batch 2: doc 6 is a fuzzy copy of STORED doc 1 (different tail, so
+    // neither fingerprint nor in-batch collapse catches it); doc 7 is new
+    val b2 = Seq(
+      (6L, longText("red") + " " + longText("red") + " and more"),
+      (7L, valley)).toDF("doc_id", "text")
+    CurationRunner.runBatch(spark, root, b2, ts(2), "b2", conf)
+    val corpus2 = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus2.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 4L, 7L),
+      "a cross-batch near-dup must be rejected against the store")
+    // the released epoch never carries the suppressed near-dups
+    assert(AtomicRewrite.read(spark,
+      TrainingShards.Paths(p.shards).shards)
+      .filter(col("doc_id").isin(2L, 6L)).isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("crash between the store commits and the index refresh converges on replay") {
+    val root = Files.createTempDirectory("graft-cur-c").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2)
+    // construct the crashed state with the stores' own contract: rows
+    // landed in the corpus partition + fingerprints committed, then a
+    // crash BEFORE the index refresh (no postings, no watermark)
+    DedupStore.acceptNew(spark, p.dedupStore, batch1, "doc_id",
+      DedupStore.textFingerprint(col("text")),
+      land = df => AtomicRewrite.writePartitions(spark, p.corpus,
+        df.withColumn("batch_id", lit("b1")), Seq("batch_id"))).unpersist()
+    assert(!AtomicRewrite.exists(spark, IndexStore.Paths(p.index).postings))
+    // the replay: dedup accepts NOTHING (fingerprints already committed),
+    // yet the landed partition must still reach the index
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf,
+      publish = false)
+    assert(AtomicRewrite.read(spark, p.corpus).count() == 4,
+      "the replay must not disturb the landed partition")
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(p.index).stats)
+      .select("n_docs").as[Long].head() == 4L,
+      "the index refresh must derive from the durable landing, not the " +
+        "(empty) replayed accept set")
+    spark.catalog.clearCache()
+  }
+
+  test("embeddings orphaned by their batch's rejections never enter the ANN store") {
+    val root = Files.createTempDirectory("graft-cur-o").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, annK = 2, annIters = 1)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(4)(i => (seed * 10 + i).toFloat / 100f)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf,
+      embeddings = Some(Seq((1L, vec(1)), (4L, vec(4)))
+        .toDF("vec_id", "embedding")))
+    // batch 2: doc 5 is an exact dup (rejected) — its embedding must NOT
+    // ride in; doc 6 lands; vec 2 is a LATE RIDER for batch-1's doc 2
+    // (not in this batch) and passes through untouched
+    val em2 = Seq((5L, vec(5)), (6L, vec(6)), (2L, vec(2)))
+      .toDF("vec_id", "embedding")
+    CurationRunner.runBatch(spark, root, batch2, ts(2), "b2", conf,
+      embeddings = Some(em2))
+    assert(AtomicRewrite.read(spark, AnnIndexStore.Paths(p.ann).cells)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 4L, 6L),
+      "rejected doc 5's embedding must be dropped; late rider 2 must pass")
+    spark.catalog.clearCache()
+  }
+
   test("embedding batches ride the cycle into the ANN store") {
     val root = Files.createTempDirectory("graft-cur-a").toString + "/rel"
     val p = CurationRunner.Paths(root)

@@ -35,6 +35,26 @@ class DedupStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("acceptThrough commits fingerprints only for rows the sink landed") {
+    val root = Files.createTempDirectory("graft-fpt").toString + "/store"
+    def fp = DedupStore.textFingerprint(col("text"))
+    val b1 = Seq((1L, "keep me"), (2L, "drop me downstream"))
+      .toDF("doc_id", "text")
+    // a nested stage (near-dup, policy filter...) rejects doc 2
+    val landed = DedupStore.acceptThrough(spark, root, b1, "doc_id", fp) {
+      df => df.filter(col("doc_id") =!= 2L)
+    }
+    assert(landed.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(AtomicRewrite.read(spark, root).count() == 1,
+      "a never-landed row must leave no ghost fingerprint")
+    // doc 2's content under a new id re-probes the pipeline instead of
+    // being cut by a ghost — the downstream stage owns that reject
+    val b2 = Seq((9L, "drop me downstream")).toDF("doc_id", "text")
+    val a2 = DedupStore.acceptNew(spark, root, b2, "doc_id", fp)
+    assert(a2.select("doc_id").as[Long].collect().toSet == Set(9L))
+    spark.catalog.clearCache()
+  }
+
   test("NULL-fingerprint rows are rejected and never pollute the store") {
     val root = Files.createTempDirectory("graft-fps3").toString + "/store"
     def fp = DedupStore.textFingerprint(col("text"))
