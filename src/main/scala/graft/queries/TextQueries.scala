@@ -1350,6 +1350,38 @@ object TextQueries {
       shards.join(manifest, "shard_id")
         .crossJoin(broadcast(curatedDocs))
         .crossJoin(broadcast(indexDocs))
+    }),
+
+    // The composed release with the NEAR-dup stage armed (q134 +
+    // [[graft.pipeline.NearDupStore]] nested between the fingerprint
+    // check and the corpus landing): batch 1 is ingest-only, batch 2
+    // publishes — so the oracle must replay the INCREMENTAL dedup
+    // semantics (batch-local MinHash/LSH collapse, then batch-2
+    // candidates rejected against batch-1 survivors' signatures; exact
+    // fingerprints exist only for LANDED rows). The released epoch
+    // proves the suppression flowed through gate → budget → shards.
+    "q137_curation_neardup" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "curnd")
+      val d = docs(s, dir)
+      val conf = graft.pipeline.CurationRunner.Conf(
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)
+          .select("doc_id", "text")),
+        budgetShare = TokenBudgetShare, nShards = ShardCount,
+        nearDupThreshold = Some(NearDupThreshold))
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
+      val sp = graft.pipeline.TrainingShards.Paths(
+        graft.pipeline.CurationRunner.Paths(root).shards)
+      val shards = graft.tx.AtomicRewrite.read(s, sp.shards)
+        .select("shard_id", "doc_id", "n_tokens", "quality_score",
+          "train_pos", "cum_tokens")
+      val manifest = graft.tx.AtomicRewrite.read(s, sp.manifest)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      shards.join(manifest, "shard_id")
     }))
 
   /** Coverage thresholds reported by the q121 vocab-sizing curve. */
@@ -1363,6 +1395,10 @@ object TextQueries {
 
   /** Corpus-token share kept by the q115 budget cut. */
   val TokenBudgetShare = 0.4
+
+  /** Estimated-Jaccard cut for the q137 composed near-dup stage (the
+    * q36 threshold; with S=12 signature rows, ≥ 6 equal slots). */
+  val NearDupThreshold = 0.5
 
   /** Per-source token share kept by the q116 cap cut. */
   val SourceCapShare = 0.5
@@ -1991,6 +2027,142 @@ object TextQueries {
          |SELECT surv.shard_id, doc_id, n_tokens, quality_score, train_pos,
          |  cum_tokens, shard_docs, shard_tokens, curated_docs, index_docs
          |FROM surv JOIN m USING (shard_id), cd, idx""".stripMargin,
+    "q137_curation_neardup" -> {
+      val sigCols = (0 until S).map(i => s"  ${minhashSql(i)} AS m$i").mkString(",\n")
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, " +
+          s"sha256(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS bh FROM sig")
+        .mkString("\n UNION ALL ")
+      def est(a: String, b: String) = (0 until S).map(i =>
+        s"(CASE WHEN $a.m$i = $b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // Incremental replay of the two-batch near-dup composition:
+      // e1/e2 = per-batch exact survivors (batch-2 fingerprints exist
+      // only for LANDED batch-1 rows — f1 over s1, not over e1); w1/w2
+      // = per-batch LSH→est-Jaccard connected-component collapse; x2 =
+      // batch-2 reps rejected against batch-1 survivors' signatures.
+      s"""WITH RECURSIVE
+         |cl AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |         AND trim(text) <> ''),
+         |h AS MATERIALIZED (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM cl),
+         |e1 AS MATERIALIZED (SELECT h.doc_id FROM h
+         |       JOIN (SELECT hh, min(doc_id) AS cid FROM h
+         |             WHERE doc_id < 200 GROUP BY 1) c1
+         |         ON h.hh = c1.hh AND h.doc_id = c1.cid),
+         |t AS MATERIALIZED (SELECT doc_id, $ToksSql AS toks FROM cl),
+         |sgt AS MATERIALIZED (SELECT doc_id, list_distinct($ShinglesSql) AS sg FROM t),
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |$sigCols
+         |FROM sgt),
+         |band AS MATERIALIZED ($bandSelects),
+         |band1 AS MATERIALIZED (SELECT band.* FROM band JOIN e1 USING (doc_id)),
+         |p1 AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM
+         |        (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band1 a JOIN band1 b
+         |           ON a.band_idx = b.band_idx AND a.bh = b.bh
+         |          AND a.doc_id < b.doc_id) cd1
+         |       JOIN sig sa ON doc_a = sa.doc_id
+         |       JOIN sig sb ON doc_b = sb.doc_id
+         |       WHERE (${est("sa", "sb")}) / ${S.toDouble} >= $NearDupThreshold),
+         |ed1 AS MATERIALIZED (SELECT doc_a AS es, doc_b AS ed FROM p1
+         |        UNION ALL SELECT doc_b, doc_a FROM p1),
+         |w1(doc, lab) AS (SELECT doc_id, doc_id FROM e1
+         |  UNION
+         |  SELECT ed1.ed, w1.lab FROM w1 JOIN ed1 ON ed1.es = w1.doc),
+         |s1 AS MATERIALIZED (SELECT doc AS doc_id
+         |       FROM (SELECT doc, min(lab) AS lab FROM w1 GROUP BY 1)
+         |       WHERE lab = doc),
+         |f1 AS MATERIALIZED (SELECT DISTINCT hh FROM h JOIN s1 USING (doc_id)),
+         |h2 AS MATERIALIZED (SELECT h.* FROM h WHERE doc_id >= 200
+         |         AND hh NOT IN (SELECT hh FROM f1)),
+         |e2 AS MATERIALIZED (SELECT h2.doc_id FROM h2
+         |       JOIN (SELECT hh, min(doc_id) AS cid FROM h2 GROUP BY 1) c2x
+         |         ON h2.hh = c2x.hh AND h2.doc_id = c2x.cid),
+         |band2 AS MATERIALIZED (SELECT band.* FROM band JOIN e2 USING (doc_id)),
+         |p2 AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM
+         |        (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band2 a JOIN band2 b
+         |           ON a.band_idx = b.band_idx AND a.bh = b.bh
+         |          AND a.doc_id < b.doc_id) cd2
+         |       JOIN sig sa ON doc_a = sa.doc_id
+         |       JOIN sig sb ON doc_b = sb.doc_id
+         |       WHERE (${est("sa", "sb")}) / ${S.toDouble} >= $NearDupThreshold),
+         |ed2 AS MATERIALIZED (SELECT doc_a AS es, doc_b AS ed FROM p2
+         |        UNION ALL SELECT doc_b, doc_a FROM p2),
+         |w2(doc, lab) AS (SELECT doc_id, doc_id FROM e2
+         |  UNION
+         |  SELECT ed2.ed, w2.lab FROM w2 JOIN ed2 ON ed2.es = w2.doc),
+         |r2 AS MATERIALIZED (SELECT doc AS doc_id
+         |       FROM (SELECT doc, min(lab) AS lab FROM w2 GROUP BY 1)
+         |       WHERE lab = doc),
+         |bandr AS MATERIALIZED (SELECT band.* FROM band JOIN r2 USING (doc_id)),
+         |bands1 AS MATERIALIZED (SELECT band.* FROM band JOIN s1 USING (doc_id)),
+         |x2 AS MATERIALIZED (SELECT DISTINCT cdx.doc_a AS doc_id FROM
+         |        (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bandr a JOIN bands1 b
+         |           ON a.band_idx = b.band_idx AND a.bh = b.bh) cdx
+         |       JOIN sig sa ON cdx.doc_a = sa.doc_id
+         |       JOIN sig sb ON cdx.doc_b = sb.doc_id
+         |       WHERE (${est("sa", "sb")}) / ${S.toDouble} >= $NearDupThreshold),
+         |nd AS MATERIALIZED (SELECT doc_id FROM s1
+         |       UNION ALL
+         |       SELECT doc_id FROM r2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM x2)),
+         |acc AS MATERIALIZED (SELECT cl.* FROM cl JOIN nd USING (doc_id)),
+         |ta AS MATERIALIZED (SELECT doc_id, $ToksSql AS toks FROM acc),
+         |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
+         |        FROM bt),
+         |bs AS MATERIALIZED (SELECT sh FROM bsh GROUP BY sh
+         |       HAVING count(DISTINCT bid) <= 100),
+         |ash AS MATERIALIZED (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM ta),
+         |contam AS (SELECT ash.doc_id FROM ash JOIN bs USING (sh)
+         |           GROUP BY 1 HAVING count(DISTINCT sh) >= 3),
+         |q AS (SELECT acc.doc_id, length(acc.text) AS nchars,
+         |        len(ta.toks) AS n_tokens,
+         |        len(list_filter(ta.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM acc JOIN ta USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM acc),
+         |v AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        $QualityScoreSql AS quality_score,
+         |        CASE WHEN q.nchars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+         |             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN spl USING (doc_id) LEFT JOIN contam c USING (doc_id)),
+         |kept AS (SELECT doc_id, n_tokens, quality_score FROM v
+         |         WHERE reason = 'kept'),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM kept),
+         |cums AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens,
+         |        CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS train_pos
+         |      FROM kept),
+         |sel AS (SELECT doc_id, n_tokens, quality_score, cum_tokens, train_pos
+         |        FROM cums, bud WHERE cum_tokens <= budget),
+         |tgt AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0)
+         |          AS BIGINT), 1) AS target FROM sel),
+         |a AS (SELECT sel.*,
+         |        CAST(greatest(least(CAST(floor((cum_tokens - 1) / target)
+         |          AS BIGINT), ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM sel, tgt),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM a GROUP BY 1)
+         |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
+         |  cum_tokens, shard_docs, shard_tokens
+         |FROM a JOIN m USING (shard_id)""".stripMargin
+    },
     "q117_curriculum" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
          |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
