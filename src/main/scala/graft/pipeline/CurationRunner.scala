@@ -130,6 +130,10 @@ object CurationRunner {
                embeddings: Option[DataFrame] = None,
                publish: Boolean = true): DataFrame = {
     val p = Paths(root)
+    require(!batchId.startsWith(FoldPrefix),
+      s"batch ids must not start with '$FoldPrefix' — [[maintain]] folds " +
+        "historic corpus partitions under that prefix, and a colliding " +
+        "landing would REPLACE the folded history with the new batch")
     Watermarks.bootstrap(spark, p.control)
     val wm = Watermarks.read(spark, p.control, Job)
     if (wm.exists(w => !asOf.after(w)))
@@ -385,6 +389,64 @@ object CurationRunner {
     * [[runBatch]] returns. */
   def readCurated(spark: SparkSession, root: String): DataFrame =
     AtomicRewrite.read(spark, Paths(root).curated).drop(CuratedBucketCol)
+
+  /** Partition prefix [[maintain]] folds historic corpus batches under;
+    * [[runBatch]] rejects batch ids carrying it (collision guard). */
+  val FoldPrefix = "fold-"
+
+  /** Operational maintenance for a QUIESCED curation root — run between
+    * batches on cadence, never concurrently with [[runBatch]]:
+    *
+    *  1. fold the dedup/near-dup stores' per-batch `batch_seq` dirs into
+    *     ≤ `buckets` ([[StoreMaintenance.rebaseBatchPartitions]] — the
+    *     small-dirs growth of append-only O(batch) commits);
+    *  2. fold the corpus' per-batch `batch_id` dirs the same way (hash
+    *     of the batch id, so a historic batch stays co-located). Every
+    *     watermarked batch's landing is immutable history — the
+    *     watermark guard returns before [[landedBatch]] ever probes it —
+    *     so the fold is only unsafe for a crashed batch still awaiting
+    *     replay, which is why maintain REFUSES any root whose job's last
+    *     recorded status isn't SUCCESS (and any corpus with no control
+    *     row at all: a first batch that crashed mid-run);
+    *  3. vacuum superseded versions of every store under the root
+    *     ([[AtomicRewrite.vacuum]]'s retention rules apply).
+    *
+    * After: reads list O(buckets) dirs plus one per batch since the
+    * fold, and GDPR erasure granularity coarsens from per-batch to
+    * per-bucket for pre-fold rows — the [[StoreMaintenance]] dial. */
+  def maintain(spark: SparkSession, root: String, buckets: Int = 16,
+               keepVersions: Int = 3,
+               retainHours: Option[Double] = None): Unit = {
+    val p = Paths(root)
+    val last =
+      if (!AtomicRewrite.exists(spark, p.control)) None
+      else AtomicRewrite.read(spark, p.control)
+        .filter(col("job_name") === Job).collect().headOption
+        .map(_.getString(3))
+    require(last.forall(_ == "SUCCESS"),
+      s"maintain requires a quiesced root whose last batch committed — " +
+        s"job status is ${last.getOrElse("<absent>")}; a crashed batch " +
+        "must replay to convergence before its landing is folded")
+    require(last.nonEmpty || !AtomicRewrite.exists(spark, p.corpus),
+      "corpus exists with no control row — a first batch crashed " +
+        "mid-run; replay it to completion before maintenance")
+    StoreMaintenance.rebaseBatchPartitions(spark, p.dedupStore, buckets)
+    StoreMaintenance.rebaseBatchPartitions(spark, p.nearDupStore, buckets)
+    if (AtomicRewrite.exists(spark, p.corpus))
+      AtomicRewrite.write(spark, p.corpus,
+        AtomicRewrite.read(spark, p.corpus)
+          .withColumn("batch_id", concat(lit(FoldPrefix),
+            pmod(xxhash64(col("batch_id")), lit(buckets.toLong)))),
+        partitionBy = Seq("batch_id"))
+    val ip = IndexStore.Paths(p.index)
+    val sp = TrainingShards.Paths(p.shards)
+    val ap = AnnIndexStore.Paths(p.ann)
+    Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
+      sp.shards, sp.manifest, ip.postings, ip.docstats, ip.stats,
+      ap.centroids, ap.cells)
+      .filter(AtomicRewrite.exists(spark, _))
+      .foreach(AtomicRewrite.vacuum(spark, _, keepVersions, retainHours))
+  }
 
   /** Per-layer [[Gdpr.StoreErasure]] hooks covering EVERY derived
     * artifact under a curation root — wire as

@@ -262,6 +262,78 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("maintain folds store history and keeps every store functional") {
+    val root = Files.createTempDirectory("graft-cur-m").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2,
+      nearDupThreshold = Some(0.5))
+    val harbor = "a harbor ferry waits for the tide while gulls drift " +
+      "over the quay and the captain checks a list of cargo that must " +
+      "reach the island before dark on this cold evening run"
+    val valley = "when the mountain train climbs past the old mill the " +
+      "children wave from a bridge and the driver sounds a horn that " +
+      "echoes along the valley where the snow still sits on the stones"
+    val coast = "every summer the lighthouse keeper paints the tower " +
+      "white and red while seals rest on the rocks below and a cold " +
+      "current carries small boats past the point toward the open sea"
+    CurationRunner.runBatch(spark, root,
+      Seq((1L, harbor)).toDF("doc_id", "text"), ts(1), "b1", conf,
+      publish = false)
+    CurationRunner.runBatch(spark, root,
+      Seq((2L, valley)).toDF("doc_id", "text"), ts(2), "b2", conf,
+      publish = false)
+    CurationRunner.runBatch(spark, root,
+      Seq((3L, coast)).toDF("doc_id", "text"), ts(3), "b3", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .select("batch_id").distinct().count() == 3)
+
+    CurationRunner.maintain(spark, root, buckets = 2)
+    val folded = AtomicRewrite.read(spark, p.corpus)
+    assert(folded.count() == 3, "the fold must keep every landed row")
+    val dirs = folded.select("batch_id").distinct().as[String].collect()
+    assert(dirs.length <= 2 &&
+      dirs.forall(_.startsWith(CurationRunner.FoldPrefix)),
+      s"corpus dirs must fold under the prefix, got ${dirs.toSeq}")
+    assert(AtomicRewrite.read(spark, p.dedupStore)
+      .select("batch_seq").distinct().count() <= 2)
+    assert(AtomicRewrite.read(spark, p.nearDupStore)
+      .select("batch_seq").distinct().count() <= 2)
+
+    // every dedup layer still bites after the fold; new content lands
+    val b4 = Seq((10L, harbor), // exact dup of folded doc 1
+      (11L, valley + " " + valley), // near-dup of folded doc 2
+      (12L, longText("bronze"))).toDF("doc_id", "text")
+    CurationRunner.runBatch(spark, root, b4, ts(4), "b4", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 12L))
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(p.index).stats)
+      .select("n_docs").as[Long].head() == 4L)
+
+    // the collision guard: a caller-named fold- batch id must be refused
+    intercept[IllegalArgumentException] {
+      CurationRunner.runBatch(spark, root,
+        Seq((20L, longText("silver"))).toDF("doc_id", "text"),
+        ts(5), "fold-9", conf)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("maintain refuses a root whose last batch failed (awaiting replay)") {
+    val root = Files.createTempDirectory("graft-cur-mf").toString + "/rel"
+    val conf = CurationRunner.Conf(nShards = 2)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf)
+    CurationRunner.maintain(spark, root) // quiesced: fine
+    intercept[Exception] {
+      CurationRunner.runBatch(spark, root,
+        Seq((9L, 1)).toDF("doc_id", "other"), ts(2), "b2", conf)
+    }
+    val e = intercept[IllegalArgumentException] {
+      CurationRunner.maintain(spark, root)
+    }
+    assert(e.getMessage.contains("quiesced"))
+    spark.catalog.clearCache()
+  }
+
   test("embedding batches ride the cycle into the ANN store") {
     val root = Files.createTempDirectory("graft-cur-a").toString + "/rel"
     val p = CurationRunner.Paths(root)
