@@ -1382,6 +1382,48 @@ object TextQueries {
         .select(col("shard_id"), col("n_docs").as("shard_docs"),
           col("n_tokens").as("shard_tokens"))
       shards.join(manifest, "shard_id")
+    }),
+
+    // Maintenance invariance under the oracle hash: the q134 composition,
+    // then [[graft.pipeline.CurationRunner.maintain]] (fold the per-batch
+    // partition history of the corpus + dedup store into bounded buckets,
+    // vacuum every store), then a crash-shaped replay of the FOLDED batch
+    // under a new asOf. The released epoch, manifest, corpus count and
+    // fingerprint count must be byte-identical to the never-maintained
+    // replay the DuckDB twin computes — maintenance must be invisible to
+    // every reader, and a post-fold replay must stay convergent (the
+    // folded landing is never re-landed; an all-rejected landing never
+    // names a partition as replaced).
+    "q138_curation_maintain" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "curmnt")
+      val d = docs(s, dir)
+      val conf = graft.pipeline.CurationRunner.Conf(
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)
+          .select("doc_id", "text")),
+        budgetShare = TokenBudgetShare, nShards = ShardCount)
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
+      graft.pipeline.CurationRunner.maintain(s, root, buckets = 4)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(3), "b2", conf)
+      val p = graft.pipeline.CurationRunner.Paths(root)
+      val sp = graft.pipeline.TrainingShards.Paths(p.shards)
+      val shards = graft.tx.AtomicRewrite.read(s, sp.shards)
+        .select("shard_id", "doc_id", "n_tokens", "quality_score",
+          "train_pos", "cum_tokens")
+      val manifest = graft.tx.AtomicRewrite.read(s, sp.manifest)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      val corpusDocs = graft.tx.AtomicRewrite.read(s, p.corpus)
+        .agg(count(lit(1)).as("corpus_docs"))
+      val fpRows = graft.tx.AtomicRewrite.read(s, p.dedupStore)
+        .agg(count(lit(1)).as("fp_rows"))
+      shards.join(manifest, "shard_id")
+        .crossJoin(broadcast(corpusDocs))
+        .crossJoin(broadcast(fpRows))
     }))
 
   /** Coverage thresholds reported by the q121 vocab-sizing curve. */
@@ -1961,6 +2003,69 @@ object TextQueries {
          |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
          |  cum_tokens, shard_docs, shard_tokens
          |FROM a JOIN m USING (shard_id)""".stripMargin,
+    "q138_curation_maintain" ->
+      s"""WITH cl AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |         AND trim(text) <> ''),
+         |h AS (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM cl),
+         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+         |acc AS (SELECT cl.* FROM cl JOIN h USING (doc_id)
+         |        JOIN canon ON h.hh = canon.hh AND cl.doc_id = canon.canon_id),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM acc),
+         |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
+         |        FROM bt),
+         |bs AS (SELECT sh FROM bsh GROUP BY sh
+         |       HAVING count(DISTINCT bid) <= 100),
+         |ash AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |contam AS (SELECT ash.doc_id FROM ash JOIN bs USING (sh)
+         |           GROUP BY 1 HAVING count(DISTINCT sh) >= 3),
+         |q AS (SELECT acc.doc_id, length(acc.text) AS nchars,
+         |        len(t.toks) AS n_tokens,
+         |        len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM acc JOIN t USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM acc),
+         |v AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        $QualityScoreSql AS quality_score,
+         |        CASE WHEN q.nchars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+         |             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN spl USING (doc_id) LEFT JOIN contam c USING (doc_id)),
+         |kept AS (SELECT doc_id, n_tokens, quality_score FROM v
+         |         WHERE reason = 'kept'),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM kept),
+         |c2 AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens,
+         |        CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS train_pos
+         |      FROM kept),
+         |sel AS (SELECT doc_id, n_tokens, quality_score, cum_tokens, train_pos
+         |        FROM c2, bud WHERE cum_tokens <= budget),
+         |tgt AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0)
+         |          AS BIGINT), 1) AS target FROM sel),
+         |a AS (SELECT sel.*,
+         |        CAST(greatest(least(CAST(floor((cum_tokens - 1) / target)
+         |          AS BIGINT), ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM sel, tgt),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM a GROUP BY 1),
+         |cdocs AS (SELECT count(*) AS corpus_docs FROM acc),
+         |fps AS (SELECT count(*) AS fp_rows FROM acc)
+         |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
+         |  cum_tokens, shard_docs, shard_tokens, corpus_docs, fp_rows
+         |FROM a JOIN m USING (shard_id), cdocs, fps""".stripMargin,
     "q135_curation_forget" ->
       s"""WITH cl AS (SELECT doc_id, text FROM documents
          |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
