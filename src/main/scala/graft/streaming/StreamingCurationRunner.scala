@@ -45,8 +45,11 @@ object StreamingCurationRunner {
            conf: CurationRunner.Conf = CurationRunner.Conf(),
            publishEvery: Int = 1,
            epoch0: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
-           runId: String = "stream"): StreamingQuery = {
+           runId: String = "stream",
+           maintainEvery: Int = 0): StreamingQuery = {
     require(publishEvery >= 1, s"publishEvery must be >= 1, got $publishEvery")
+    require(maintainEvery >= 0,
+      s"maintainEvery must be >= 0 (0 = never), got $maintainEvery")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
@@ -60,6 +63,15 @@ object StreamingCurationRunner {
             s"$runId-$epochId", conf,
             embeddings = embeddings,
             publish = (epochId + 1) % publishEvery == 0)
+          // maintenance cadence: between micro-batches the root is
+          // quiesced BY CONSTRUCTION (foreachBatch is sequential and the
+          // batch above just committed SUCCESS), which is exactly the
+          // precondition [[CurationRunner.maintain]] enforces — so the
+          // stream can fold its own partition-dir growth without an
+          // external job. A batch-ids-per-fold-bucket rate of
+          // maintainEvery/buckets keeps listing cost bounded forever.
+          if (maintainEvery > 0 && (epochId + 1) % maintainEvery == 0)
+            CurationRunner.maintain(batch.sparkSession, root)
           batch.sparkSession.catalog.clearCache()
         }
         ()

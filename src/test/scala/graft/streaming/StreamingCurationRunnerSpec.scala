@@ -130,6 +130,49 @@ class StreamingCurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("near-dup armed stream suppresses fuzzy copies; maintenance rides its cadence") {
+    val root = Files.createTempDirectory("graft-scur-nd").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      nearDupThreshold = Some(0.5))
+    val harbor = "a harbor ferry waits for the tide while gulls drift " +
+      "over the quay and the captain checks a list of cargo that must " +
+      "reach the island before dark on this cold evening run"
+    val valley = "when the mountain train climbs past the old mill the " +
+      "children wave from a bridge and the driver sounds a horn that " +
+      "echoes along the valley where the snow still sits on the stones"
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // maintain every second epoch: the stream folds its own
+    // partition-dir growth between micro-batches (quiesced by
+    // construction)
+    val q = StreamingCurationRunner.sink(in.toDF(), root, conf,
+      maintainEvery = 2)
+    try {
+      in.addData(Doc(1L, harbor))
+      q.processAllAvailable()
+      // epoch 1: a fuzzy copy of stored doc 1 + a new doc; epoch count
+      // hits the maintenance cadence afterwards
+      in.addData(Doc(2L, harbor + " " + harbor), Doc(3L, valley))
+      q.processAllAvailable()
+      assert(AtomicRewrite.read(spark, p.corpus)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 3L),
+        "the cross-epoch near-dup must be rejected against the store")
+      val dirs = AtomicRewrite.read(spark, p.corpus)
+        .select("batch_id").distinct().as[String].collect()
+      assert(dirs.forall(_.startsWith(CurationRunner.FoldPrefix)),
+        s"epoch-1 maintenance must fold both landings, got ${dirs.toSeq}")
+      // epoch 2: the stores still bite after the fold
+      in.addData(Doc(4L, valley + " " + valley), Doc(5L, longText("teal")))
+      q.processAllAvailable()
+      assert(AtomicRewrite.read(spark, p.corpus)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L),
+        "a post-fold near-dup must still be rejected; new content lands")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("empty micro-batches skip the runner entirely") {
     val root = Files.createTempDirectory("graft-scur-e").toString + "/rel"
     implicit val sqlCtx = spark.sqlContext
