@@ -408,15 +408,20 @@ object CurationRunner {
     *     replay, which is why maintain REFUSES any root whose job's last
     *     recorded status isn't SUCCESS (and any corpus with no control
     *     row at all: a first batch that crashed mid-run);
-    *  3. vacuum superseded versions of every store under the root
-    *     ([[AtomicRewrite.vacuum]]'s retention rules apply).
+    *  3. vacuum superseded versions of every store under the root. The
+    *     default retention keeps the [[AtomicRewrite.MinRetainHours]]
+    *     age floor (a concurrent reader of an old snapshot — another
+    *     session, a slow export — must not have its files deleted from
+    *     under it); pass `retainHours = None` only on roots with no
+    *     out-of-band readers, where keep-count alone governs.
     *
     * After: reads list O(buckets) dirs plus one per batch since the
     * fold, and GDPR erasure granularity coarsens from per-batch to
     * per-bucket for pre-fold rows — the [[StoreMaintenance]] dial. */
   def maintain(spark: SparkSession, root: String, buckets: Int = 16,
                keepVersions: Int = 3,
-               retainHours: Option[Double] = None): Unit = {
+               retainHours: Option[Double] =
+                 Some(AtomicRewrite.MinRetainHours)): Unit = {
     val p = Paths(root)
     val last =
       if (!AtomicRewrite.exists(spark, p.control)) None
