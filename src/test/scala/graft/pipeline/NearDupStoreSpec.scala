@@ -107,4 +107,47 @@ class NearDupStoreSpec extends SparkSpec {
     assert(AtomicRewrite.read(spark, root).count() == 1)
     spark.catalog.clearCache()
   }
+
+  test("no pair-forming plan degrades to a cartesian or nested-loop join") {
+    // the 100 TB property as an assertion: every candidate pair comes
+    // from an EQUI-join on (band_idx, bh) — in-batch AND against the
+    // store. A refactor that loses the band keys would still pass the
+    // value checks above (est-Jaccard filters the blow-up away) while
+    // silently going O(n^2); this listener catches it at plan level.
+    val plans = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.put(System.identityHashCode(qe), qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val root = Files.createTempDirectory("graft-nds3").toString + "/store"
+      // both code paths: the in-batch collapse and the store probe
+      NearDupStore.acceptNew(spark, root,
+        Seq((1L, base), (2L, nearBase), (3L, other)).toDF("doc_id", "text"),
+        "doc_id", "text").unpersist()
+      NearDupStore.acceptNew(spark, root,
+        Seq((10L, otherNear), (11L, "fresh words nobody used before " +
+          "in any of the earlier documents today")).toDF("doc_id", "text"),
+        "doc_id", "text").unpersist()
+      // QueryExecutionListener delivery is async — poll until stable
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(plans.nonEmpty, "the listener must have captured executions")
+    val bad = plans.values.filter(p =>
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty,
+      s"pair-forming degraded to a product join:\n${bad.headOption.getOrElse("").take(3000)}")
+    spark.catalog.clearCache()
+  }
 }
