@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.ops.{PrefixSum, TextOps}
 import graft.tx.{AtomicRewrite, Watermarks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
@@ -118,7 +119,16 @@ object CurationRunner {
         * disables the stage. Runs AFTER exact dedup — the near-dup
         * signature pass only pays for content the fingerprint store has
         * not already rejected byte-for-byte. */
-      nearDupThreshold: Option[Double] = None)
+      nearDupThreshold: Option[Double] = None,
+      /** Mixture enforcement at release (the q116 cut): no source may
+        * keep more than this share of its OWN kept token mass —
+        * best-quality-first within each source — before the global
+        * budget prefix applies (whose budget then derives from the
+        * CAPPED mass). Requires `sourceCol` on the landed corpus; the
+        * cumsum window partitions by source, so it parallelizes
+        * natively (source counts are O(thousands) in real mixes). */
+      sourceCapShare: Option[Double] = None,
+      sourceCol: String = "source")
 
   /** Run one curation batch end-to-end; returns the (possibly
     * re-)published curated selection. `embeddings` (vec_id, embedding)
@@ -361,7 +371,31 @@ object CurationRunner {
     * ingest signals — the corpus text is read only by the shard
     * publish, which is O(selection) by definition. */
   private def release(spark: SparkSession, p: Paths, conf: Conf): Unit = {
-    val kept = AtomicRewrite.read(spark, p.corpus).filter(col("keep"))
+    val keptAll = AtomicRewrite.read(spark, p.corpus).filter(col("keep"))
+    // mixture enforcement first (the q116 cut): per-source greedy
+    // prefixes under sourceCapShare of that source's kept token mass.
+    // The cut runs over a NARROW signal projection (id, source, tokens,
+    // quality — pinned in cache; text never rides the window), and the
+    // survivors semi-join back. The cumsum window partitions by source —
+    // parallel by key, never a corpus-sized single partition.
+    val (kept, sig) = conf.sourceCapShare match {
+      case None => (keptAll, None)
+      case Some(share) =>
+        require(keptAll.columns.contains(conf.sourceCol),
+          s"sourceCapShare needs a '${conf.sourceCol}' column on the " +
+            "landed corpus — ingest batches must carry it")
+        val sig = keptAll.select(col(conf.idCol), col(conf.sourceCol),
+          col("n_tokens"), col("quality_score")).persist()
+        val caps = sig.groupBy(conf.sourceCol)
+          .agg(floor(sum("n_tokens") * lit(share)).cast("long").as("__cap"))
+        val ids = sig.withColumn("__scum",
+            sum("n_tokens").over(Window.partitionBy(conf.sourceCol)
+              .orderBy(col("quality_score").desc, col(conf.idCol))))
+          .join(broadcast(caps), conf.sourceCol)
+          .filter(col("__scum") <= col("__cap"))
+          .select(col(conf.idCol))
+        (keptAll.join(ids, Seq(conf.idCol), "left_semi"), Some(sig))
+    }
     val (cum, cached) = PrefixSum.runningTotals(kept,
       Seq(col("quality_score").desc, col(conf.idCol)),
       Seq((col("n_tokens"), "cum_tokens"), (lit(1L), "train_pos")))
@@ -378,6 +412,7 @@ object CurationRunner {
           lit(CuratedBuckets.toLong)).cast("int")),
       partitionBy = Seq(CuratedBucketCol))
     cached.unpersist()
+    sig.foreach(_.unpersist())
     // the epoch derives from the COMMITTED selection (the
     // TrainingShards manifest discipline applied one level up)
     TrainingShards.build(spark, p.shards,

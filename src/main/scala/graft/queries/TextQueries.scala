@@ -1424,6 +1424,37 @@ object TextQueries {
       shards.join(manifest, "shard_id")
         .crossJoin(broadcast(corpusDocs))
         .crossJoin(broadcast(fpRows))
+    }),
+
+    // The composed release with MIXTURE enforcement armed (q134 +
+    // `Conf.sourceCapShare` — the q116 cut inside the release): each
+    // source keeps at most [[SourceCapShare]] of its own kept token
+    // mass, best-quality-first, and the global budget prefix then
+    // derives from the CAPPED mass. Pins that the release a mixture
+    // policy actually ships — per-source caps, then budget, then the
+    // shard epoch — composes under one hash.
+    "q139_curation_mixture" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "curmix")
+      val d = docs(s, dir)
+      val conf = graft.pipeline.CurationRunner.Conf(
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)
+          .select("doc_id", "text")),
+        budgetShare = TokenBudgetShare, nShards = ShardCount,
+        sourceCapShare = Some(SourceCapShare))
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
+      val sp = graft.pipeline.TrainingShards.Paths(
+        graft.pipeline.CurationRunner.Paths(root).shards)
+      val shards = graft.tx.AtomicRewrite.read(s, sp.shards)
+        .select("shard_id", "doc_id", "source", "n_tokens",
+          "quality_score", "train_pos", "cum_tokens")
+      val manifest = graft.tx.AtomicRewrite.read(s, sp.manifest)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      shards.join(manifest, "shard_id")
     }))
 
   /** Coverage thresholds reported by the q121 vocab-sizing curve. */
@@ -2001,6 +2032,76 @@ object TextQueries {
          |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          |      FROM a GROUP BY 1)
          |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
+         |  cum_tokens, shard_docs, shard_tokens
+         |FROM a JOIN m USING (shard_id)""".stripMargin,
+    "q139_curation_mixture" ->
+      s"""WITH cl AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |         AND trim(text) <> ''),
+         |h AS (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM cl),
+         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+         |acc AS (SELECT cl.* FROM cl JOIN h USING (doc_id)
+         |        JOIN canon ON h.hh = canon.hh AND cl.doc_id = canon.canon_id),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM acc),
+         |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
+         |        FROM bt),
+         |bs AS (SELECT sh FROM bsh GROUP BY sh
+         |       HAVING count(DISTINCT bid) <= 100),
+         |ash AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |contam AS (SELECT ash.doc_id FROM ash JOIN bs USING (sh)
+         |           GROUP BY 1 HAVING count(DISTINCT sh) >= 3),
+         |q AS (SELECT acc.doc_id, length(acc.text) AS nchars,
+         |        len(t.toks) AS n_tokens,
+         |        len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM acc JOIN t USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM acc),
+         |v AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        $QualityScoreSql AS quality_score,
+         |        CASE WHEN q.nchars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+         |             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN spl USING (doc_id) LEFT JOIN contam c USING (doc_id)),
+         |kept AS (SELECT v.doc_id, d.source, n_tokens, quality_score
+         |         FROM v JOIN documents d ON v.doc_id = d.doc_id
+         |         WHERE reason = 'kept'),
+         |scaps AS (SELECT source, CAST(floor(sum(n_tokens) * 0.5)
+         |            AS BIGINT) AS cap
+         |          FROM kept GROUP BY 1),
+         |scap AS (SELECT kept.*, sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY quality_score DESC, doc_id) AS scum
+         |         FROM kept),
+         |kept2 AS (SELECT doc_id, source, n_tokens, quality_score
+         |          FROM scap JOIN scaps USING (source) WHERE scum <= cap),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM kept2),
+         |c2 AS (SELECT doc_id, source, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens,
+         |        CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS train_pos
+         |      FROM kept2),
+         |sel AS (SELECT doc_id, source, n_tokens, quality_score, cum_tokens, train_pos
+         |        FROM c2, bud WHERE cum_tokens <= budget),
+         |tgt AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0)
+         |          AS BIGINT), 1) AS target FROM sel),
+         |a AS (SELECT sel.*,
+         |        CAST(greatest(least(CAST(floor((cum_tokens - 1) / target)
+         |          AS BIGINT), ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM sel, tgt),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM a GROUP BY 1)
+         |SELECT a.shard_id, doc_id, source, n_tokens, quality_score, train_pos,
          |  cum_tokens, shard_docs, shard_tokens
          |FROM a JOIN m USING (shard_id)""".stripMargin,
     "q138_curation_maintain" ->

@@ -262,6 +262,36 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("release enforces per-source token caps before the global budget") {
+    val root = Files.createTempDirectory("graft-cur-x").toString + "/rel"
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      sourceCapShare = Some(0.5))
+    // equal-length texts -> equal quality -> ties break to lower ids:
+    // srcA (4 kept docs — id 4 sits in the 10% holdout split, so id 7
+    // stands in) caps to its best 2, srcB (2 docs) caps to its best 1
+    val b = Seq(
+      (1L, longText("red"), "srcA"), (2L, longText("blue"), "srcA"),
+      (3L, longText("green"), "srcA"), (7L, longText("amber"), "srcA"),
+      (5L, longText("violet"), "srcB"), (6L, longText("teal"), "srcB"))
+      .toDF("doc_id", "text", "source")
+    CurationRunner.runBatch(spark, root, b, ts(1), "b1", conf)
+    val curated = CurationRunner.readCurated(spark, root)
+    assert(curated.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L),
+      "each source must keep only its cap's best-quality prefix")
+    // the shard epoch carries the capped selection only
+    assert(AtomicRewrite.read(spark,
+      TrainingShards.Paths(CurationRunner.Paths(root).shards).shards)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    // a sourceless batch under a mixture conf fails loudly
+    intercept[Exception] {
+      CurationRunner.runBatch(spark, root,
+        Seq((9L, longText("bronze"))).toDF("doc_id", "text"), ts(2), "b2",
+        conf)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("maintain folds store history and keeps every store functional") {
     val root = Files.createTempDirectory("graft-cur-m").toString + "/rel"
     val p = CurationRunner.Paths(root)
