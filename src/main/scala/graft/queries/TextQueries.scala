@@ -2074,7 +2074,7 @@ object TextQueries {
          |kept AS (SELECT v.doc_id, d.source, n_tokens, quality_score
          |         FROM v JOIN documents d ON v.doc_id = d.doc_id
          |         WHERE reason = 'kept'),
-         |scaps AS (SELECT source, CAST(floor(sum(n_tokens) * 0.5)
+         |scaps AS (SELECT source, CAST(floor(sum(n_tokens) * $SourceCapShare)
          |            AS BIGINT) AS cap
          |          FROM kept GROUP BY 1),
          |scap AS (SELECT kept.*, sum(n_tokens) OVER (PARTITION BY source
