@@ -166,6 +166,85 @@ class CurationGdprSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("every knob armed: near-dup + mixture + embeddings + maintain + erasure compose") {
+    val base = Files.createTempDirectory("graft-cur-all").toString
+    val root = s"$base/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      annK = 2, annIters = 1, nearDupThreshold = Some(0.5),
+      sourceCapShare = Some(0.5))
+    val harbor = "a harbor ferry waits for the tide while gulls drift " +
+      "over the quay and the captain checks a list of cargo that must " +
+      "reach the island before dark on this cold evening run"
+    val valley = "when the mountain train climbs past the old mill the " +
+      "children wave from a bridge and the driver sounds a horn that " +
+      "echoes along the valley where the snow still sits on the stones"
+    val coast = "every summer the lighthouse keeper paints the tower " +
+      "white and red while seals rest on the rocks below and a cold " +
+      "current carries small boats past the point toward the open sea"
+    val plains = "wide fields of wheat bend under the wind as harvest " +
+      "trucks roll between the silos and farmers watch the clouds for " +
+      "the first sign of the late rain they have waited on for weeks"
+    // batch 1: srcA docs 1,2 + srcB doc 3, all with embeddings; doc 2's
+    // text near-dups doc 1 -> rejected, its embedding must orphan out
+    CurationRunner.runBatch(spark, root,
+      Seq((1L, harbor, "srcA"), (2L, harbor + " " + harbor, "srcA"),
+        (3L, valley, "srcB")).toDF("doc_id", "text", "source"),
+      ts("2024-01-01 00:00:00"), "b1", conf, publish = false,
+      embeddings = Some(Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)))
+        .toDF("vec_id", "embedding")))
+    // batch 2: fresh content per source, then the release
+    CurationRunner.runBatch(spark, root,
+      Seq((5L, coast, "srcA"), (6L, plains, "srcB"))
+        .toDF("doc_id", "text", "source"),
+      ts("2024-01-02 00:00:00"), "b2", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 6L))
+    assert(AtomicRewrite.read(spark, AnnIndexStore.Paths(p.ann).cells)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L),
+      "the near-dup reject's embedding must never enter the ANN store")
+    // mixture invariant: no source's curated token mass may exceed half
+    // its kept mass (docs differ in length, so membership is the cut's
+    // business — the CAP is the contract)
+    val keptMass = AtomicRewrite.read(spark, p.corpus).filter(col("keep"))
+      .groupBy("source").agg(sum("n_tokens").as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val curMass = CurationRunner.readCurated(spark, root)
+      .groupBy("source").agg(sum("n_tokens").as("cur")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(curMass.nonEmpty, "the capped release must select something")
+    curMass.foreach { case (src, cur) =>
+      assert(cur <= keptMass(src) / 2,
+        s"$src curated $cur tokens over its cap (kept ${keptMass(src)})")
+    }
+
+    CurationRunner.maintain(spark, root, buckets = 2)
+
+    // erase doc 1 through every layer, post-fold
+    GdprRequests.runIncremental(spark, s"$base/control",
+      requests(("r1", Some("document"), Some(1L), "erasure", "processed",
+        Some("2024-01-03 10:00:00"))),
+      policiesFor = _ => Nil, tableRoot = t => s"$base/$t",
+      s"$base/audit", "s", ts("2024-01-04 00:00:00"),
+      storesFor = _ => CurationRunner.storeErasures(spark, root, conf))
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .filter(col("doc_id") === 1L).isEmpty,
+      "the folded corpus must still erase by doc id")
+    assert(AtomicRewrite.read(spark, p.nearDupStore)
+      .filter(col("doc_id") === 1L).isEmpty)
+    assert(AtomicRewrite.read(spark, AnnIndexStore.Paths(p.ann).cells)
+      .select("vec_id").as[Long].collect().toSet == Set(3L))
+    // with doc 1's signature gone, its near-copy re-submits fine and the
+    // next release reflects the post-erasure state
+    CurationRunner.runBatch(spark, root,
+      Seq((10L, harbor + " " + harbor, "srcA"))
+        .toDF("doc_id", "text", "source"),
+      ts("2024-01-05 00:00:00"), "b3", conf)
+    assert(AtomicRewrite.read(spark, p.corpus)
+      .filter(col("doc_id") === 10L).count() == 1)
+    spark.catalog.clearCache()
+  }
+
   test("a subject held nowhere burns no version and claims no audit row") {
     val base = Files.createTempDirectory("graft-cur-gdpr-n").toString
     val root = s"$base/rel"
