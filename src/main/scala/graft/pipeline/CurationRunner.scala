@@ -128,7 +128,16 @@ object CurationRunner {
         * cumsum window partitions by source, so it parallelizes
         * natively (source counts are O(thousands) in real mixes). */
       sourceCapShare: Option[Double] = None,
-      sourceCol: String = "source")
+      sourceCol: String = "source",
+      /** Curriculum training order (the q117 interleave): re-mint the
+        * released `train_pos` to round-robin sources best-quality-first
+        * — pos = (rank-within-source − 1) × |sources| + source-index —
+        * so no epoch prefix is a single-domain block. The shard epoch
+        * follows this order (token-balanced contiguous over the
+        * interleave); the budget cut itself stays quality-greedy.
+        * Requires `sourceCol`; positions are an ordering key, not a
+        * dense index (unequal sources leave tail holes). */
+      curriculum: Boolean = false)
 
   /** Run one curation batch end-to-end; returns the (possibly
     * re-)published curated selection. `embeddings` (vec_id, embedding)
@@ -403,11 +412,34 @@ object CurationRunner {
       floor(sum("n_tokens") * lit(conf.budgetShare)).cast("long").as("__budget"))
     val sel = cum.crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("__budget")).drop("__budget")
+    // curriculum order (q117): the selection's train_pos round-robins
+    // sources best-first. Source-keyed rank windows only; the one
+    // unpartitioned window runs over the O(sources) distinct frame.
+    val shipped =
+      if (!conf.curriculum) sel
+      else {
+        require(sel.columns.contains(conf.sourceCol),
+          s"curriculum needs a '${conf.sourceCol}' column on the " +
+            "landed corpus — ingest batches must carry it")
+        val srcs = sel.select(conf.sourceCol).distinct()
+        val si = srcs.withColumn("__si",
+          row_number().over(Window.orderBy(conf.sourceCol)).cast("long"))
+        val ns = srcs.agg(count(lit(1)).as("__ns"))
+        sel.withColumn("__rn", row_number().over(
+            Window.partitionBy(conf.sourceCol)
+              .orderBy(col("quality_score").desc, col(conf.idCol)))
+            .cast("long"))
+          .join(broadcast(si), conf.sourceCol)
+          .crossJoin(broadcast(ns))
+          .withColumn("train_pos",
+            (col("__rn") - 1) * col("__ns") + col("__si"))
+          .drop("__rn", "__si", "__ns")
+      }
     // partition-committed by id-hash bucket: a release still replaces
     // the whole snapshot, but an erasure between releases rewrites only
     // the subject's buckets (see [[storeErasures]])
     AtomicRewrite.write(spark, p.curated,
-      sel.withColumn(CuratedBucketCol,
+      shipped.withColumn(CuratedBucketCol,
         pmod(xxhash64(lit("curated"), col(conf.idCol)),
           lit(CuratedBuckets.toLong)).cast("int")),
       partitionBy = Seq(CuratedBucketCol))

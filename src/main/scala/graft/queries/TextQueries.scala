@@ -1455,6 +1455,36 @@ object TextQueries {
         .select(col("shard_id"), col("n_docs").as("shard_docs"),
           col("n_tokens").as("shard_tokens"))
       shards.join(manifest, "shard_id")
+    }),
+
+    // The composed release with CURRICULUM order armed (q134 +
+    // `Conf.curriculum` — the q117 interleave inside the release): the
+    // budget cut stays quality-greedy, but the shipped train_pos
+    // round-robins sources best-first and the shard epoch follows THAT
+    // order — so shard_id no longer tracks the budget-pass cum_tokens,
+    // and any drift between the two orders breaks the hash.
+    "q140_curation_curriculum" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "curord")
+      val d = docs(s, dir)
+      val conf = graft.pipeline.CurationRunner.Conf(
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)
+          .select("doc_id", "text")),
+        budgetShare = TokenBudgetShare, nShards = ShardCount,
+        curriculum = true)
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
+      val sp = graft.pipeline.TrainingShards.Paths(
+        graft.pipeline.CurationRunner.Paths(root).shards)
+      val shards = graft.tx.AtomicRewrite.read(s, sp.shards)
+        .select("shard_id", "doc_id", "source", "n_tokens",
+          "quality_score", "train_pos", "cum_tokens")
+      val manifest = graft.tx.AtomicRewrite.read(s, sp.manifest)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      shards.join(manifest, "shard_id")
     }))
 
   /** Coverage thresholds reported by the q121 vocab-sizing curve. */
@@ -2033,6 +2063,83 @@ object TextQueries {
          |      FROM a GROUP BY 1)
          |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
          |  cum_tokens, shard_docs, shard_tokens
+         |FROM a JOIN m USING (shard_id)""".stripMargin,
+    "q140_curation_curriculum" ->
+      s"""WITH cl AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |         AND trim(text) <> ''),
+         |h AS (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM cl),
+         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+         |acc AS (SELECT cl.* FROM cl JOIN h USING (doc_id)
+         |        JOIN canon ON h.hh = canon.hh AND cl.doc_id = canon.canon_id),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM acc),
+         |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
+         |        FROM bt),
+         |bs AS (SELECT sh FROM bsh GROUP BY sh
+         |       HAVING count(DISTINCT bid) <= 100),
+         |ash AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |contam AS (SELECT ash.doc_id FROM ash JOIN bs USING (sh)
+         |           GROUP BY 1 HAVING count(DISTINCT sh) >= 3),
+         |q AS (SELECT acc.doc_id, length(acc.text) AS nchars,
+         |        len(t.toks) AS n_tokens,
+         |        len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM acc JOIN t USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM acc),
+         |v AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        $QualityScoreSql AS quality_score,
+         |        CASE WHEN q.nchars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+         |             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN spl USING (doc_id) LEFT JOIN contam c USING (doc_id)),
+         |kept AS (SELECT v.doc_id, d.source, n_tokens, quality_score
+         |         FROM v JOIN documents d ON v.doc_id = d.doc_id
+         |         WHERE reason = 'kept'),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM kept),
+         |c2 AS (SELECT doc_id, source, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens,
+         |        CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS train_pos
+         |      FROM kept),
+         |sel AS (SELECT doc_id, source, n_tokens, quality_score, cum_tokens, train_pos
+         |        FROM c2, bud WHERE cum_tokens <= budget),
+         |srcs AS (SELECT DISTINCT source FROM sel),
+         |si AS (SELECT source,
+         |         CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx
+         |       FROM srcs),
+         |nsq AS (SELECT CAST(count(*) AS BIGINT) AS nsrc FROM srcs),
+         |cur AS (SELECT sel.doc_id, sel.source, n_tokens, quality_score,
+         |          cum_tokens,
+         |          (CAST(row_number() OVER (PARTITION BY sel.source
+         |             ORDER BY quality_score DESC, doc_id) AS BIGINT) - 1)
+         |            * nsrc + sidx AS train_pos
+         |        FROM sel JOIN si ON sel.source = si.source, nsq),
+         |sc2 AS (SELECT cur.*,
+         |          CAST(sum(n_tokens) OVER (ORDER BY train_pos)
+         |            AS BIGINT) AS scum2
+         |        FROM cur),
+         |tgt AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0)
+         |          AS BIGINT), 1) AS target FROM cur),
+         |a AS (SELECT sc2.*,
+         |        CAST(greatest(least(CAST(floor((scum2 - 1) / target)
+         |          AS BIGINT), ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM sc2, tgt),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM a GROUP BY 1)
+         |SELECT a.shard_id, doc_id, source, n_tokens, quality_score,
+         |  train_pos, cum_tokens, shard_docs, shard_tokens
          |FROM a JOIN m USING (shard_id)""".stripMargin,
     "q139_curation_mixture" ->
       s"""WITH cl AS (SELECT doc_id, text FROM documents

@@ -292,6 +292,26 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curriculum release interleaves sources best-first") {
+    val root = Files.createTempDirectory("graft-cur-q").toString + "/rel"
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      curriculum = true)
+    // two sources, two kept docs each (id 4 is holdout, 7 stands in) —
+    // the interleave must alternate sources: positions 1,2 are one doc
+    // of EACH source, never a single-domain block
+    val b = Seq(
+      (1L, longText("red"), "srcA"), (2L, longText("blue"), "srcA"),
+      (5L, longText("violet"), "srcB"), (6L, longText("teal"), "srcB"))
+      .toDF("doc_id", "text", "source")
+    CurationRunner.runBatch(spark, root, b, ts(1), "b1", conf)
+    val cur = CurationRunner.readCurated(spark, root)
+      .select("train_pos", "source").as[(Long, String)].collect().toMap
+    assert(cur.keySet == Set(1L, 2L, 3L, 4L), s"dense interleave, got $cur")
+    assert(cur(1L) != cur(2L) && cur(3L) != cur(4L),
+      s"every consecutive pair must span both sources, got $cur")
+    spark.catalog.clearCache()
+  }
+
   test("maintain folds store history and keeps every store functional") {
     val root = Files.createTempDirectory("graft-cur-m").toString + "/rel"
     val p = CurationRunner.Paths(root)
