@@ -137,7 +137,15 @@ object CurationRunner {
         * interleave); the budget cut itself stays quality-greedy.
         * Requires `sourceCol`; positions are an ordering key, not a
         * dense index (unequal sources leave tail holes). */
-      curriculum: Boolean = false)
+      curriculum: Boolean = false,
+      /** Redact PII ([[TextOps.redactPii]]: email/phone/IP → typed
+        * placeholders) at INGEST, before anything derives from the text
+        * — so no raw PII ever lands in the corpus, the fingerprint or
+        * signature stores, the indexes, or the published shards, and
+        * two documents differing only in their PII still collapse as
+        * duplicates (the placeholders normalize them). One codegen
+        * regex projection per batch; history is never re-scanned. */
+      redactPii: Boolean = false)
 
   /** Run one curation batch end-to-end; returns the (possibly
     * re-)published curated selection. `embeddings` (vec_id, embedding)
@@ -228,10 +236,17 @@ object CurationRunner {
   /** Rows with nothing to curate never enter the pipeline: no id, no
     * text, or blank text (a blank doc has no fingerprint, no tokens and
     * no index presence — rejecting it here keeps every downstream
-    * invariant trivially true). */
-  private def clean(batch: DataFrame, conf: Conf): DataFrame =
-    batch.filter(col(conf.idCol).isNotNull && col(conf.textCol).isNotNull &&
-      trim(col(conf.textCol)) =!= "")
+    * invariant trivially true). With `redactPii` armed, redaction
+    * happens HERE — ahead of every derivation — so raw PII never
+    * reaches a fingerprint, signature, gate signal, landing or index. */
+  private def clean(batch: DataFrame, conf: Conf): DataFrame = {
+    val filtered = batch.filter(
+      col(conf.idCol).isNotNull && col(conf.textCol).isNotNull &&
+        trim(col(conf.textCol)) =!= "")
+    if (!conf.redactPii) filtered
+    else filtered.withColumn(conf.textCol,
+      TextOps.redactPii(col(conf.textCol)))
+  }
 
   /** Ingest-time signals + the release-gate verdict, one row per doc:
     * `n_tokens`, `quality_score` (q31's formula), and `reason`/`keep`

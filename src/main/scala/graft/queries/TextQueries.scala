@@ -1457,6 +1457,44 @@ object TextQueries {
       shards.join(manifest, "shard_id")
     }),
 
+    // The composed release with PII REDACTION armed (q134 +
+    // `Conf.redactPii` — q77's patterns applied at INGEST, ahead of
+    // every derivation). The corpus carries no organic PII, so the
+    // query injects q77's deterministic synthetic PII (an id-derived
+    // email/phone/IP per doc) into the batch text first: redaction then
+    // visibly moves n_chars/tokens/quality/budget AND restores exact
+    // dedup — two docs differing only in their PII normalize to the
+    // same fingerprint, so the release must not double-count them.
+    "q141_curation_redact" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "curpii")
+      val d = docs(s, dir).withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        lit(" tel +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7")))
+      val conf = graft.pipeline.CurationRunner.Conf(
+        benchmark = Some(docs(s, dir).filter(col("doc_id") % 97 === 0)
+          .select("doc_id", "text")),
+        budgetShare = TokenBudgetShare, nShards = ShardCount,
+        redactPii = true)
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
+      val sp = graft.pipeline.TrainingShards.Paths(
+        graft.pipeline.CurationRunner.Paths(root).shards)
+      val shards = graft.tx.AtomicRewrite.read(s, sp.shards)
+        .select("shard_id", "doc_id", "n_tokens", "quality_score",
+          "train_pos", "cum_tokens")
+      val manifest = graft.tx.AtomicRewrite.read(s, sp.manifest)
+        .select(col("shard_id"), col("n_docs").as("shard_docs"),
+          col("n_tokens").as("shard_tokens"))
+      shards.join(manifest, "shard_id")
+    }),
+
     // The composed release with CURRICULUM order armed (q134 +
     // `Conf.curriculum` — the q117 interleave inside the release): the
     // budget cut stays quality-greedy, but the shipped train_pos
@@ -2007,6 +2045,77 @@ object TextQueries {
       s"""WITH cl AS (SELECT doc_id, text FROM documents
          |       WHERE doc_id IS NOT NULL AND text IS NOT NULL
          |         AND trim(text) <> ''),
+         |h AS (SELECT doc_id,
+         |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+         |      FROM cl),
+         |canon AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1),
+         |acc AS (SELECT cl.* FROM cl JOIN h USING (doc_id)
+         |        JOIN canon ON h.hh = canon.hh AND cl.doc_id = canon.canon_id),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM acc),
+         |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id AS bid, unnest(list_distinct($ShinglesSql)) AS sh
+         |        FROM bt),
+         |bs AS (SELECT sh FROM bsh GROUP BY sh
+         |       HAVING count(DISTINCT bid) <= 100),
+         |ash AS (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS sh FROM t),
+         |contam AS (SELECT ash.doc_id FROM ash JOIN bs USING (sh)
+         |           GROUP BY 1 HAVING count(DISTINCT sh) >= 3),
+         |q AS (SELECT acc.doc_id, length(acc.text) AS nchars,
+         |        len(t.toks) AS n_tokens,
+         |        len(list_filter(t.toks,
+         |          x -> x IN (${inList(TextOps.StopwordsEn)}))) AS stop_hits
+         |      FROM acc JOIN t USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |          ('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |            AS bucket
+         |        FROM acc),
+         |v AS (SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |        $QualityScoreSql AS quality_score,
+         |        CASE WHEN q.nchars < 100 THEN 'too_short'
+         |             WHEN q.stop_hits / q.n_tokens < 0.05 THEN 'low_stopword'
+         |             WHEN spl.bucket >= 90 THEN 'benchmark_holdout'
+         |             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |             ELSE 'kept' END AS reason
+         |      FROM q JOIN spl USING (doc_id) LEFT JOIN contam c USING (doc_id)),
+         |kept AS (SELECT doc_id, n_tokens, quality_score FROM v
+         |         WHERE reason = 'kept'),
+         |bud AS (SELECT CAST(floor(sum(n_tokens) * $TokenBudgetShare) AS BIGINT)
+         |          AS budget FROM kept),
+         |c2 AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS cum_tokens,
+         |        CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS BIGINT) AS train_pos
+         |      FROM kept),
+         |sel AS (SELECT doc_id, n_tokens, quality_score, cum_tokens, train_pos
+         |        FROM c2, bud WHERE cum_tokens <= budget),
+         |tgt AS (SELECT greatest(CAST(ceil(sum(n_tokens) / ${ShardCount}.0)
+         |          AS BIGINT), 1) AS target FROM sel),
+         |a AS (SELECT sel.*,
+         |        CAST(greatest(least(CAST(floor((cum_tokens - 1) / target)
+         |          AS BIGINT), ${ShardCount - 1}), 0) AS INT) AS shard_id
+         |      FROM sel, tgt),
+         |m AS (SELECT shard_id, count(*) AS shard_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |      FROM a GROUP BY 1)
+         |SELECT a.shard_id, doc_id, n_tokens, quality_score, train_pos,
+         |  cum_tokens, shard_docs, shard_tokens
+         |FROM a JOIN m USING (shard_id)""".stripMargin,
+    "q141_curation_redact" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com'
+         |    || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |cl AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+         |    AS text
+         |  FROM raw WHERE text IS NOT NULL AND trim(text) <> ''),
          |h AS (SELECT doc_id,
          |        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
          |      FROM cl),

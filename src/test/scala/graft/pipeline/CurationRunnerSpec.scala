@@ -292,6 +292,34 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("redaction at ingest normalizes PII variants into one duplicate class") {
+    val root = Files.createTempDirectory("graft-cur-r").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      redactPii = true)
+    // same base text, different emails: redaction must collapse them to
+    // ONE fingerprint, and no raw PII may reach any store
+    val b = Seq(
+      (1L, longText("red") + " mail alice@example.com"),
+      (2L, longText("red") + " mail bob@test.org"),
+      (3L, longText("blue") + " from 10.1.2.3 call +1-555-0199"))
+      .toDF("doc_id", "text")
+    CurationRunner.runBatch(spark, root, b, ts(1), "b1", conf)
+    val corpus = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 3L),
+      "PII-variant duplicates must collapse after redaction")
+    val texts = corpus.select("text").as[String].collect().mkString(" ")
+    assert(texts.contains("<EMAIL>") && texts.contains("<IP>") &&
+      texts.contains("<PHONE>"), s"placeholders must land, got: $texts")
+    assert(!texts.contains("alice") && !texts.contains("10.1.2.3") &&
+      !texts.contains("555-0199"), "raw PII must never land in the corpus")
+    // ...nor in the index's token space
+    assert(AtomicRewrite.read(spark, IndexStore.Paths(p.index).postings)
+      .filter(col("token").contains("@") || col("token").contains("alice"))
+      .isEmpty, "raw PII must never enter the postings")
+    spark.catalog.clearCache()
+  }
+
   test("curriculum release interleaves sources best-first") {
     val root = Files.createTempDirectory("graft-cur-q").toString + "/rel"
     val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
