@@ -166,13 +166,13 @@ class CurationGdprSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("every knob armed: near-dup + mixture + embeddings + maintain + erasure compose") {
+  test("every knob armed: near-dup + mixture + curriculum + redaction + embeddings + maintain + erasure compose") {
     val base = Files.createTempDirectory("graft-cur-all").toString
     val root = s"$base/rel"
     val p = CurationRunner.Paths(root)
     val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
       annK = 2, annIters = 1, nearDupThreshold = Some(0.5),
-      sourceCapShare = Some(0.5))
+      sourceCapShare = Some(0.5), curriculum = true, redactPii = true)
     val harbor = "a harbor ferry waits for the tide while gulls drift " +
       "over the quay and the captain checks a list of cargo that must " +
       "reach the island before dark on this cold evening run"
