@@ -1169,6 +1169,31 @@ object TextQueries {
       graft.pipeline.IndexStore.query(s, root, q, k = 5)
     }),
 
+    // Serve straight from the COMPOSED curation root: two ingest-only
+    // runBatch cycles build the index incrementally (land → append with
+    // replacement semantics, the q136 merge path), then the q123 query
+    // panel scores against it. The oracle recomputes BM25 over the
+    // exact-canon landed set — so a doc the dedup store rejected, a
+    // ghost posting, or stats drift between build and append would all
+    // move a score. This is the ingest→serve pin: what a user retrieves
+    // from a curation root is exactly what the composition landed.
+    "q142_curation_serve" -> ((s, dir) => {
+      val root = tmpStoreRoot(s, dir, "cursrv")
+      val d = docs(s, dir)
+      val conf = graft.pipeline.CurationRunner.Conf(
+        budgetShare = TokenBudgetShare, nShards = ShardCount)
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
+      graft.pipeline.CurationRunner.runBatch(s, root,
+        d.filter(col("doc_id") >= 200), ts(2), "b2", conf, publish = false)
+      val q = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(array_sort(array_distinct(toks)), 1, 4).as("terms"))
+      graft.pipeline.IndexStore.query(s,
+        graft.pipeline.CurationRunner.Paths(root).index, q, k = 5)
+    }),
+
     // GDPR erasure through the persisted BM25 index (the q101/q122
     // contract on the retrieval layer): build, FORGET a deterministic
     // subject set, then run the q123 query batch — erased docs must be
@@ -1989,6 +2014,17 @@ object TextQueries {
         |FROM h JOIN canon USING (hh) GROUP BY 1""".stripMargin,
     "q123_bm25_store" -> bm25StoreOracle(kept = "TRUE"),
     "q124_bm25_forget" -> bm25StoreOracle(kept = "doc_id % 7 <> 3"),
+    // the composed root's index serves exactly the exact-canon landed
+    // set: the kept predicate replays the runner's clean + fingerprint
+    // canon (min id per normalized-text hash over cleaned docs)
+    "q142_curation_serve" -> bm25StoreOracle(kept =
+      """doc_id IN (SELECT min(doc_id) FROM (
+        |  SELECT doc_id,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hh
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND trim(text) <> '') hx
+        |  GROUP BY hh)""".stripMargin),
     "q136_bm25_append" -> {
       val k1 = graft.pipeline.IndexStore.K1
       val b = graft.pipeline.IndexStore.B
