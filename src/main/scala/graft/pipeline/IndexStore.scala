@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <root>/postings   // token, doc_id, tf, dl — hive-partitioned by
   *                     // bucket = pmod(xxhash64(token), buckets)
-  *   <root>/docstats   // doc_id, dl — partitioned by doc-hash bucket
+  *   <root>/docstats   // doc_id, dl, buckets — partitioned by doc-hash
+  *                     // bucket; `buckets` is the doc's posting-bucket
+  *                     // list (an UPPER BOUND — see append), the record
+  *                     // that keeps append discovery O(batch)
   *   <root>/stats      // ONE row (n_docs, sum_dl) — the running corpus
   *                     // summary, refreshed by every mutation
   * }}}
@@ -44,8 +47,12 @@ import org.apache.spark.sql.functions._
   *    buckets the new postings land in, and the committed frame is
   *    (survivors of those buckets) ∪ (new postings) — erase and insert
   *    can never be split by a crash. The commit writes O(touched
-  *    buckets); finding the old buckets is the same semi-join scan any
-  *    doc-keyed erase of a token-partitioned index pays.
+  *    buckets); finding the old buckets is O(batch) — each doc's
+  *    posting-bucket list lives in docstats, so discovery reads the
+  *    batch ids' doc-bucket partitions of the NARROW docstats table
+  *    (partition-pruned at plan time) instead of semi-join-scanning the
+  *    full postings table per batch, the hot-ingest-path analog of the
+  *    watermark read that keeps bronze extracts O(increment).
   *  - FORGET deletes by doc_id: the touched partition set is the
   *    forgotten docs' distinct token buckets — capped at
   *    [[PostingBuckets]] regardless of corpus size. N/avgdl/df shift
@@ -80,6 +87,9 @@ object IndexStore {
   private def bucketOf(token: Column): Column =
     pmod(xxhash64(token), lit(PostingBuckets.toLong)).cast("int")
 
+  private def docBucketOf(id: Column): Column =
+    pmod(xxhash64(id), lit(DocBuckets.toLong)).cast("int")
+
   /** One (doc_id, text) row per doc id: a batch carrying SEVERAL
     * versions of the same id (an at-least-once source compacting a
     * correction into one micro-batch) keeps the max-content-hash
@@ -107,11 +117,19 @@ object IndexStore {
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       .withColumn("bucket", bucketOf(col("token")))
 
+  /** (doc_id, dl, buckets, doc_bucket) per canonical doc. `buckets` is
+    * the sorted distinct posting buckets the doc's tokens hash into
+    * (≤ [[PostingBuckets]] ints) — the per-doc record that lets a later
+    * re-submission find the doc's old postings WITHOUT scanning the
+    * postings table (see [[append]]). */
   private def docstatsOf(canonical: DataFrame): DataFrame =
     canonical.select(col("doc_id"),
-        size(graft.ops.TextOps.tokens(col("__text"))).cast("double").as("dl"))
-      .withColumn("doc_bucket",
-        pmod(xxhash64(col("doc_id")), lit(DocBuckets.toLong)).cast("int"))
+        graft.ops.TextOps.tokens(col("__text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("double").as("dl"),
+        array_sort(array_distinct(
+          transform(col("__toks"), t => bucketOf(t)))).as("buckets"))
+      .withColumn("doc_bucket", docBucketOf(col("doc_id")))
 
   /** Build (replace) the index from a corpus. */
   def build(spark: SparkSession, root: String, corpus: DataFrame,
@@ -135,18 +153,34 @@ object IndexStore {
     * why the old buckets must join the replaced set: merge-only would
     * strand them as ghost hits.
     *
-    * Three commits total (postings, docstats, stats), each atomic —
-    * the honest crash windows: a crash between the postings and
-    * docstats commits leaves the batch retrievable while per-doc dl
-    * bookkeeping excludes it; a crash before the stats commit leaves
-    * the 1-row summary one batch behind the committed docstats. Both
-    * states self-heal on the source's at-least-once replay (the
-    * streaming sink's redelivery contract), and any later successful
-    * mutation — or [[refreshStats]] directly — repairs the summary,
-    * because stats always recomputes from COMMITTED docstats. What can
-    * NEVER occur is the non-healing failure mode — a half-merged doc,
-    * a stale ghost posting, or a batch silently dropped between an
-    * erase and its insert, none of which replay would repair. */
+    * Old-bucket discovery is O(batch), never O(index): each doc's
+    * posting-bucket list lives in docstats ([[docstatsOf]]), and the
+    * batch's doc ids hash into ≤ [[DocBuckets]] doc-bucket partitions —
+    * inlined as literals so the docstats read is partition-pruned at
+    * plan time. (An index built before the bucket-list column falls
+    * back to the legacy full-postings semi-join; rebuild to upgrade.)
+    *
+    * Three commits total (docstats, postings, stats), each atomic.
+    * docstats commits FIRST as the batch's INTENT record: each batch
+    * doc's stored list becomes (its old list ∪ its new buckets), so a
+    * crash between the docstats and postings commits — even one
+    * replayed with a DIFFERENT text version — re-discovers every bucket
+    * any partially-committed version's postings could occupy. The lists
+    * are therefore an upper BOUND on where a doc's rows live (monotone
+    * under re-submission, capped at [[PostingBuckets]] ints): a stale
+    * entry costs at most one extra bucket in a later rewrite's touched
+    * set, never a ghost posting. The honest crash windows: a crash
+    * between the docstats and postings commits counts the batch's new
+    * dl while the old postings still serve; a crash before the stats
+    * commit leaves the 1-row summary one batch behind the committed
+    * docstats. Both states self-heal on the source's at-least-once
+    * replay (the streaming sink's redelivery contract), and any later
+    * successful mutation — or [[refreshStats]] directly — repairs the
+    * summary, because stats always recomputes from COMMITTED docstats.
+    * What can NEVER occur is the non-healing failure mode — a
+    * half-merged doc, a stale ghost posting, or a batch silently
+    * dropped between an erase and its insert, none of which replay
+    * would repair. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val p = Paths(root)
@@ -157,17 +191,69 @@ object IndexStore {
     val canon = canonicalBatch(batch, textCol, idCol)
     val ids = canon.select("doc_id")
     val post = postingsOf(canon).persist()
-    mergeReplace(spark, p.postings, ids, post, "bucket")
+    val ds = docstatsOf(canon)
+    val committed = AtomicRewrite.read(spark, p.docstats)
+    if (!committed.columns.contains("buckets")) {
+      // pre-upgrade index (docstats without the bucket-list column):
+      // the legacy full-postings discovery, legacy docstats schema.
+      // build() writes the upgraded layout.
+      mergeReplace(spark, p.postings, ids, post, "bucket")
+      mergeReplace(spark, p.docstats, ids, ds.drop("buckets"), "doc_bucket")
+    } else {
+      // ≤ DocBuckets literal ints — prune the discovery read's docstats
+      // partitions at plan time (severed lineage, the probed-cell idiom)
+      val docBuckets = ids.select(docBucketOf(col("doc_id")).as("doc_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (docBuckets.isEmpty) { post.unpersist(); return } // empty batch: no-op
+      val intent = ds
+        .join(oldBucketLists(spark, p, ids, docBuckets), Seq("doc_id"), "left")
+        .withColumn("buckets", array_sort(array_distinct(concat(
+          col("buckets"),
+          coalesce(col("__old"), array().cast("array<int>"))))))
+        .drop("__old").persist()
+      // docstats commit FIRST (the intent record): a batch id's old row
+      // lives in the SAME doc bucket its new row lands in (doc_bucket is
+      // a pure hash of the id), so the replaced set needs no discovery
+      val dsSurvivors = committed
+        .filter(col("doc_bucket").isin(docBuckets: _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+      AtomicRewrite.writePartitions(spark, p.docstats,
+        dsSurvivors.unionByName(intent), Seq("doc_bucket"),
+        replaced = Some(intent.select("doc_bucket").distinct()))
+      // postings touched set = the union of the batch docs' (old ∪ new)
+      // bucket lists — read from the intent frame, never the postings
+      val touched = intent.select(explode(col("buckets")).as("bucket"))
+        .distinct()
+      val partIds = touched.collect().map(_.getInt(0)).toSeq
+      if (partIds.nonEmpty) {
+        val survivors = AtomicRewrite.read(spark, p.postings)
+          .filter(col("bucket").isin(partIds: _*))
+          .join(ids, Seq("doc_id"), "left_anti")
+        AtomicRewrite.writePartitions(spark, p.postings,
+          survivors.unionByName(post), Seq("bucket"),
+          replaced = Some(touched.toDF()))
+      }
+      intent.unpersist()
+    }
     post.unpersist()
-    val ds = docstatsOf(canon).persist()
-    mergeReplace(spark, p.docstats, ids, ds, "doc_bucket")
-    ds.unpersist()
     refreshStats(spark, root)
   }
 
-  /** One-commit replace-merge: commit (survivors of the touched
-    * partitions) ∪ `fresh` where touched = partitions holding `ids`'
-    * old rows ∪ partitions `fresh` lands in. */
+  /** The batch ids' committed bucket lists — (doc_id, __old) — read
+    * from the docstats partitions the ids hash into. Package-private so
+    * the spec can pin the discovery plan: partition-pruned to the
+    * batch's doc buckets, and never a postings read. */
+  private[pipeline] def oldBucketLists(spark: SparkSession, p: Paths,
+                                       ids: DataFrame,
+                                       docBuckets: Seq[Any]): DataFrame =
+    AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_bucket").isin(docBuckets: _*))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("buckets").as("__old"))
+
+  /** Legacy one-commit replace-merge (pre-bucket-list indexes only):
+    * touched = partitions holding `ids`' old rows — a full semi-join
+    * scan of `table` — ∪ partitions `fresh` lands in. */
   private def mergeReplace(spark: SparkSession, table: String,
                            ids: DataFrame, fresh: DataFrame,
                            partCol: String): Unit = {

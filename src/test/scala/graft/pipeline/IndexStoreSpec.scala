@@ -203,6 +203,85 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("append discovery is O(batch): reads pruned docstats partitions, never postings") {
+    val root = Files.createTempDirectory("graft-idx-ob").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    val ids = Seq(4L).toDF("doc_id")
+    val docBuckets = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 4L).select("doc_bucket").as[Int].collect().toSeq
+    val plan = IndexStore.oldBucketLists(spark, p, ids, docBuckets)
+      .queryExecution.executedPlan.toString
+    // the discovery plan must not touch the postings table at all — the
+    // old O(index rows) semi-join scan is exactly what this replaces
+    assert(!plan.contains("postings"),
+      s"append discovery still scans the postings table:\n${plan.take(2000)}")
+    // and its docstats read is partition-pruned to the batch's doc
+    // buckets at PLAN time (hive pruning on inlined literals)
+    assert("PartitionFilters: \\[[^\\]]*doc_bucket".r.findFirstIn(plan).isDefined,
+      s"docstats read is not partition-pruned on doc_bucket:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("append rewrites only the batch docs' old∪new buckets; bystanders ride by reference") {
+    val root = Files.createTempDirectory("graft-idx-by").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    val v0 = AtomicRewrite.currentVersion(spark, p.postings).get
+    val d0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    def postingBuckets(d: Long) = AtomicRewrite.read(spark, p.postings)
+      .filter(col("doc_id") === d).select("bucket").as[Int].collect().toSet
+    val oldB = postingBuckets(4L)
+    val allB = AtomicRewrite.read(spark, p.postings)
+      .select("bucket").distinct().as[Int].collect().toSet
+    IndexStore.append(spark, root,
+      Seq((4L, "night owl coaches replace the ferries")).toDF("doc_id", "text"))
+    val newB = postingBuckets(4L)
+    // posting partitions outside doc 4's old∪new bucket lists ride the
+    // new manifest by reference: the new version dir must not
+    // materialize them afresh
+    val bystanders = allB -- oldB -- newB
+    assert(bystanders.nonEmpty, "fixture regression: no bystander bucket")
+    bystanders.foreach { b =>
+      assert(new java.io.File(s"${p.postings}/v=$v0/bucket=$b").exists())
+      assert(!new java.io.File(s"${p.postings}/v=${v0 + 1}/bucket=$b").exists(),
+        s"bystander posting bucket $b was rewritten by the append")
+    }
+    // docstats: only doc 4's doc-bucket partition is rewritten
+    val doc4Db = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 4L).select("doc_bucket").as[Int].head()
+    val otherDb = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") =!= 4L).select("doc_bucket").as[Int]
+      .collect().toSet - doc4Db
+    otherDb.foreach { b =>
+      assert(!new java.io.File(s"${p.docstats}/v=${d0 + 1}/doc_bucket=$b").exists(),
+        s"bystander docstats bucket $b was rewritten by the append")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("a re-submitted doc's stored bucket list is the old∪new superset (crash-replay bound)") {
+    val root = Files.createTempDirectory("graft-idx-sup").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    def storedList(d: Long) = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === d).select("buckets").as[Seq[Int]].head().toSet
+    def actual(d: Long) = AtomicRewrite.read(spark, p.postings)
+      .filter(col("doc_id") === d).select("bucket").as[Int].collect().toSet
+    // fresh build: the list is exactly the doc's posting buckets
+    assert(storedList(4L) == actual(4L))
+    val oldB = actual(4L)
+    IndexStore.append(spark, root,
+      Seq((4L, "night owl coaches replace the ferries")).toDF("doc_id", "text"))
+    // after replacement the list covers BOTH versions' buckets — the
+    // upper bound that makes a docstats-first crash replay (possibly
+    // with a third text version) re-discover any partially-committed
+    // version's postings
+    assert(storedList(4L) == (oldB ++ actual(4L)),
+      s"stored list ${storedList(4L)} is not old $oldB ∪ new ${actual(4L)}")
+    spark.catalog.clearCache()
+  }
+
   test("layout: postings land in at most PostingBuckets hive partitions") {
     val root = Files.createTempDirectory("graft-idx-b").toString + "/idx"
     IndexStore.build(spark, root, corpus)
