@@ -48,9 +48,12 @@ import java.sql.Timestamp
   *  - RELEASE is a metadata pass: the budget cut orders precomputed
   *    (id, n_tokens, quality_score) rows via [[PrefixSum]] — the only
   *    unpartitioned window is its O(partitions) offset frame — and the
-  *    epoch publish writes O(selection). Publishing every batch is the
-  *    oracle shape; production runs ingest-only batches
-  *    (`publish = false`) and publishes on release cadence.
+  *    snapshot commit is bucket-DIFFED: a near-no-change release writes
+  *    O(changed buckets), a no-change release writes nothing and skips
+  *    the epoch publish entirely (the shardsFrom marker keeps that skip
+  *    crash-replay-safe). Publishing every batch is the oracle shape;
+  *    production runs ingest-only batches (`publish = false`) and
+  *    publishes on release cadence.
   *
   * Replay contract (the M1 never-regress semantics):
   *  - a batch whose `asOf` does not advance the watermark is a FULL
@@ -59,8 +62,10 @@ import java.sql.Timestamp
   *    landing is idempotent (same batch_id partition, same rows), the
   *    dedup stores re-accept only what their committed state doesn't
   *    hold, the index appends have replacement semantics, and the
-  *    release re-publishes identical content (burning versions, never
-  *    changing state). The index refresh reads the batch's DURABLE
+  *    release bucket-diffs against the committed selection — identical
+  *    content is a no-op (no curated/shard version burns), changed
+  *    content commits only its changed buckets. The index refresh reads
+  *    the batch's DURABLE
   *    corpus partition rather than the in-flight accepted frame, so a
   *    replay where the dedup stores reject everything (crash landed
   *    after their commits) still converges the indexes to the landed
@@ -86,6 +91,12 @@ object CurationRunner {
     val corpus: String = s"$root/corpus"
     val curated: String = s"$root/curated"
     val shards: String = s"$root/shards"
+    /** 1-row marker: the curated version the committed shard epoch
+      * derived from — what lets a no-change release skip the epoch
+      * publish WITHOUT breaking crash-replay convergence (see
+      * [[release]]). Holds a version number only, no subject data, so
+      * it sits outside the GDPR hooks. */
+    val shardsFrom: String = s"$root/shards_from"
     val index: String = s"$root/index"
     val ann: String = s"$root/ann"
   }
@@ -270,6 +281,13 @@ object CurationRunner {
     base.join(contam, Seq(conf.idCol), "left")
       .withColumn("reason",
         when(col("__nchars") < conf.minChars, "too_short")
+          // defensive, ahead of the ratio tests: with the current
+          // whitespace tokenizer every cleaned doc has >= 1 token, but
+          // under a word-EXTRACTING tokenizer a punctuation-only doc
+          // would hit n_tokens=0, turn the stopword ratio NaN, skip
+          // every reject predicate and land "kept" with an unordered
+          // quality — this branch pins the invariant either way
+          .when(col("n_tokens") === 0, "too_short")
           .when(col("__stop") / col("n_tokens") < conf.minStopRatio,
             "low_stopword")
           .when(col("__bucket") >= 90, "benchmark_holdout")
@@ -450,22 +468,86 @@ object CurationRunner {
             (col("__rn") - 1) * col("__ns") + col("__si"))
           .drop("__rn", "__si", "__ns")
       }
-    // partition-committed by id-hash bucket: a release still replaces
-    // the whole snapshot, but an erasure between releases rewrites only
-    // the subject's buckets (see [[storeErasures]])
-    AtomicRewrite.write(spark, p.curated,
-      shipped.withColumn(CuratedBucketCol,
-        pmod(xxhash64(lit("curated"), col(conf.idCol)),
-          lit(CuratedBuckets.toLong)).cast("int")),
-      partitionBy = Seq(CuratedBucketCol))
+    // partition-committed by id-hash bucket AND partition-DIFFED
+    // against the committed snapshot: only sel_buckets whose content
+    // moved are rewritten (a near-no-change release is O(changed
+    // buckets), a no-change release burns no curated version at all),
+    // and an erasure between releases rewrites only the subject's
+    // buckets (see [[storeErasures]])
+    val withBucket = shipped.withColumn(CuratedBucketCol,
+      pmod(xxhash64(lit("curated"), col(conf.idCol)),
+        lit(CuratedBuckets.toLong)).cast("int")).persist()
+    val curatedMoved = publishCurated(spark, p, withBucket)
+    withBucket.unpersist()
     cached.unpersist()
     sig.foreach(_.unpersist())
     // the epoch derives from the COMMITTED selection (the
-    // TrainingShards manifest discipline applied one level up)
-    TrainingShards.build(spark, p.shards,
-      AtomicRewrite.read(spark, p.curated).drop(CuratedBucketCol),
-      conf.nShards)
+    // TrainingShards manifest discipline applied one level up), and is
+    // SKIPPED when the committed epoch already derives from this exact
+    // curated version — the shardsFrom marker, committed AFTER the
+    // epoch, is what proves it: a crash between the curated commit and
+    // the epoch publish leaves the marker stale, so the replay's
+    // no-change release still rebuilds the epoch to convergence
+    val curVer = AtomicRewrite.currentVersion(spark, p.curated).get
+    if (curatedMoved || !shardsFromVersion(spark, p).contains(curVer)) {
+      TrainingShards.build(spark, p.shards,
+        AtomicRewrite.read(spark, p.curated).drop(CuratedBucketCol),
+        conf.nShards)
+      import spark.implicits._
+      AtomicRewrite.write(spark, p.shardsFrom,
+        Seq(curVer).toDF("curated_version").coalesce(1))
+    }
   }
+
+  /** Commit the fresh selection over the committed snapshot,
+    * bucket-diffed: per-sel_bucket (row count, order-independent exact
+    * sum of full-row hashes) signatures decide which buckets moved;
+    * only those commit ([[AtomicRewrite.writePartitions]] — untouched
+    * buckets ride the manifest by reference, vanished buckets drop),
+    * and ZERO moved buckets is a full no-op (no version burned).
+    * Returns whether anything committed. The diff pays one
+    * column-complete read of the committed snapshot — O(selection)
+    * read, but the write drops from O(selection) to O(changed buckets),
+    * and reading is the cheaper side at every scale. First release (or
+    * a schema change — a Conf evolution) snapshots in full. */
+  private def publishCurated(spark: SparkSession, p: Paths,
+                             fresh: DataFrame): Boolean = {
+    import spark.implicits._
+    if (!AtomicRewrite.exists(spark, p.curated)) {
+      AtomicRewrite.write(spark, p.curated, fresh,
+        partitionBy = Seq(CuratedBucketCol))
+      return true
+    }
+    val committed = AtomicRewrite.read(spark, p.curated)
+    if (committed.columns.sorted.toSeq != fresh.columns.sorted.toSeq) {
+      AtomicRewrite.write(spark, p.curated, fresh,
+        partitionBy = Seq(CuratedBucketCol))
+      return true
+    }
+    val cols = fresh.columns.filter(_ != CuratedBucketCol).sorted.map(col(_))
+    def sig(df: DataFrame, n: String, h: String) =
+      df.groupBy(CuratedBucketCol).agg(count(lit(1)).as(n),
+        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as(h))
+    val moved = sig(fresh, "__nn", "__nh")
+      .join(sig(committed, "__cn", "__ch"), Seq(CuratedBucketCol), "full_outer")
+      .filter(not(col("__nn") <=> col("__cn")) ||
+        not(col("__nh") <=> col("__ch")))
+      .select(CuratedBucketCol)
+      .collect().map(_.getInt(0)).toSeq
+    if (moved.isEmpty) return false
+    AtomicRewrite.writePartitions(spark, p.curated,
+      fresh.filter(col(CuratedBucketCol).isin(moved: _*)),
+      Seq(CuratedBucketCol),
+      replaced = Some(moved.toDF(CuratedBucketCol)))
+    true
+  }
+
+  /** The curated version the committed shard epoch derives from — None
+    * until the first epoch's marker lands. */
+  private def shardsFromVersion(spark: SparkSession, p: Paths): Option[Long] =
+    if (!AtomicRewrite.exists(spark, p.shardsFrom)) None
+    else AtomicRewrite.read(spark, p.shardsFrom)
+      .select("curated_version").collect().headOption.map(_.getLong(0))
 
   /** The committed curated selection, bucket column dropped — what
     * [[runBatch]] returns. */
@@ -483,13 +565,19 @@ object CurationRunner {
     *     ≤ `buckets` ([[StoreMaintenance.rebaseBatchPartitions]] — the
     *     small-dirs growth of append-only O(batch) commits);
     *  2. fold the corpus' per-batch `batch_id` dirs the same way (hash
-    *     of the batch id, so a historic batch stays co-located). Every
-    *     watermarked batch's landing is immutable history — the
-    *     watermark guard returns before [[landedBatch]] ever probes it —
-    *     so the fold is only unsafe for a crashed batch still awaiting
-    *     replay, which is why maintain REFUSES any root whose job's last
-    *     recorded status isn't SUCCESS (and any corpus with no control
-    *     row at all: a first batch that crashed mid-run);
+    *     of the batch id, so a historic batch stays co-located).
+    *     INCREMENTAL like the store rebase: only dirs not already under
+    *     [[FoldPrefix]] fold — plus the fold buckets they land in —
+    *     while every already-folded bucket rides the manifest by
+    *     reference, and a corpus with nothing pending burns no version
+    *     at all (the second consecutive maintain writes zero corpus
+    *     bytes). Every watermarked batch's landing is immutable history
+    *     — the watermark guard returns before [[landedBatch]] ever
+    *     probes it — so the fold is only unsafe for a crashed batch
+    *     still awaiting replay, which is why maintain REFUSES any root
+    *     whose job's last recorded status isn't SUCCESS (and any corpus
+    *     with no control row at all: a first batch that crashed
+    *     mid-run);
     *  3. vacuum superseded versions of every store under the root. The
     *     default retention keeps the [[AtomicRewrite.MinRetainHours]]
     *     age floor (a concurrent reader of an old snapshot — another
@@ -508,8 +596,12 @@ object CurationRunner {
     val last =
       if (!AtomicRewrite.exists(spark, p.control)) None
       else AtomicRewrite.read(spark, p.control)
-        .filter(col("job_name") === Job).collect().headOption
-        .map(_.getString(3))
+        .filter(col("job_name") === Job)
+        // by NAME, never a positional Row index: a Watermarks schema
+        // evolution must fail loudly here, not silently read another
+        // column past the quiesce guard
+        .select("last_status").collect().headOption
+        .map(_.getString(0))
     require(last.forall(_ == "SUCCESS"),
       s"maintain requires a quiesced root whose last batch committed — " +
         s"job status is ${last.getOrElse("<absent>")}; a crashed batch " +
@@ -519,18 +611,42 @@ object CurationRunner {
         "mid-run; replay it to completion before maintenance")
     StoreMaintenance.rebaseBatchPartitions(spark, p.dedupStore, buckets)
     StoreMaintenance.rebaseBatchPartitions(spark, p.nearDupStore, buckets)
-    if (AtomicRewrite.exists(spark, p.corpus))
-      AtomicRewrite.write(spark, p.corpus,
-        AtomicRewrite.read(spark, p.corpus)
-          .withColumn("batch_id", concat(lit(FoldPrefix),
-            pmod(xxhash64(col("batch_id")), lit(buckets.toLong)))),
-        partitionBy = Seq("batch_id"))
+    if (AtomicRewrite.exists(spark, p.corpus)) {
+      // incremental corpus fold: only batch dirs NOT already under
+      // FoldPrefix fold (each into the fold bucket its id hashes to),
+      // already-folded buckets ride the manifest by reference, and
+      // nothing pending = no commit — the StoreMaintenance shape keyed
+      // by batch_id strings
+      val corpus = AtomicRewrite.read(spark, p.corpus)
+      val pending = corpus.select("batch_id").distinct()
+        .filter(!col("batch_id").startsWith(FoldPrefix))
+        .collect().map(_.getString(0)).toSeq
+      if (pending.nonEmpty) {
+        val foldOf = concat(lit(FoldPrefix),
+          pmod(xxhash64(col("batch_id")), lit(buckets.toLong)))
+        // fold-bucket names via the engine's own hash (never a driver
+        // reimplementation that could diverge from the stored layout)
+        val targets = AtomicRewrite.literalFrame(spark,
+            pending.map(org.apache.spark.sql.Row(_)),
+            corpus.select("batch_id").schema)
+          .select(foldOf.as("batch_id")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val folded = corpus.filter(col("batch_id").isin(pending: _*))
+          .withColumn("batch_id", foldOf)
+        val survivors = corpus.filter(col("batch_id").isin(targets: _*))
+        AtomicRewrite.writePartitions(spark, p.corpus,
+          survivors.unionByName(folded), Seq("batch_id"),
+          replaced = Some(AtomicRewrite.literalFrame(spark,
+            (pending ++ targets).distinct.map(org.apache.spark.sql.Row(_)),
+            corpus.select("batch_id").schema)))
+      }
+    }
     val ip = IndexStore.Paths(p.index)
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)
     Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
-      sp.shards, sp.manifest, ip.postings, ip.docstats, ip.stats,
-      ap.centroids, ap.cells)
+      p.shardsFrom, sp.shards, sp.manifest, ip.postings, ip.docstats,
+      ip.stats, ap.centroids, ap.cells)
       .filter(AtomicRewrite.exists(spark, _))
       .foreach(AtomicRewrite.vacuum(spark, _, keepVersions, retainHours))
   }

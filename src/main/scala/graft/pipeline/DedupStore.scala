@@ -87,6 +87,10 @@ object DedupStore {
           .withColumn("batch_seq", lit(seq).cast("int")),
         Seq("batch_seq"))
     accepted.unpersist()
+    // on the nested-sink path the returned frame is the SINK's, so the
+    // intermediate pin must release here — the acceptNew path keeps it
+    // pinned because `out` IS the returned frame (the caller releases)
+    if (landed ne out) out.unpersist()
     landed
   }
 

@@ -68,19 +68,30 @@ object TokenizerStore {
     * corpus runs out of ADJACENT pairs entirely (every doc merged to one
     * unit — [[Bpe.bestPair]]'s sentinel); frequency-1 pairs still merge,
     * lexicographically, like any greedy BPE. Deterministic — same
-    * corpus, same merges. */
+    * corpus, same merges.
+    *
+    * Barrier durability: by default each round materializes through an
+    * eager localCheckpoint — lineage-truncating but UNREPLICATED
+    * executor blocks, so losing an executor mid-run makes its blocks
+    * unrecoverable and FAILS the job (restart from round 0). Fine for
+    * short trainings; a production 32k-round run should pass
+    * `checkpointDir` (a durable filesystem path) to switch every
+    * barrier to a reliable checkpoint that survives executor loss —
+    * same merges, per-round cost plus one durable write. */
   def train(spark: SparkSession, root: String, corpus: DataFrame,
-            textCol: String = "text", rounds: Int = 3): Unit = {
+            textCol: String = "text", rounds: Int = 3,
+            checkpointDir: Option[String] = None): Unit = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     // no MaxMerges bound here: each round materializes through an EAGER
-    // localCheckpoint, so neither the expression tree nor the RDD
-    // lineage ever nests — the projection bound protects
-    // single-projection ENCODING only (class note; encodeChunked
-    // round-trips any trained size). persist() is NOT enough as the
-    // barrier: it bounds recompute but keeps the full dependency chain,
-    // and at ~250 rounds the serialized task graph overflows the stack.
-    var cur = corpus.select(Bpe.corpusString(col(textCol)).as("s"))
-      .localCheckpoint()
+    // barrier, so neither the expression tree nor the RDD lineage ever
+    // nests — the projection bound protects single-projection ENCODING
+    // only (class note; encodeChunked round-trips any trained size).
+    // persist() is NOT enough as the barrier: it bounds recompute but
+    // keeps the full dependency chain, and at ~250 rounds the
+    // serialized task graph overflows the stack.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    var cur = barrier(corpus.select(Bpe.corpusString(col(textCol)).as("s")),
+      checkpointDir)
     val merges = Seq.newBuilder[org.apache.spark.sql.Row]
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -88,14 +99,23 @@ object TokenizerStore {
         case Some(row) if row.getString(0).nonEmpty =>
           val pair = row.getString(0)
           merges += org.apache.spark.sql.Row(r, pair, pair.replace(" ", ""))
-          cur = cur.withColumn("s", Bpe.applyMerge(col("s"), lit(pair)))
-            .localCheckpoint() // superseded rounds' blocks are GC-reaped
+          // superseded rounds' local blocks are GC-reaped
+          cur = barrier(cur.withColumn("s",
+            Bpe.applyMerge(col("s"), lit(pair))), checkpointDir)
         case _ => done = true // sentinel: no adjacent pair left anywhere
       }
     }
     AtomicRewrite.write(spark, Paths(root).merges,
       AtomicRewrite.literalFrame(spark, merges.result(), MergeSchema))
   }
+
+  /** The round/chunk materialization barrier: an eager checkpoint that
+    * truncates plan AND rdd lineage. localCheckpoint (fast, executor
+    * blocks, lost with an executor) by default; a RELIABLE checkpoint
+    * (durable under the caller-set checkpoint dir, survives executor
+    * loss) when `reliable` is set — the long-production-run knob. */
+  private def barrier(df: DataFrame, reliable: Option[String]): DataFrame =
+    if (reliable.isDefined) df.checkpoint() else df.localCheckpoint()
 
   /** The trained merge list, in application order. */
   def merges(spark: SparkSession, root: String): DataFrame =
@@ -127,20 +147,26 @@ object TokenizerStore {
     * The returned frame reads the LAST barrier's checkpointed blocks —
     * session-lifetime, like the other store round-trips' pinned
     * results; a durable multi-job handoff belongs in an
-    * [[graft.tx.AtomicRewrite]] table of the encoded output. */
+    * [[graft.tx.AtomicRewrite]] table of the encoded output. Default
+    * barriers are localCheckpoints (executor blocks — an executor loss
+    * mid-encode fails the job, restart from chunk 0); pass
+    * `checkpointDir` for reliable barriers on long production encodes,
+    * the [[train]] durability knob. */
   def encodeChunked(spark: SparkSession, root: String, df: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
-                    chunkSize: Int = MaxMerges): DataFrame = {
+                    chunkSize: Int = MaxMerges,
+                    checkpointDir: Option[String] = None): DataFrame = {
     require(chunkSize > 0 && chunkSize <= MaxMerges,
       s"chunkSize must be in [1, $MaxMerges], got $chunkSize")
     val ms = merges(spark, root).collect()
     val base = df.select(col(idCol), Bpe.corpusString(col(textCol)).as("__s"))
     if (ms.length <= chunkSize) return finish(applyChain(ms, base), idCol)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     var cur: DataFrame = base
     ms.grouped(chunkSize).foreach { grp =>
       // the barrier: downstream chunks read checkpointed blocks, never
       // this chunk's expression chain (superseded blocks GC-reap)
-      cur = applyChain(grp, cur).localCheckpoint()
+      cur = barrier(applyChain(grp, cur), checkpointDir)
     }
     finish(cur, idCol)
   }

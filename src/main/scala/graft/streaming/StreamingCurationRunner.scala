@@ -72,7 +72,11 @@ object StreamingCurationRunner {
           // maintainEvery/buckets keeps listing cost bounded forever.
           if (maintainEvery > 0 && (epochId + 1) % maintainEvery == 0)
             CurationRunner.maintain(batch.sparkSession, root)
-          batch.sparkSession.catalog.clearCache()
+          // no cache cleanup: every frame a cycle pins is released on
+          // its own path (runBatch unpersists the landed frame, the
+          // dedup stores their intermediates), so there is nothing of
+          // ours to drop — and a session-global clearCache here would
+          // wipe relations unrelated jobs sharing the session cached
         }
         ()
       }

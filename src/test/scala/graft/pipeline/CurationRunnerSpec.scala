@@ -396,6 +396,108 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a second consecutive maintain is a full no-op (incremental folds)") {
+    val root = Files.createTempDirectory("graft-cur-m2").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2, nearDupThreshold = Some(0.5))
+    CurationRunner.runBatch(spark, root,
+      Seq((1L, longText("red"))).toDF("doc_id", "text"), ts(1), "b1", conf,
+      publish = false)
+    CurationRunner.runBatch(spark, root,
+      Seq((2L, "the quick brown fox jumps over a lazy dog while the " +
+        "miller grinds the wheat and the baker warms the oven for the " +
+        "first loaves of the day")).toDF("doc_id", "text"), ts(2), "b2", conf)
+    CurationRunner.maintain(spark, root, buckets = 2)
+    val before = versions(p) +
+      ("neardup" -> AtomicRewrite.currentVersion(spark, p.nearDupStore))
+    // nothing pending anywhere: the second maintain must rewrite ZERO
+    // bytes — no store, corpus, or index version burns
+    CurationRunner.maintain(spark, root, buckets = 2)
+    val after = versions(p) +
+      ("neardup" -> AtomicRewrite.currentVersion(spark, p.nearDupStore))
+    assert(after == before,
+      s"an already-folded root burned versions: before=$before after=$after")
+    // and a post-fold batch folds incrementally: the next maintain burns
+    // corpus/store versions again (there IS pending work), but the
+    // already-folded corpus rows stay intact
+    CurationRunner.runBatch(spark, root,
+      Seq((3L, "under the old bridge a slow canal carries barges of " +
+        "grain toward the river port where cranes swing all night and " +
+        "the lock keeper logs every vessel in a worn ledger"))
+        .toDF("doc_id", "text"), ts(3), "b3", conf)
+    CurationRunner.maintain(spark, root, buckets = 2)
+    val corpus = AtomicRewrite.read(spark, p.corpus)
+    assert(corpus.count() == 3)
+    val dirs = corpus.select("batch_id").distinct().as[String].collect()
+    assert(dirs.length <= 2 &&
+      dirs.forall(_.startsWith(CurationRunner.FoldPrefix)),
+      s"post-fold landings must fold under the prefix too, got ${dirs.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("a no-change release burns no curated or shard version (bucket-diffed publish)") {
+    val root = Files.createTempDirectory("graft-cur-nc").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val sp = TrainingShards.Paths(p.shards)
+    val conf = CurationRunner.Conf(nShards = 2)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf)
+    val curatedV = AtomicRewrite.currentVersion(spark, p.curated)
+    val shardsV = AtomicRewrite.currentVersion(spark, sp.shards)
+    val manifestV = AtomicRewrite.currentVersion(spark, sp.manifest)
+    assert(curatedV.isDefined && shardsV.isDefined)
+    // batch of exact dups: everything rejected by the fingerprint store,
+    // the selection recomputes IDENTICAL -> the publishing release must
+    // burn no curated/shard/manifest version at all
+    CurationRunner.runBatch(spark, root,
+      Seq((9L, longText("red")), (10L, longText("blue")))
+        .toDF("doc_id", "text"), ts(2), "b2", conf)
+    assert(AtomicRewrite.currentVersion(spark, p.curated) == curatedV,
+      "identical selection re-published the curated snapshot")
+    assert(AtomicRewrite.currentVersion(spark, sp.shards) == shardsV,
+      "identical selection re-published the shard epoch")
+    assert(AtomicRewrite.currentVersion(spark, sp.manifest) == manifestV)
+    // a landed-but-gate-rejected batch is also selection-neutral
+    CurationRunner.runBatch(spark, root,
+      Seq((11L, "tiny")).toDF("doc_id", "text"), ts(3), "b3", conf)
+    assert(AtomicRewrite.currentVersion(spark, p.curated) == curatedV)
+    assert(AtomicRewrite.currentVersion(spark, sp.shards) == shardsV)
+    // a selection-moving batch still publishes
+    CurationRunner.runBatch(spark, root,
+      Seq((12L, longText("amber"))).toDF("doc_id", "text"), ts(4), "b4", conf)
+    assert(AtomicRewrite.currentVersion(spark, p.curated) != curatedV,
+      "a moved selection must commit")
+    assert(AtomicRewrite.currentVersion(spark, sp.shards) != shardsV)
+    spark.catalog.clearCache()
+  }
+
+  test("a punctuation-only doc is rejected with a well-defined quality score") {
+    val root = Files.createTempDirectory("graft-cur-zt").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2)
+    // long enough to pass the n_chars floor. The whitespace tokenizer
+    // ([[graft.ops.TextOps.tokens]]) still yields one "token" per
+    // punctuation run, so n_tokens >= 1 for every cleaned doc — the
+    // stopword RATIO (0) rejects it, and quality stays a real number
+    // (the gate's n_tokens===0 branch is the defensive guard for a
+    // word-extracting tokenizer evolution, where punctuation-only text
+    // WOULD tokenize to nothing and the ratio would go NaN)
+    val junk = "!?.,;:-- " * 20
+    CurationRunner.runBatch(spark, root,
+      Seq((50L, junk), (51L, longText("red"))).toDF("doc_id", "text"),
+      ts(1), "b1", conf)
+    val row = AtomicRewrite.read(spark, p.corpus)
+      .filter(col("doc_id") === 50L)
+      .select("reason", "keep", "quality_score")
+      .as[(String, Boolean, Double)].head()
+    assert(row._1 == "low_stopword" && !row._2,
+      s"punctuation-only doc gated as $row")
+    assert(!row._3.isNaN && row._3 >= 0.0 && row._3 <= 1.0,
+      s"quality must stay a real ordered number, got ${row._3}")
+    assert(AtomicRewrite.read(spark, p.curated)
+      .filter(col("doc_id") === 50L).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("maintain refuses a root whose last batch failed (awaiting replay)") {
     val root = Files.createTempDirectory("graft-cur-mf").toString + "/rel"
     val conf = CurationRunner.Conf(nShards = 2)

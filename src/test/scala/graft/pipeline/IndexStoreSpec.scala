@@ -282,6 +282,26 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a pre-upgrade index (no bucket lists) still appends via the legacy scan") {
+    val root = Files.createTempDirectory("graft-idx-leg").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    // strip the bucket-list column: the docstats layout every index
+    // built before the O(batch) discovery carried
+    AtomicRewrite.write(spark, p.docstats,
+      AtomicRewrite.read(spark, p.docstats).drop("buckets"),
+      partitionBy = Seq("doc_bucket"))
+    IndexStore.append(spark, root,
+      Seq((4L, "night owl coaches replace the ferries")).toDF("doc_id", "text"))
+    // replacement semantics hold on the legacy path too
+    assert(IndexStore.query(spark, root, q("harbour"), k = 5).isEmpty)
+    assert(IndexStore.query(spark, root, q("coaches"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    // and the legacy schema is preserved (no half-upgraded store)
+    assert(!AtomicRewrite.read(spark, p.docstats).columns.contains("buckets"))
+    spark.catalog.clearCache()
+  }
+
   test("layout: postings land in at most PostingBuckets hive partitions") {
     val root = Files.createTempDirectory("graft-idx-b").toString + "/idx"
     IndexStore.build(spark, root, corpus)

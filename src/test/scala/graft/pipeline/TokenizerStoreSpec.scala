@@ -126,4 +126,30 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(TokenizerStore.merges(spark, r1).collect().toSeq ==
       TokenizerStore.merges(spark, r2).collect().toSeq)
   }
+
+  test("reliable-checkpoint barriers (checkpointDir) train and encode identically") {
+    import spark.implicits._
+    // the durability knob for long production runs: localCheckpoint
+    // blocks die with an executor; a checkpointDir-backed barrier
+    // survives — and must be a pure execution shape, never a semantic
+    val rLocal = Files.createTempDirectory("graft-tok-l").toString
+    val rDurable = Files.createTempDirectory("graft-tok-d").toString
+    val ckpt = Files.createTempDirectory("graft-tok-ckpt").toString
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    TokenizerStore.train(spark, rLocal, docs, rounds = 4)
+    TokenizerStore.train(spark, rDurable, docs, rounds = 4,
+      checkpointDir = Some(ckpt))
+    assert(TokenizerStore.merges(spark, rLocal).collect().toSeq ==
+      TokenizerStore.merges(spark, rDurable).collect().toSeq)
+    // reliable barriers actually landed blocks under the caller's dir
+    assert(new java.io.File(ckpt).listFiles().nonEmpty,
+      "reliable checkpoints must write under the caller-set dir")
+    val a = TokenizerStore.encodeChunked(spark, rLocal, docs, chunkSize = 1)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val b = TokenizerStore.encodeChunked(spark, rDurable, docs, chunkSize = 1,
+      checkpointDir = Some(ckpt))
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
 }
