@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *                     // bucket; `buckets` is the doc's posting-bucket
   *                     // list (an UPPER BOUND — see append), the record
   *                     // that keeps append discovery O(batch)
-  *   <root>/stats      // ONE row (n_docs, sum_dl) — the running corpus
-  *                     // summary, refreshed by every mutation
+  *   <root>/stats      // ONE row (n_docs, sum_dl, docstats_version) —
+  *                     // the running corpus summary, maintained
+  *                     // INCREMENTALLY by appends (exact long deltas,
+  *                     // version-stamped against the docstats commit it
+  *                     // reflects) and recomputed in full whenever the
+  *                     // stamp doesn't match (crash repair, forget,
+  *                     // pre-upgrade summaries)
   * }}}
   *
   * Scale shape:
@@ -35,7 +40,9 @@ import org.apache.spark.sql.functions._
   *  - df comes from the postings already read (one row per (token,
   *    doc)); N and avgdl come from the 1-row `stats` summary (the
   *    watermark-table shape) — the serving path never re-aggregates the
-  *    O(docs) docstats table. `sum_dl` is an exact LONG (document
+  *    O(docs) docstats table, and appends maintain the summary by exact
+  *    O(batch) deltas ([[statsIncrement]]) so the WRITE path doesn't
+  *    either. `sum_dl` is an exact LONG (document
   *    lengths are integral), so `sum_dl / n_docs` in double is
   *    bit-identical to `avg(dl)` over the committed docstats — scores
   *    cannot drift between the summary and a recompute.
@@ -205,12 +212,22 @@ object IndexStore {
       val docBuckets = ids.select(docBucketOf(col("doc_id")).as("doc_bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
       if (docBuckets.isEmpty) { post.unpersist(); return } // empty batch: no-op
+      val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+      val old = oldBucketLists(spark, p, ids, docBuckets).persist()
       val intent = ds
-        .join(oldBucketLists(spark, p, ids, docBuckets), Seq("doc_id"), "left")
+        .join(old, Seq("doc_id"), "left")
         .withColumn("buckets", array_sort(array_distinct(concat(
           col("buckets"),
           coalesce(col("__old"), array().cast("array<int>"))))))
-        .drop("__old").persist()
+        .drop("__old", "__olddl").persist()
+      // the summary delta, from the SAME O(batch) pruned reads: how many
+      // batch ids are genuinely new, and how the exact token-length sum
+      // moves under replacement (old dl out, new dl in)
+      val oldAgg = old.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__olddl").cast("long")), lit(0L)).as("dl")).head()
+      val newAgg = intent.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl")).head()
+      old.unpersist()
       // docstats commit FIRST (the intent record): a batch id's old row
       // lives in the SAME doc bucket its new row lands in (doc_bucket is
       // a pure hash of the id), so the replaced set needs no discovery
@@ -234,22 +251,29 @@ object IndexStore {
           replaced = Some(touched.toDF()))
       }
       intent.unpersist()
+      statsIncrement(spark, root, v0,
+        newAgg.getLong(0) - oldAgg.getLong(0),
+        newAgg.getLong(1) - oldAgg.getLong(1))
+      post.unpersist()
+      return
     }
     post.unpersist()
     refreshStats(spark, root)
   }
 
-  /** The batch ids' committed bucket lists — (doc_id, __old) — read
-    * from the docstats partitions the ids hash into. Package-private so
-    * the spec can pin the discovery plan: partition-pruned to the
-    * batch's doc buckets, and never a postings read. */
+  /** The batch ids' committed bucket lists and stored lengths —
+    * (doc_id, __old, __olddl) — read from the docstats partitions the
+    * ids hash into. Package-private so the spec can pin the discovery
+    * plan: partition-pruned to the batch's doc buckets, and never a
+    * postings read. */
   private[pipeline] def oldBucketLists(spark: SparkSession, p: Paths,
                                        ids: DataFrame,
                                        docBuckets: Seq[Any]): DataFrame =
     AtomicRewrite.read(spark, p.docstats)
       .filter(col("doc_bucket").isin(docBuckets: _*))
       .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("buckets").as("__old"))
+      .select(col("doc_id"), col("buckets").as("__old"),
+        col("dl").as("__olddl"))
 
   /** Legacy one-commit replace-merge (pre-bucket-list indexes only):
     * touched = partitions holding `ids`' old rows — a full semi-join
@@ -271,19 +295,59 @@ object IndexStore {
   }
 
   /** Recompute the 1-row corpus summary (doc count, exact total token
-    * length) from the COMMITTED docstats and commit it. Called by every
-    * mutation; callable directly to repair a summary stranded by a
-    * crash between the docstats and stats commits. One narrow
-    * aggregation over the two-column docstats table — a cost every
-    * mutation already pays in the same order, and what it buys is a
-    * serving path that never does. */
+    * length) in FULL from the COMMITTED docstats and commit it, stamped
+    * with the docstats version it reflects. This is the repair / slow
+    * path: [[build]] and [[forget]] call it, and [[statsIncrement]]
+    * falls back to it whenever the committed summary's stamp doesn't
+    * match — a summary stranded by a crash, or one predating the
+    * version stamp. Callable directly any time; stats always recompute
+    * exactly from committed docstats. */
   def refreshStats(spark: SparkSession, root: String): Unit = {
     val p = Paths(root)
+    val v = AtomicRewrite.currentVersion(spark, p.docstats).getOrElse(
+      throw new IllegalStateException(
+        s"no committed docstats at ${p.docstats} to summarize"))
     AtomicRewrite.write(spark, p.stats,
       AtomicRewrite.read(spark, p.docstats)
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+        .withColumn("docstats_version", lit(v))
         .coalesce(1))
+  }
+
+  /** The O(1) fast path of the summary maintenance: when the committed
+    * summary's stamp equals the docstats version the append REPLACED
+    * (`fromVersion`), the new summary is (old + exact long deltas),
+    * stamped with the version the append committed — no docstats scan,
+    * which together with the bucket-list discovery makes the whole
+    * append path O(batch). Any stamp mismatch — a summary stranded by
+    * a crash between the docstats and stats commits, a pre-stamp
+    * summary, a missing stats table — falls back to [[refreshStats]]'s
+    * full recompute, so correctness NEVER depends on the increment: a
+    * replayed batch computes delta 0 against its own committed rows,
+    * and a stale summary repairs itself on the next mutation. */
+  private def statsIncrement(spark: SparkSession, root: String,
+                             fromVersion: Long, dDocs: Long,
+                             dDl: Long): Unit = {
+    val p = Paths(root)
+    val base =
+      if (!AtomicRewrite.exists(spark, p.stats)) None
+      else {
+        val s = AtomicRewrite.read(spark, p.stats)
+        if (!s.columns.contains("docstats_version")) None
+        else s.select("n_docs", "sum_dl", "docstats_version")
+          .collect().headOption
+          .filter(_.getLong(2) == fromVersion)
+      }
+    base match {
+      case None => refreshStats(spark, root)
+      case Some(row) =>
+        import spark.implicits._
+        val toVersion = AtomicRewrite.currentVersion(spark, p.docstats).get
+        AtomicRewrite.write(spark, p.stats,
+          Seq((row.getLong(0) + dDocs, row.getLong(1) + dDl, toVersion))
+            .toDF("n_docs", "sum_dl", "docstats_version").coalesce(1))
+    }
   }
 
   /** Right-to-be-forgotten: remove the given doc ids' postings and

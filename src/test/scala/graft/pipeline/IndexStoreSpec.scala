@@ -282,6 +282,41 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("append maintains the summary by O(batch) deltas; stale stamps self-heal") {
+    val root = Files.createTempDirectory("graft-idx-inc").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    def stats() = AtomicRewrite.read(spark, p.stats)
+      .select("n_docs", "sum_dl", "docstats_version")
+      .as[(Long, Long, Long)].head()
+    val (n0, dl0, v0) = stats()
+    assert((n0, dl0) == ((4L, 29L)))
+    // tamper the VALUES but keep the matching stamp: the next append
+    // must move the summary by its delta alone — proof the fast path
+    // never rescans docstats (a recompute would erase the tampering)
+    AtomicRewrite.write(spark, p.stats,
+      Seq((1000L, 5000L, v0)).toDF("n_docs", "sum_dl", "docstats_version")
+        .coalesce(1))
+    // replacement: doc 4's dl 6 -> 2, doc count unchanged
+    IndexStore.append(spark, root,
+      Seq((4L, "ferries retired")).toDF("doc_id", "text"))
+    assert(stats() == ((1000L, 4996L, v0 + 1)),
+      s"summary must move by the exact delta (0 docs, -4 dl), got ${stats()}")
+    // a MISMATCHED stamp (the crash-between-commits state) heals by
+    // full recompute on the next mutation
+    AtomicRewrite.write(spark, p.stats,
+      Seq((1000L, 5000L, v0 - 99)).toDF("n_docs", "sum_dl", "docstats_version")
+        .coalesce(1))
+    IndexStore.append(spark, root,
+      Seq((9L, "night owl coaches")).toDF("doc_id", "text"))
+    assert(stats() == ((5L, 28L, v0 + 2)),
+      s"a stale-stamped summary must recompute in full, got ${stats()}")
+    // and serving reads the repaired values
+    assert(IndexStore.query(spark, root, q("coaches"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(9L))
+    spark.catalog.clearCache()
+  }
+
   test("a pre-upgrade index (no bucket lists) still appends via the legacy scan") {
     val root = Files.createTempDirectory("graft-idx-leg").toString + "/idx"
     val p = IndexStore.Paths(root)
