@@ -618,8 +618,15 @@ object CurationRunner {
       // nothing pending = no commit — the StoreMaintenance shape keyed
       // by batch_id strings
       val corpus = AtomicRewrite.read(spark, p.corpus)
+      // pending = unfolded batch dirs, PLUS fold dirs outside the
+      // current bucket bound (a shrunk `buckets` dial refolds them the
+      // same incremental way — the batch_seq stores' numeric refold,
+      // keyed on the fold suffix here; runBatch's collision guard makes
+      // every fold-* dir ours, so the suffix is always numeric)
       val pending = corpus.select("batch_id").distinct()
-        .filter(!col("batch_id").startsWith(FoldPrefix))
+        .filter(!col("batch_id").startsWith(FoldPrefix) ||
+          substring(col("batch_id"), FoldPrefix.length + 1, 20)
+            .cast("long") >= buckets)
         .collect().map(_.getString(0)).toSeq
       if (pending.nonEmpty) {
         val foldOf = concat(lit(FoldPrefix),

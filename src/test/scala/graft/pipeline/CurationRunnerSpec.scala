@@ -432,6 +432,14 @@ class CurationRunnerSpec extends SparkSpec {
     assert(dirs.length <= 2 &&
       dirs.forall(_.startsWith(CurationRunner.FoldPrefix)),
       s"post-fold landings must fold under the prefix too, got ${dirs.toSeq}")
+    // a SHRUNK bucket dial refolds fold dirs outside the new bound the
+    // same incremental way (no stranded fold-K with K >= buckets)
+    CurationRunner.maintain(spark, root, buckets = 1)
+    val refolded = AtomicRewrite.read(spark, p.corpus)
+    assert(refolded.count() == 3)
+    assert(refolded.select("batch_id").distinct().as[String].collect()
+      .toSeq == Seq(s"${CurationRunner.FoldPrefix}0"),
+      "buckets=1 must converge every corpus dir into fold-0")
     spark.catalog.clearCache()
   }
 
