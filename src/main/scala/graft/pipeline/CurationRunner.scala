@@ -500,47 +500,16 @@ object CurationRunner {
   }
 
   /** Commit the fresh selection over the committed snapshot,
-    * bucket-diffed: per-sel_bucket (row count, order-independent exact
-    * sum of full-row hashes) signatures decide which buckets moved;
-    * only those commit ([[AtomicRewrite.writePartitions]] — untouched
-    * buckets ride the manifest by reference, vanished buckets drop),
-    * and ZERO moved buckets is a full no-op (no version burned).
-    * Returns whether anything committed. The diff pays one
-    * column-complete read of the committed snapshot — O(selection)
-    * read, but the write drops from O(selection) to O(changed buckets),
-    * and reading is the cheaper side at every scale. First release (or
-    * a schema change — a Conf evolution) snapshots in full. */
+    * bucket-diffed ([[AtomicRewrite.writePartitionsDiffed]]): only
+    * sel_buckets whose content moved rewrite, untouched buckets ride
+    * the manifest by reference, vanished buckets drop, and ZERO moved
+    * buckets is a full no-op (no version burned). Returns whether
+    * anything committed. First release (or a schema change — a Conf
+    * evolution) snapshots in full. */
   private def publishCurated(spark: SparkSession, p: Paths,
-                             fresh: DataFrame): Boolean = {
-    import spark.implicits._
-    if (!AtomicRewrite.exists(spark, p.curated)) {
-      AtomicRewrite.write(spark, p.curated, fresh,
-        partitionBy = Seq(CuratedBucketCol))
-      return true
-    }
-    val committed = AtomicRewrite.read(spark, p.curated)
-    if (committed.columns.sorted.toSeq != fresh.columns.sorted.toSeq) {
-      AtomicRewrite.write(spark, p.curated, fresh,
-        partitionBy = Seq(CuratedBucketCol))
-      return true
-    }
-    val cols = fresh.columns.filter(_ != CuratedBucketCol).sorted.map(col(_))
-    def sig(df: DataFrame, n: String, h: String) =
-      df.groupBy(CuratedBucketCol).agg(count(lit(1)).as(n),
-        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as(h))
-    val moved = sig(fresh, "__nn", "__nh")
-      .join(sig(committed, "__cn", "__ch"), Seq(CuratedBucketCol), "full_outer")
-      .filter(not(col("__nn") <=> col("__cn")) ||
-        not(col("__nh") <=> col("__ch")))
-      .select(CuratedBucketCol)
-      .collect().map(_.getInt(0)).toSeq
-    if (moved.isEmpty) return false
-    AtomicRewrite.writePartitions(spark, p.curated,
-      fresh.filter(col(CuratedBucketCol).isin(moved: _*)),
-      Seq(CuratedBucketCol),
-      replaced = Some(moved.toDF(CuratedBucketCol)))
-    true
-  }
+                             fresh: DataFrame): Boolean =
+    AtomicRewrite.writePartitionsDiffed(spark, p.curated, fresh,
+      CuratedBucketCol)
 
   /** The curated version the committed shard epoch derives from — None
     * until the first epoch's marker lands. */

@@ -53,14 +53,24 @@ object TrainingShards {
   /** Token-balanced contiguous sharding of `corpus` by `orderCol`.
     * `corpus` must carry `orderCol` (a unique total order — q117's
     * `train_pos`) and `n_tokens`; all other columns ride along into the
-    * shard files. */
+    * shard files.
+    *
+    * The shard-table commit is partition-DIFFED
+    * ([[AtomicRewrite.writePartitionsDiffed]]): a re-publish rewrites
+    * only the shards whose content moved against the committed epoch —
+    * a selection change confined to the tail of the training order
+    * touches only the tail shards, and an IDENTICAL re-publish writes
+    * zero shard bytes. The manifest is always re-committed (a 1-row-
+    * per-shard table): it derives from the COMMITTED shard state after
+    * the diff, so a re-publish also repairs a manifest stranded by a
+    * crash between the two commits — which is exactly why the cheap
+    * side is never skipped. */
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             nShards: Int, orderCol: String = "train_pos"): Unit = {
     require(nShards > 0, s"shard count must be positive, got $nShards")
     val p = Paths(root)
     val (assigned, cached) = rangeAssign(corpus, nShards, orderCol)
-    AtomicRewrite.write(spark, p.shards, assigned,
-      partitionBy = Seq("shard_id"))
+    AtomicRewrite.writePartitionsDiffed(spark, p.shards, assigned, "shard_id")
     cached.unpersist()
     // the manifest derives from the COMMITTED shard table, not the
     // in-flight frame: nothing corpus-sized is ever pinned in cache, and
@@ -97,7 +107,10 @@ object TrainingShards {
   }
 
   /** Order-free balanced sharding by salted hash of `idCol` (`corpus`
-    * must still carry `n_tokens` for the manifest). */
+    * must still carry `n_tokens` for the manifest). Shard commit
+    * partition-diffed like [[build]]'s — here the win is even sharper,
+    * since hashed assignment is order-free: new docs touch only the
+    * shards they hash into, and every other shard rides by reference. */
   def buildHashed(spark: SparkSession, root: String, corpus: DataFrame,
                   nShards: Int, idCol: String = "doc_id"): Unit = {
     require(nShards > 0, s"shard count must be positive, got $nShards")
@@ -105,8 +118,7 @@ object TrainingShards {
     val assigned = corpus.withColumn("shard_id",
       pmod(xxhash64(lit("shard"), col(idCol)), lit(nShards.toLong))
         .cast("int"))
-    AtomicRewrite.write(spark, p.shards, assigned,
-      partitionBy = Seq("shard_id"))
+    AtomicRewrite.writePartitionsDiffed(spark, p.shards, assigned, "shard_id")
     AtomicRewrite.write(spark, p.manifest,
       manifestOf(AtomicRewrite.read(spark, p.shards), idCol))
   }

@@ -75,6 +75,52 @@ class TrainingShardsSpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0) == 100L)
   }
 
+  test("republish is partition-diffed: identical epochs write zero shard bytes") {
+    import graft.tx.AtomicRewrite
+    val root = Files.createTempDirectory("graft-shards-d").toString
+    val p = TrainingShards.Paths(root)
+    TrainingShards.build(spark, root, corpus, nShards = 5)
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards).get
+    val m0 = AtomicRewrite.currentVersion(spark, p.manifest).get
+    // identical republish: the shard table burns NO version (zero bytes);
+    // the manifest still recommits — it is the cheap crash-repair side
+    // (a manifest stranded between the two commits heals on republish)
+    TrainingShards.build(spark, root, corpus, nShards = 5)
+    assert(AtomicRewrite.currentVersion(spark, p.shards).contains(v0),
+      "an identical epoch republish must not rewrite shard bytes")
+    assert(AtomicRewrite.currentVersion(spark, p.manifest).contains(m0 + 1))
+    assert(TrainingShards.readManifest(spark, root)
+      .agg(sum("n_docs")).head().getLong(0) == 200L)
+    spark.catalog.clearCache()
+  }
+
+  test("hash mode republish rewrites only the shards the new docs hash into") {
+    import spark.implicits._
+    import graft.tx.AtomicRewrite
+    val root = Files.createTempDirectory("graft-shards-h").toString
+    val p = TrainingShards.Paths(root)
+    TrainingShards.buildHashed(spark, root, corpus, nShards = 8)
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards).get
+    // one appended doc: hash assignment is order-free, so ONLY its hash
+    // shard's content moves — every other shard must ride the new
+    // manifest by reference (absent from the new version dir)
+    val extra = Seq((500L, 10L, 501L, "payload-500"))
+      .toDF("doc_id", "n_tokens", "train_pos", "text")
+    TrainingShards.buildHashed(spark, root, corpus.unionByName(extra),
+      nShards = 8)
+    assert(AtomicRewrite.currentVersion(spark, p.shards).contains(v0 + 1))
+    val newShard = AtomicRewrite.read(spark, p.shards)
+      .filter(col("doc_id") === 500L).select("shard_id").as[Int].head()
+    (0 until 8).filter(_ != newShard).foreach { s =>
+      assert(!new java.io.File(s"${p.shards}/v=${v0 + 1}/shard_id=$s").exists(),
+        s"bystander shard $s was rewritten by a one-doc append")
+    }
+    // and the manifest describes the merged committed state
+    assert(TrainingShards.readManifest(spark, root)
+      .agg(sum("n_docs")).head().getLong(0) == 201L)
+    spark.catalog.clearCache()
+  }
+
   test("zero-token docs at the head of the order stay in shard 0") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-shards-z").toString
