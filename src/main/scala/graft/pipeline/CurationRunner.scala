@@ -48,10 +48,13 @@ import java.sql.Timestamp
   *  - RELEASE is a metadata pass: the budget cut orders precomputed
   *    (id, n_tokens, quality_score) rows via [[PrefixSum]] — the only
   *    unpartitioned window is its O(partitions) offset frame — and the
-  *    snapshot commit is bucket-DIFFED: a near-no-change release writes
-  *    O(changed buckets), a no-change release writes nothing and skips
-  *    the epoch publish entirely (the shardsFrom marker keeps that skip
-  *    crash-replay-safe). Publishing every batch is the oracle shape;
+  *    snapshot commit is bucket-DIFFED against a per-bucket signature
+  *    SIDECAR: the committed side of the diff reads O(buckets) sidecar
+  *    rows, never the committed data files, so a near-no-change release
+  *    writes O(changed buckets), and a no-change release writes nothing
+  *    and skips the epoch publish entirely (the shardsFrom marker keeps
+  *    that skip crash-replay-safe). Publishing every batch is the
+  *    oracle shape;
   *    production runs ingest-only batches (`publish = false`) and
   *    publishes on release cadence.
   *
@@ -484,20 +487,31 @@ object CurationRunner {
     // the epoch derives from the COMMITTED selection (the
     // TrainingShards manifest discipline applied one level up), and is
     // SKIPPED when the committed epoch already derives from this exact
-    // curated version — the shardsFrom marker, committed AFTER the
-    // epoch, is what proves it: a crash between the curated commit and
-    // the epoch publish leaves the marker stale, so the replay's
-    // no-change release still rebuilds the epoch to convergence
+    // curated version UNDER THIS EXACT SHARDING CONF — the shardsFrom
+    // marker records (curated version, n_shards, order_col), so a Conf
+    // evolution (an nShards dial turn) with an unchanged selection
+    // still re-shards instead of silently serving the stale shard
+    // count. The marker commits AFTER the epoch: a crash between the
+    // curated commit and the epoch publish leaves it stale, so the
+    // replay's no-change release still rebuilds the epoch to
+    // convergence.
     val curVer = AtomicRewrite.currentVersion(spark, p.curated).get
-    if (curatedMoved || !shardsFromVersion(spark, p).contains(curVer)) {
+    if (curatedMoved || !shardsFromMatches(spark, p, curVer, conf)) {
       TrainingShards.build(spark, p.shards,
         AtomicRewrite.read(spark, p.curated).drop(CuratedBucketCol),
-        conf.nShards)
+        conf.nShards, orderCol = ShardOrderCol)
       import spark.implicits._
       AtomicRewrite.write(spark, p.shardsFrom,
-        Seq(curVer).toDF("curated_version").coalesce(1))
+        Seq((curVer, conf.nShards, ShardOrderCol))
+          .toDF("curated_version", "n_shards", "order_col").coalesce(1))
     }
   }
+
+  /** The training order the published epoch shards by — `train_pos` in
+    * both plain and curriculum releases (curriculum re-MINTS train_pos,
+    * it doesn't change the column). Recorded in the shardsFrom marker
+    * so a future order evolution invalidates the epoch skip. */
+  private val ShardOrderCol = "train_pos"
 
   /** Commit the fresh selection over the committed snapshot,
     * bucket-diffed ([[AtomicRewrite.writePartitionsDiffed]]): only
@@ -511,12 +525,21 @@ object CurationRunner {
     AtomicRewrite.writePartitionsDiffed(spark, p.curated, fresh,
       CuratedBucketCol)
 
-  /** The curated version the committed shard epoch derives from — None
-    * until the first epoch's marker lands. */
-  private def shardsFromVersion(spark: SparkSession, p: Paths): Option[Long] =
-    if (!AtomicRewrite.exists(spark, p.shardsFrom)) None
-    else AtomicRewrite.read(spark, p.shardsFrom)
-      .select("curated_version").collect().headOption.map(_.getLong(0))
+  /** Whether the committed shard epoch already derives from curated
+    * version `curVer` under `conf`'s sharding shape. False until the
+    * first epoch's marker lands, and for any legacy marker predating
+    * the (n_shards, order_col) columns — a conf whose shape the marker
+    * can't vouch for must rebuild, never skip. */
+  private def shardsFromMatches(spark: SparkSession, p: Paths,
+                                curVer: Long, conf: Conf): Boolean =
+    AtomicRewrite.exists(spark, p.shardsFrom) && {
+      val m = AtomicRewrite.read(spark, p.shardsFrom)
+      m.columns.contains("n_shards") && m.columns.contains("order_col") &&
+        m.select("curated_version", "n_shards", "order_col")
+          .collect().headOption.exists(r =>
+            r.getLong(0) == curVer && r.getInt(1) == conf.nShards &&
+              r.getString(2) == ShardOrderCol)
+    }
 
   /** The committed curated selection, bucket column dropped — what
     * [[runBatch]] returns. */
@@ -547,7 +570,10 @@ object CurationRunner {
     *     whose job's last recorded status isn't SUCCESS (and any corpus
     *     with no control row at all: a first batch that crashed
     *     mid-run);
-    *  3. vacuum superseded versions of every store under the root. The
+    *  3. shrink the retrieval index's docstats bucket lists back to
+    *     exact ([[IndexStore.maintain]] — the old∪new crash-replay
+    *     upper bound accretes stale buckets under re-submission);
+    *  4. vacuum superseded versions of every store under the root. The
     *     default retention keeps the [[AtomicRewrite.MinRetainHours]]
     *     age floor (a concurrent reader of an old snapshot — another
     *     session, a slow export — must not have its files deleted from
@@ -617,6 +643,11 @@ object CurationRunner {
             corpus.select("batch_id").schema)))
       }
     }
+    // shrink the index's docstats bucket lists back to exact (the
+    // old∪new crash-replay upper bound only ever grows under
+    // re-submission; maintenance is where it converges) — a no-op
+    // burning no version when nothing is stale
+    IndexStore.maintain(spark, p.index)
     val ip = IndexStore.Paths(p.index)
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)

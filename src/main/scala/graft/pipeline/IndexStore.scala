@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *                     // bucket = pmod(xxhash64(token), buckets)
   *   <root>/docstats   // doc_id, dl, buckets — partitioned by doc-hash
   *                     // bucket; `buckets` is the doc's posting-bucket
-  *                     // list (an UPPER BOUND — see append), the record
+  *                     // list (an UPPER BOUND — see append — shrunk
+  *                     // back to exact by [[maintain]]), the record
   *                     // that keeps append discovery O(batch)
   *   <root>/stats      // ONE row (n_docs, sum_dl, docstats_version) —
   *                     // the running corpus summary, maintained
@@ -382,6 +383,50 @@ object IndexStore {
       docIds, "doc_id")
     if (fromStats.nonEmpty) refreshStats(spark, root)
     (fromPostings ++ fromStats).distinct
+  }
+
+  /** Maintenance: shrink docstats bucket lists back to EXACT. The lists
+    * are deliberately an upper bound — [[append]] stores old∪new so a
+    * crash replay can find every bucket a partially-committed version
+    * could occupy — but a long-lived doc re-submitted many times
+    * accretes stale buckets that inflate every later rewrite's touched
+    * set toward all [[PostingBuckets]]. This pass re-derives each doc's
+    * exact bucket set from the COMMITTED postings (one O(index) keyed
+    * agg — maintenance cadence, never the ingest path) and rewrites
+    * ONLY the doc-bucket partitions holding a doc whose stored list
+    * differs; nothing stale = zero commits, no version burned (the
+    * second consecutive maintain is a no-op). Doc counts and lengths
+    * are untouched, so the 1-row summary only needs its version stamp
+    * moved ([[statsIncrement]] with zero deltas). Safe on a quiesced
+    * store only — the [[CurationRunner.maintain]] contract. */
+  def maintain(spark: SparkSession, root: String): Unit = {
+    val p = Paths(root)
+    if (!AtomicRewrite.exists(spark, p.postings) ||
+        !AtomicRewrite.exists(spark, p.docstats)) return
+    val committed = AtomicRewrite.read(spark, p.docstats)
+    if (!committed.columns.contains("buckets")) return // legacy layout
+    val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    val exact = AtomicRewrite.read(spark, p.postings)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("bucket"))).as("__exact"))
+    val emptyList = array().cast("array<int>")
+    // a doc with no postings at all (zero-token text) has exact = []
+    val joined = committed.join(exact, Seq("doc_id"), "left")
+      .withColumn("__exact", coalesce(col("__exact"), emptyList))
+    val touched = joined.filter(col("buckets") =!= col("__exact"))
+      .select("doc_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    // rewrite only the touched doc buckets, every doc's list corrected
+    // (bystander docs in those buckets rewrite with unchanged lists)
+    val fixed = joined.filter(col("doc_bucket").isin(touched: _*))
+      .withColumn("buckets", col("__exact")).drop("__exact")
+    AtomicRewrite.writePartitions(spark, p.docstats, fixed,
+      Seq("doc_bucket"),
+      replaced = Some(AtomicRewrite.literalFrame(spark,
+        touched.map(org.apache.spark.sql.Row(_)),
+        committed.select("doc_bucket").schema)))
+    statsIncrement(spark, root, v0, 0L, 0L)
   }
 
   /** Ceiling on a query batch's distinct-term vocabulary: the term set

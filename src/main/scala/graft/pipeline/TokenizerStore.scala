@@ -77,7 +77,10 @@ object TokenizerStore {
     * short trainings; a production 32k-round run should pass
     * `checkpointDir` (a durable filesystem path) to switch every
     * barrier to a reliable checkpoint that survives executor loss —
-    * same merges, per-round cost plus one durable write. */
+    * same merges, per-round cost plus one durable write, and at most
+    * TWO rounds of checkpoint files on disk at any moment (superseded
+    * rounds delete as the next lands; the whole run dir deletes once
+    * the merge table commits — see [[barrier]]). */
   def train(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text", rounds: Int = 3,
             checkpointDir: Option[String] = None): Unit = {
@@ -89,9 +92,9 @@ object TokenizerStore {
     // persist() is NOT enough as the barrier: it bounds recompute but
     // keeps the full dependency chain, and at ~250 rounds the
     // serialized task graph overflows the stack.
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val rel = checkpointDir.map(new ReliableRounds(spark, _))
     var cur = barrier(corpus.select(Bpe.corpusString(col(textCol)).as("s")),
-      checkpointDir)
+      rel)
     val merges = Seq.newBuilder[org.apache.spark.sql.Row]
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -99,23 +102,71 @@ object TokenizerStore {
         case Some(row) if row.getString(0).nonEmpty =>
           val pair = row.getString(0)
           merges += org.apache.spark.sql.Row(r, pair, pair.replace(" ", ""))
-          // superseded rounds' local blocks are GC-reaped
+          // superseded rounds' blocks: local ones GC-reap, reliable ones
+          // delete inside the barrier once the new round lands
           cur = barrier(cur.withColumn("s",
-            Bpe.applyMerge(col("s"), lit(pair))), checkpointDir)
+            Bpe.applyMerge(col("s"), lit(pair))), rel)
         case _ => done = true // sentinel: no adjacent pair left anywhere
       }
     }
     AtomicRewrite.write(spark, Paths(root).merges,
       AtomicRewrite.literalFrame(spark, merges.result(), MergeSchema))
+    // the merge table is the durable artifact — nothing reads the last
+    // barrier anymore, so the run's checkpoint dir deletes in full
+    rel.foreach(_.close())
   }
 
   /** The round/chunk materialization barrier: an eager checkpoint that
     * truncates plan AND rdd lineage. localCheckpoint (fast, executor
-    * blocks, lost with an executor) by default; a RELIABLE checkpoint
-    * (durable under the caller-set checkpoint dir, survives executor
-    * loss) when `reliable` is set — the long-production-run knob. */
-  private def barrier(df: DataFrame, reliable: Option[String]): DataFrame =
-    if (reliable.isDefined) df.checkpoint() else df.localCheckpoint()
+    * blocks, lost with an executor, superseded blocks GC-reaped) by
+    * default; a RELIABLE checkpoint (durable files under the caller's
+    * checkpoint dir, survives executor loss) when `rounds` is set — the
+    * long-production-run knob.
+    *
+    * Reliable checkpoints are NEVER cleaned by Spark itself
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false, and even on it only fires on GC of the RDD handle), so an
+    * advertised 32k-round train would otherwise leave O(rounds) full
+    * corpus copies on disk — exactly the long runs the knob targets.
+    * [[ReliableRounds]] owns the hygiene: each barrier checkpoints into
+    * its own round directory and deletes the PREVIOUS round's once the
+    * new one has fully materialized — safe because a barrier's blocks
+    * are only ever read to build the next barrier (checkpoint() is
+    * eager), after which recomputes read the newest files. Disk
+    * high-water mark: two rounds, not O(rounds). */
+  private def barrier(df: DataFrame,
+                      rounds: Option[ReliableRounds]): DataFrame =
+    rounds match {
+      case None => df.localCheckpoint()
+      case Some(r) => r.barrier(df)
+    }
+
+  /** Per-train-run reliable-checkpoint round state: a run-scoped dir
+    * under the caller's `base`, one subdir per round, superseded rounds
+    * deleted as soon as the next barrier lands. `close()` removes the
+    * whole run dir — call it only when nothing reads the LAST barrier
+    * anymore ([[train]] does: the merge table is the durable output;
+    * [[encodeChunked]] must not: its returned frame reads the final
+    * barrier's files for the session's lifetime). */
+  private final class ReliableRounds(spark: SparkSession, base: String) {
+    private val run = new org.apache.hadoop.fs.Path(base,
+      s"graft-bpe-run-${java.util.UUID.randomUUID()}")
+    private val hfs = run.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private var prev: Option[org.apache.hadoop.fs.Path] = None
+    private var n = 0
+
+    def barrier(df: DataFrame): DataFrame = {
+      n += 1
+      val dir = new org.apache.hadoop.fs.Path(run, s"round-$n")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val out = df.checkpoint() // eager: materializes BEFORE the delete
+      prev.foreach(hfs.delete(_, true))
+      prev = Some(dir)
+      out
+    }
+
+    def close(): Unit = hfs.delete(run, true)
+  }
 
   /** The trained merge list, in application order. */
   def merges(spark: SparkSession, root: String): DataFrame =
@@ -151,7 +202,11 @@ object TokenizerStore {
     * barriers are localCheckpoints (executor blocks — an executor loss
     * mid-encode fails the job, restart from chunk 0); pass
     * `checkpointDir` for reliable barriers on long production encodes,
-    * the [[train]] durability knob. */
+    * the [[train]] durability knob. Superseded chunks' checkpoint dirs
+    * delete as each next barrier lands; the FINAL chunk's files persist
+    * under `checkpointDir` for the returned frame's lifetime (delete
+    * the run dir after the session, or after landing the output in a
+    * durable table). */
   def encodeChunked(spark: SparkSession, root: String, df: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     chunkSize: Int = MaxMerges,
@@ -161,13 +216,15 @@ object TokenizerStore {
     val ms = merges(spark, root).collect()
     val base = df.select(col(idCol), Bpe.corpusString(col(textCol)).as("__s"))
     if (ms.length <= chunkSize) return finish(applyChain(ms, base), idCol)
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val rel = checkpointDir.map(new ReliableRounds(spark, _))
     var cur: DataFrame = base
     ms.grouped(chunkSize).foreach { grp =>
       // the barrier: downstream chunks read checkpointed blocks, never
-      // this chunk's expression chain (superseded blocks GC-reap)
-      cur = barrier(applyChain(grp, cur), checkpointDir)
+      // this chunk's expression chain (superseded rounds clean up —
+      // local blocks GC-reap, reliable dirs delete as the next lands)
+      cur = barrier(applyChain(grp, cur), rel)
     }
+    // no rel.close(): the returned frame reads the LAST barrier's files
     finish(cur, idCol)
   }
 

@@ -328,49 +328,182 @@ object AtomicRewrite {
 
   /** Partition-DIFFED snapshot replace: commit `df` as the table's new
     * content, but rewrite ONLY the partitions whose content actually
-    * moved against the committed version — per-partition (row count,
-    * order-independent exact DECIMAL sum of full-row xxhash64)
-    * signatures decide; unmoved partitions ride the new manifest by
-    * reference, partitions absent from `df` drop, and ZERO moved
-    * partitions is a full no-op (no version burned). Returns whether
-    * anything committed. First write (or a schema change) snapshots in
-    * full. The diff pays one column-complete read of the committed
-    * table — O(table) read, but the WRITE drops to O(changed
-    * partitions), and reading is the cheaper side at every scale: this
-    * is the shape for periodically re-derived snapshots (a curated
-    * selection, a shard epoch) whose successive versions mostly agree. */
+    * moved against the committed version — per-partition signatures
+    * decide; unmoved partitions ride the new manifest by reference,
+    * partitions absent from `df` drop, and ZERO moved partitions is a
+    * full no-op (no version burned). Returns whether anything
+    * committed. First write (or a schema change — compared as the FULL
+    * StructType, names and types, so a type-only evolution snapshots in
+    * full instead of committing a mixed-schema manifest) snapshots in
+    * full.
+    *
+    * The committed side of the diff reads a per-partition signature
+    * SIDECAR committed with each snapshot (`v=N/_sigs`, the 1-row-per-
+    * bucket stats-summary pattern) — O(buckets), never a re-hash of the
+    * committed data files: a no-change release's plan touches zero
+    * committed parquet. The sidecar is self-healing: a version without
+    * one (legacy table, a crash between the data commit and the sidecar
+    * write, a compact) falls back to one full committed-side recompute
+    * and re-establishes the sidecar, exactly like the IndexStore stats
+    * summary's version-stamp fallback.
+    *
+    * The signature is (row count, exact DECIMAL(38,0) sum, bit-XOR,
+    * min, max of a full-row xxhash64 whose children interleave each
+    * data column with its null flag). The null flags close xxhash64's
+    * null-skip hole — Spark skips NULL children WITHOUT advancing the
+    * seed, so without them `(a=5, b=NULL)` and `(a=NULL, b=5)` hash
+    * identically and a same-typed value migration would ride stale.
+    * The guarantee is PROBABILISTIC, not exact: the four combined
+    * order-independent reductions make an adversarial cancellation
+    * (hash deltas summing to zero AND xor-cancelling AND preserving the
+    * extrema) ~2^-192 instead of a single sum's 2^-64 residue, but a
+    * collision still means a changed partition silently rides by
+    * reference. This is the shape for periodically re-derived snapshots
+    * (a curated selection, a shard epoch) whose successive versions
+    * mostly agree. */
   def writePartitionsDiffed(spark: SparkSession, root: String,
                             df: DataFrame, partCol: String,
                             keepVersions: Int = 2): Boolean = {
-    import org.apache.spark.sql.functions.{col, count, lit, not, sum, xxhash64}
-    if (!exists(spark, root)) {
+    import org.apache.spark.sql.functions.{coalesce, col, not}
+    val freshCanon = canonicalSchema(df.schema)
+    def fullSnapshot(): Boolean = {
       write(spark, root, df, partitionBy = Seq(partCol),
         keepVersions = keepVersions)
-      return true
+      writeSidecar(spark, root,
+        currentVersion(spark, root).get, sigAgg(df, partCol), freshCanon)
+      true
     }
-    val committed = read(spark, root)
-    if (committed.columns.sorted.toSeq != df.columns.sorted.toSeq) {
-      write(spark, root, df, partitionBy = Seq(partCol),
-        keepVersions = keepVersions)
-      return true
+    if (!exists(spark, root)) return fullSnapshot()
+    val cur = currentVersion(spark, root).get
+    // committed-side signatures: the sidecar (O(buckets) read), or one
+    // full recompute from the committed data when no valid sidecar
+    // exists — in which case the sidecar re-establishes below
+    val (committedCanon, committedSigs, fromSidecar) =
+      readSidecar(spark, root, cur) match {
+        case Some((canon, sigs)) => (canon, sigs, true)
+        case None =>
+          val committed = read(spark, root)
+          (canonicalSchema(committed.schema),
+            sigAgg(committed, partCol), false)
+      }
+    if (committedCanon != freshCanon) return fullSnapshot()
+    val fresh = sigAgg(df, partCol).persist()
+    val cm = committedSigs.select(col(partCol).as("__p"),
+      col("__cnt").as("__ccnt"), col("__hsum").as("__chsum"),
+      col("__hxor").as("__chxor"), col("__hmin").as("__chmin"),
+      col("__hmax").as("__chmax"))
+    // null-safe key equality and a null-safe mismatch test: a NULL
+    // partition key is legal (__HIVE_DEFAULT_PARTITION__) and must
+    // compare as itself, not vanish under SQL null semantics
+    val moved = fresh.join(cm, fresh(partCol) <=> cm("__p"), "full_outer")
+      .filter(not(col("__cnt") <=> col("__ccnt")) ||
+        not(col("__hsum") <=> col("__chsum")) ||
+        not(col("__hxor") <=> col("__chxor")) ||
+        not(col("__hmin") <=> col("__chmin")) ||
+        not(col("__hmax") <=> col("__chmax")))
+      .select(coalesce(fresh(partCol), col("__p")).as(partCol))
+      .collect().map(_.get(0)).toSeq
+    if (moved.isEmpty) {
+      // unchanged content; if the committed side was recomputed (no
+      // sidecar yet), persist it in place so the NEXT diff is O(buckets)
+      // — additive hidden metadata, the committed data files untouched
+      if (!fromSidecar) writeSidecar(spark, root, cur, fresh, freshCanon)
+      fresh.unpersist()
+      return false
     }
-    val cols = df.columns.filter(_ != partCol).sorted.map(col(_))
-    def sig(d: DataFrame, n: String, h: String) =
-      d.groupBy(partCol).agg(count(lit(1)).as(n),
-        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as(h))
-    val moved = sig(df, "__nn", "__nh")
-      .join(sig(committed, "__cn", "__ch"), Seq(partCol), "full_outer")
-      .filter(not(col("__nn") <=> col("__cn")) ||
-        not(col("__nh") <=> col("__ch")))
-      .select(partCol).collect().map(_.get(0)).toSeq
-    if (moved.isEmpty) return false
+    if (moved.size > MaxInlinedPartitionTerms) {
+      // at this spread the diff saved nothing — snapshot in full rather
+      // than inline a plan-sized predicate (the deleteImpl doctrine)
+      fresh.unpersist()
+      return fullSnapshot()
+    }
     val dtype = df.schema(partCol).dataType
-    val movedDf = literalFrame(spark, moved.map(org.apache.spark.sql.Row(_)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(partCol, dtype))))
-    writePartitions(spark, root, df.filter(col(partCol).isin(moved: _*)),
-      Seq(partCol), replaced = Some(movedDf), keepVersions = keepVersions)
+    val movedRows = moved.map(org.apache.spark.sql.Row(_))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(partCol, dtype)))
+    // null-safe membership (partitionPredicate uses <=>): a NULL-keyed
+    // partition in the moved set keeps its replacement rows — plain
+    // isin would silently drop them while the replaced set deletes the
+    // old dir (data loss in the generic primitive)
+    writePartitions(spark, root,
+      df.filter(partitionPredicate(Seq(partCol), movedRows)),
+      Seq(partCol), replaced = Some(literalFrame(spark, movedRows, schema)),
+      keepVersions = keepVersions)
+    // the new version's sidecar IS the fresh signature frame: unmoved
+    // partitions' sigs equal their committed ones by definition, moved
+    // partitions carry df's content verbatim. Written after the pointer
+    // commit — a crash here leaves a committed version whose next diff
+    // recomputes once and heals it.
+    writeSidecar(spark, root, currentVersion(spark, root).get,
+      fresh, freshCanon)
+    fresh.unpersist()
     true
+  }
+
+  private val SigDir = "_sigs"
+  private val SigSchemaFile = "_sigs_schema"
+  /** Bumping this invalidates every committed sidecar (they fall back
+    * to one full recompute and re-establish) — the recipe version is
+    * line 1 of [[SigSchemaFile]]. */
+  private val SigRecipe = 2
+
+  /** Canonical `name:type` schema form, name-sorted: the diff's schema
+    * gate compares names AND types (a type-only evolution must snapshot
+    * in full). Nullability is deliberately excluded — it carries no
+    * content and flips spuriously under inference. */
+  private def canonicalSchema(s: org.apache.spark.sql.types.StructType): String =
+    s.fields.map(f => s"${f.name}:${f.dataType.sql}").sorted.mkString(";")
+
+  /** Per-partition signature frame: partCol, __cnt, __hsum, __hxor,
+    * __hmin, __hmax over the null-marker-interleaved full-row hash (see
+    * [[writePartitionsDiffed]]). All five reductions are
+    * order-independent, so the signature is partition-layout-blind. */
+  private def sigAgg(d: DataFrame, partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = d.columns.filter(_ != partCol).sorted
+    // isnull flags are non-null booleans, so every column advances the
+    // hash seed whether its value is NULL or not — the null-skip fix
+    val h =
+      if (dataCols.isEmpty) xxhash64(lit(1)) // partCol-only table: count decides
+      else xxhash64(dataCols.toSeq.flatMap(c => Seq(isnull(col(c)), col(c))): _*)
+    d.select(col(partCol), h.as("__h"))
+      .groupBy(partCol)
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("__h").cast("decimal(38,0)")).as("__hsum"),
+        expr("bit_xor(__h)").as("__hxor"),
+        min(col("__h")).as("__hmin"),
+        max(col("__h")).as("__hmax"))
+  }
+
+  /** Commit a version's signature sidecar: the parquet sig frame first,
+    * the recipe+schema file LAST (its presence marks the sidecar
+    * complete — a crash in between reads as "no sidecar", one recompute
+    * heals). */
+  private def writeSidecar(spark: SparkSession, root: String, version: Long,
+                           sigs: DataFrame, canon: String): Unit = {
+    val f = fs(spark, new Path(root))
+    val dir = new Path(root, s"v=$version/$SigDir")
+    f.delete(new Path(root, s"v=$version/$SigSchemaFile"), false)
+    sigs.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    writeText(f, new Path(root, s"v=$version/$SigSchemaFile"),
+      s"$SigRecipe\n$canon")
+  }
+
+  /** A version's committed signature sidecar, if complete and written
+    * by the current recipe: (canonical schema, sig frame). */
+  private def readSidecar(spark: SparkSession, root: String,
+                          version: Long): Option[(String, DataFrame)] = {
+    val f = fs(spark, new Path(root))
+    val sf = new Path(root, s"v=$version/$SigSchemaFile")
+    if (!f.exists(sf)) return None
+    val len = f.getFileStatus(sf).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(sf)
+    try in.readFully(0, buf) finally in.close()
+    val lines = new String(buf, StandardCharsets.UTF_8).split("\n", 2)
+    if (lines.length != 2 || lines(0).trim != SigRecipe.toString) None
+    else Some((lines(1),
+      spark.read.parquet(new Path(root, s"v=$version/$SigDir").toString)))
   }
 
   /** Partition-aware DELETE: remove every row of the table whose `keyCol`

@@ -478,6 +478,91 @@ class CurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("an nShards dial turn with an unchanged selection re-shards the epoch") {
+    val root = Files.createTempDirectory("graft-cur-dial").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val sp = TrainingShards.Paths(p.shards)
+    // full budget so SEVERAL docs publish: the dial turn below must
+    // actually move shard assignments for the rebuild to be observable
+    // (a 1-doc epoch re-shards identically under any nShards and the
+    // diffed epoch write rightly no-ops)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1",
+      CurationRunner.Conf(nShards = 2, budgetShare = 1.0))
+    assert(TrainingShards.readManifest(spark, p.shards).count() == 2,
+      "fixture must spread the selection over both shards")
+    val curatedV = AtomicRewrite.currentVersion(spark, p.curated)
+    val shardsV = AtomicRewrite.currentVersion(spark, sp.shards)
+    // selection-neutral batch (exact dup), but the sharding conf moved:
+    // the epoch skip must NOT key on the curated version alone — the
+    // committed epoch would keep the stale shard count until the
+    // selection next happened to move
+    CurationRunner.runBatch(spark, root,
+      Seq((9L, longText("red"))).toDF("doc_id", "text"), ts(2), "b2",
+      CurationRunner.Conf(nShards = 1, budgetShare = 1.0))
+    assert(AtomicRewrite.currentVersion(spark, p.curated) == curatedV,
+      "the selection itself did not move")
+    assert(AtomicRewrite.currentVersion(spark, sp.shards) != shardsV,
+      "a changed nShards must rebuild the epoch even with an unchanged selection")
+    val marker = AtomicRewrite.read(spark, p.shardsFrom)
+      .select("n_shards", "order_col").as[(Int, String)].head()
+    assert(marker == ((1, "train_pos")))
+    assert(TrainingShards.readManifest(spark, p.shards).count() == 1,
+      "the rebuilt epoch must carry the NEW shard count")
+    // and with the SAME conf again, the skip holds
+    val shardsV1 = AtomicRewrite.currentVersion(spark, sp.shards)
+    CurationRunner.runBatch(spark, root,
+      Seq((10L, longText("blue"))).toDF("doc_id", "text"), ts(3), "b3",
+      CurationRunner.Conf(nShards = 1, budgetShare = 1.0))
+    assert(AtomicRewrite.currentVersion(spark, sp.shards) == shardsV1)
+    spark.catalog.clearCache()
+  }
+
+  test("a no-change release writes zero curated bytes (sidecar-diffed, data files untouched)") {
+    val root = Files.createTempDirectory("graft-cur-zb").toString + "/rel"
+    val p = CurationRunner.Paths(root)
+    val conf = CurationRunner.Conf(nShards = 2)
+    CurationRunner.runBatch(spark, root, batch1, ts(1), "b1", conf)
+    // the curated snapshot committed with its signature sidecar — the
+    // structure that lets the next diff read O(buckets) instead of
+    // re-hashing the committed selection (DiffedWriteSpec pins that the
+    // diff never opens the committed data files at all)
+    val curV = AtomicRewrite.currentVersion(spark, p.curated).get
+    assert(new java.io.File(s"${p.curated}/v=$curV/_sigs_schema").exists(),
+      "the curated publish must commit its signature sidecar")
+    def files(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = files(p.curated)
+    CurationRunner.runBatch(spark, root,
+      Seq((9L, longText("red"))).toDF("doc_id", "text"), ts(2), "b2", conf)
+    assert(files(p.curated) == before,
+      "a no-change release must leave the curated table byte-untouched")
+    spark.catalog.clearCache()
+  }
+
+  test("a full batch + maintain cycle leaves no pinned RDDs behind") {
+    // every frame a cycle pins must be released on its own path — a pin
+    // leak would accumulate executor storage forever in the streaming
+    // front door's long-running foreachBatch loop. The session is
+    // shared across suites, so assert on the DELTA (with a short grace
+    // for another suite's transient pins).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val root = Files.createTempDirectory("graft-cur-pin").toString + "/rel"
+    val conf = CurationRunner.Conf(nShards = 2,
+      nearDupThreshold = Some(0.5), sourceCapShare = Some(0.8),
+      curriculum = true)
+    CurationRunner.runBatch(spark, root,
+      batch1.withColumn("source", lit("web")), ts(1), "b1", conf)
+    CurationRunner.maintain(spark, root, buckets = 2)
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(leaked.isEmpty, s"cycle left pinned RDDs: $leaked")
+    spark.catalog.clearCache()
+  }
+
   test("a punctuation-only doc is rejected with a well-defined quality score") {
     val root = Files.createTempDirectory("graft-cur-zt").toString + "/rel"
     val p = CurationRunner.Paths(root)

@@ -282,6 +282,52 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("maintain shrinks an accreted bucket list back to exact; a second pass is a no-op") {
+    val root = Files.createTempDirectory("graft-idx-shrink").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    def storedList(d: Long) = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === d).select("buckets").as[Seq[Int]].head().toSet
+    def actual(d: Long) = AtomicRewrite.read(spark, p.postings)
+      .filter(col("doc_id") === d).select("bucket").as[Int].collect().toSet
+    // a long-lived doc revised with disjoint vocabularies: the old∪new
+    // crash-replay bound accretes buckets its CURRENT postings never
+    // touch — monotone growth toward all PostingBuckets
+    IndexStore.append(spark, root,
+      Seq((4L, "granite quarry wagons descend the incline at dawn"))
+        .toDF("doc_id", "text"))
+    IndexStore.append(spark, root,
+      Seq((4L, "lighthouse keepers trim seven lamps before midnight"))
+        .toDF("doc_id", "text"))
+    assert(storedList(4L).size > actual(4L).size,
+      s"fixture must accrete stale buckets: stored ${storedList(4L)} vs " +
+        s"actual ${actual(4L)}")
+    val statsBefore = AtomicRewrite.read(spark, p.stats)
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    IndexStore.maintain(spark, root)
+    // exact again — every doc, not just the revised one
+    val ds = AtomicRewrite.read(spark, p.docstats)
+      .select("doc_id", "buckets").as[(Long, Seq[Int])].collect().toMap
+    ds.keys.foreach(d => assert(ds(d).toSet == actual(d),
+      s"doc $d stored ${ds(d)} != exact ${actual(d)}"))
+    // content untouched: the summary keeps its values, re-stamped to the
+    // shrunk docstats version (the next append's fast path stays O(batch))
+    val (nd, dl, sv) = AtomicRewrite.read(spark, p.stats)
+      .select("n_docs", "sum_dl", "docstats_version")
+      .as[(Long, Long, Long)].head()
+    assert((nd, dl) == statsBefore)
+    assert(sv == AtomicRewrite.currentVersion(spark, p.docstats).get)
+    // nothing stale left: a second maintain burns no version
+    val v = AtomicRewrite.currentVersion(spark, p.docstats)
+    IndexStore.maintain(spark, root)
+    assert(AtomicRewrite.currentVersion(spark, p.docstats) == v,
+      "a converged docstats table must not rewrite")
+    // and serving still works over the shrunk lists
+    assert(IndexStore.query(spark, root, q("lighthouse"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    spark.catalog.clearCache()
+  }
+
   test("append maintains the summary by O(batch) deltas; stale stamps self-heal") {
     val root = Files.createTempDirectory("graft-idx-inc").toString + "/idx"
     val p = IndexStore.Paths(root)

@@ -141,15 +141,38 @@ class TokenizerStoreSpec extends SparkSpec {
       checkpointDir = Some(ckpt))
     assert(TokenizerStore.merges(spark, rLocal).collect().toSeq ==
       TokenizerStore.merges(spark, rDurable).collect().toSeq)
-    // reliable barriers actually landed blocks under the caller's dir
-    assert(new java.io.File(ckpt).listFiles().nonEmpty,
-      "reliable checkpoints must write under the caller-set dir")
+    // checkpoint hygiene: Spark never cleans reliable checkpoints
+    // itself, so a 32k-round production train would leave O(rounds)
+    // full corpus copies on disk. train deletes superseded rounds as
+    // each next barrier lands and removes the whole run dir once the
+    // merge table (the durable artifact) commits — ZERO files remain.
+    def ckptFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(ckpt))
+    }
+    assert(ckptFiles().isEmpty,
+      s"train must clean its reliable checkpoints, left ${ckptFiles()}")
     val a = TokenizerStore.encodeChunked(spark, rLocal, docs, chunkSize = 1)
       .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
     val b = TokenizerStore.encodeChunked(spark, rDurable, docs, chunkSize = 1,
       checkpointDir = Some(ckpt))
       .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
     assert(a == b)
+    // encodeChunked's returned frame reads its FINAL barrier, so that
+    // one round dir must survive (session-lifetime) — and ONLY that
+    // one: the superseded chunks (4 merges at chunkSize=1 -> 4 rounds)
+    // deleted as the chain advanced. This also proves reliable barriers
+    // actually landed under the caller's dir.
+    val roundDirs = {
+      def dirs(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Nil
+        else f.listFiles().toSeq.flatMap(dirs) :+ f
+      dirs(new java.io.File(ckpt)).filter(_.getName.startsWith("round-"))
+    }
+    assert(roundDirs.size == 1 && ckptFiles().nonEmpty,
+      s"exactly the final chunk's checkpoint must remain, got " +
+        s"${roundDirs.map(_.getName)}")
     spark.catalog.clearCache()
   }
 }

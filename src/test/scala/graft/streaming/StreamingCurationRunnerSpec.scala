@@ -173,6 +173,33 @@ class StreamingCurationRunnerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a streaming cycle with maintenance leaves no pinned RDDs behind") {
+    // the long-running-stream hygiene contract: every frame a
+    // micro-batch pins is released on its own path, so executor storage
+    // stays flat across epochs — a future pin leak fails here instead
+    // of accumulating in production streams. Suites share the session,
+    // so assert on the DELTA (with a short grace for stragglers).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val root = Files.createTempDirectory("graft-scur-pin").toString + "/rel"
+    val conf = CurationRunner.Conf(nShards = 2, budgetShare = 1.0,
+      nearDupThreshold = Some(0.5))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingCurationRunner.sink(in.toDF(), root, conf,
+      publishEvery = 1, maintainEvery = 2)
+    try {
+      in.addData(Doc(1L, longText("red")), Doc(2L, longText("blue")))
+      q.processAllAvailable()
+      in.addData(Doc(3L, longText("green"))) // epoch 2: publish + maintain
+      q.processAllAvailable()
+    } finally q.stop()
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(leaked.isEmpty, s"streaming cycle left pinned RDDs: $leaked")
+    spark.catalog.clearCache()
+  }
+
   test("empty micro-batches skip the runner entirely") {
     val root = Files.createTempDirectory("graft-scur-e").toString + "/rel"
     implicit val sqlCtx = spark.sqlContext

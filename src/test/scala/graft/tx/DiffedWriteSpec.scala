@@ -1,0 +1,134 @@
+package graft.tx
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** [[AtomicRewrite.writePartitionsDiffed]] — the sidecar-backed diff:
+  * O(buckets) committed-side reads, null-hardened signatures, the full
+  * StructType schema gate, and null partition keys. */
+class DiffedWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-diffed").toString + "/t"
+
+  /** All committed parquet DATA files under root — every *.parquet
+    * outside the _sigs sidecar dirs. */
+  private def dataFiles(root: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName == "_sigs") Nil
+        else f.listFiles().toSeq.flatMap(walk)
+      } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(root))
+  }
+
+  test("no-change commit is a no-op that never opens committed data files") {
+    val root = tmpRoot()
+    def df = Seq((0, 1L, "a"), (0, 2L, "b"), (1, 3L, "c"))
+      .toDF("b", "k", "v")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, df, "b"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(0L))
+    // the brutal proof that the diff reads ONLY the sidecar: make every
+    // committed data file unreadable garbage. A diff that opened any of
+    // them would throw; the sidecar diff must still conclude "unchanged"
+    val files = dataFiles(root)
+    assert(files.nonEmpty)
+    files.foreach(f => Files.write(f.toPath, "garbage".getBytes))
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, df, "b"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(0L))
+  }
+
+  test("changed partitions rewrite; unchanged ride by reference") {
+    val root = tmpRoot()
+    val v0 = Seq((0, 1L, "a"), (1, 2L, "b"), (2, 3L, "c")).toDF("b", "k", "v")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v0, "b"))
+    val before = dataFiles(root).map(f => f.getPath -> f.lastModified).toMap
+    // change partition 1 only; drop partition 2
+    val v1 = Seq((0, 1L, "a"), (1, 2L, "B2")).toDF("b", "k", "v")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+    assert(AtomicRewrite.read(spark, root).select("b", "k", "v")
+      .as[(Int, Long, String)]
+      .collect().toSet == Set((0, 1L, "a"), (1, 2L, "B2")))
+    // partition 0's committed file is byte-untouched (ride by reference)
+    val after = dataFiles(root).map(f => f.getPath -> f.lastModified).toMap
+    val b0 = before.keys.filter(_.contains("b=0"))
+    assert(b0.nonEmpty && b0.forall(p => after.get(p).contains(before(p))))
+    // a third, identical commit is a full no-op
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+  }
+
+  test("same-typed NULL column migration is detected as moved") {
+    val root = tmpRoot()
+    // the adversarial case for a naive xxhash64(cols): Spark skips NULL
+    // children without advancing the seed, so (x=5, y=NULL) and
+    // (x=NULL, y=5) hash identically — count unchanged, sum unchanged —
+    // and the OLD recipe declared the partition unmoved and served the
+    // stale rows. The null-marker interleave makes them distinct.
+    val v0 = Seq((0, Some(5), None: Option[Int])).toDF("b", "x", "y")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v0, "b"))
+    val v1 = Seq((0, None: Option[Int], Some(5))).toDF("b", "x", "y")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"),
+      "value migration between same-typed columns must commit")
+    assert(AtomicRewrite.read(spark, root).select("b", "x", "y")
+      .as[(Int, Option[Int], Option[Int])].collect().toSeq ==
+      Seq((0, None, Some(5))))
+  }
+
+  test("type-only schema evolution snapshots in full, never a mixed manifest") {
+    val root = tmpRoot()
+    val v0 = Seq((0, 1), (1, 2)).toDF("b", "v")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v0, "b"))
+    // same column NAMES, widened type int -> long, identical values: a
+    // names-only gate would diff and could carry old-typed partitions
+    // by reference into a mixed-schema table
+    val v1 = Seq((0, 1L), (1, 2L)).toDF("b", "v")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+    val read = AtomicRewrite.read(spark, root)
+    assert(read.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // full rewrite: every partition dir exists under the NEW version
+    val newDir = new java.io.File(s"$root/v=1")
+    assert(Seq("b=0", "b=1").forall(d => new java.io.File(newDir, d).exists()))
+    assert(read.select("b", "v").as[(Int, Long)].collect().toSet ==
+      Set((0, 1L), (1, 2L)))
+  }
+
+  test("a NULL partition key replaces without silent data loss") {
+    val root = tmpRoot()
+    val v0 = Seq((Some("a"), 1L), (None: Option[String], 2L)).toDF("b", "k")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v0, "b"))
+    // only the null-keyed partition's content changes: plain isin-based
+    // membership would DROP the null rows from the staged frame while
+    // the replaced set deleted the old dir — silent loss
+    val v1 = Seq((Some("a"), 1L), (None: Option[String], 99L)).toDF("b", "k")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+    assert(AtomicRewrite.read(spark, root).select("b", "k")
+      .as[(Option[String], Long)]
+      .collect().toSet == Set((Some("a"), 1L), (None, 99L)))
+    // and the "a" partition rode by reference (only null moved)
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+  }
+
+  test("legacy table without a sidecar: one recompute heals it in place") {
+    val root = tmpRoot()
+    val df = Seq((0, 1L), (1, 2L)).toDF("b", "k")
+    // a pre-sidecar table: committed through writePartitions directly
+    AtomicRewrite.writePartitions(spark, root, df, Seq("b"))
+    assert(!new java.io.File(s"$root/v=0/_sigs_schema").exists())
+    // identical content: no version burns, and the recomputed committed
+    // signatures persist into the CURRENT version dir so the next diff
+    // is O(buckets)
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, df, "b"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(0L))
+    assert(new java.io.File(s"$root/v=0/_sigs_schema").exists())
+    // sidecar now authoritative: corrupt the data files, identical
+    // re-commit still no-ops without opening them
+    dataFiles(root).foreach(f => Files.write(f.toPath, "garbage".getBytes))
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, df, "b"))
+  }
+}
