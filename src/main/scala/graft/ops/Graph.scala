@@ -34,6 +34,17 @@ object Graph {
     * to the edge list. (At production scale on lossy executors, swap for
     * reliable `checkpoint` into the job's checkpoint dir.)
     *
+    * Superseded rounds' blocks are unpersisted EAGERLY as each next
+    * round materializes — never left to GC reaping, whose timing a
+    * long-running caller (the streaming near-dup stage) cannot rely on
+    * for flat executor storage. Only the RETURNED labels frame stays
+    * pinned; the caller owns releasing it once consumed (the
+    * [[graft.pipeline.NearDupStore]] contract). Unpersisting a
+    * localCheckpointed frame frees its blocks for good — safe here
+    * because each round's eager checkpoint is fully materialized before
+    * its predecessor releases, the same executor-loss trade the
+    * checkpoint choice already documents.
+    *
     * @param pairs  one row per undirected edge, columns `srcCol`/`dstCol`
     *               (symmetrized internally)
     * @param trace  per-round observability hook (iteration, frontier size)
@@ -64,6 +75,7 @@ object Graph {
         .select(col("id"), col("nmin").as("component"))
         .localCheckpoint(true)
       frontier = updates.count()
+      val prevLabels = labels
       if (frontier > 0L) {
         labels = labels
           .join(updates.select(col("id"), col("component").as("__new")),
@@ -72,11 +84,18 @@ object Graph {
             coalesce(col("__new"), col("component")).as("component"))
           .localCheckpoint(true)
       }
+      // the round's new checkpoints are fully materialized — the
+      // previous round's blocks release NOW, not at some future GC
+      // (round 0's `changed` IS the initial labels frame: release once)
+      if (changed ne prevLabels) changed.unpersist()
+      if (labels ne prevLabels) prevLabels.unpersist()
       changed = updates
       iter += 1
       trace(s"delta-CC iter=$iter frontier=$frontier")
     }
     edges.unpersist()
+    // the terminal (empty-frontier) updates frame is still pinned
+    if (changed ne labels) changed.unpersist()
     // silent under-merging would split components and let near-dups
     // through every downstream dedup decision — fail loudly instead
     if (frontier != 0L)

@@ -652,8 +652,8 @@ object CurationRunner {
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)
     Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
-      p.shardsFrom, sp.shards, sp.manifest, ip.postings, ip.docstats,
-      ip.stats, ap.centroids, ap.cells)
+      p.shardsFrom, sp.shards, sp.manifest, sp.manifestFrom, ip.postings,
+      ip.docstats, ip.stats, ap.centroids, ap.cells)
       .filter(AtomicRewrite.exists(spark, _))
       .foreach(AtomicRewrite.vacuum(spark, _, keepVersions, retainHours))
   }

@@ -48,6 +48,12 @@ object TrainingShards {
   case class Paths(root: String) {
     val shards: String = s"$root/shards"
     val manifest: String = s"$root/manifest"
+    /** 1-row marker: the shard-table version the committed manifest
+      * derives from — the validity stamp that lets a publish carry
+      * unmoved shards' manifest rows instead of re-aggregating the
+      * whole committed epoch (the IndexStore stats-summary pattern).
+      * Holds a version number only, no subject data. */
+    val manifestFrom: String = s"$root/manifest_from"
   }
 
   /** Token-balanced contiguous sharding of `corpus` by `orderCol`.
@@ -60,23 +66,26 @@ object TrainingShards {
     * only the shards whose content moved against the committed epoch —
     * a selection change confined to the tail of the training order
     * touches only the tail shards, and an IDENTICAL re-publish writes
-    * zero shard bytes. The manifest is always re-committed (a 1-row-
-    * per-shard table): it derives from the COMMITTED shard state after
-    * the diff, so a re-publish also repairs a manifest stranded by a
-    * crash between the two commits — which is exactly why the cheap
-    * side is never skipped. */
+    * zero shard bytes. The manifest derives from the COMMITTED shard
+    * state (never the in-flight frame) and is maintained
+    * INCREMENTALLY: a 1-row `manifest_from` marker, committed after
+    * each manifest, stamps the shard version it describes — a publish
+    * whose marker matches carries unmoved shards' rows verbatim and
+    * re-aggregates ONLY the moved shard partitions (plan-pruned), and
+    * an identical re-publish skips the manifest entirely; any stamp
+    * mismatch (legacy table, a crash between the shard and manifest
+    * commits or before the marker) recomputes the manifest in full and
+    * heals, the IndexStore stats-summary fallback discipline. */
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             nShards: Int, orderCol: String = "train_pos"): Unit = {
     require(nShards > 0, s"shard count must be positive, got $nShards")
     val p = Paths(root)
     val (assigned, cached) = rangeAssign(corpus, nShards, orderCol)
-    AtomicRewrite.writePartitionsDiffed(spark, p.shards, assigned, "shard_id")
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards)
+    val moved = AtomicRewrite.writePartitionsDiffedMoved(spark, p.shards,
+      assigned, "shard_id")
     cached.unpersist()
-    // the manifest derives from the COMMITTED shard table, not the
-    // in-flight frame: nothing corpus-sized is ever pinned in cache, and
-    // the manifest can only ever describe bytes that actually landed
-    AtomicRewrite.write(spark, p.manifest,
-      manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
+    refreshManifestIncremental(spark, root, orderCol, v0, moved)
   }
 
   /** The range-mode assignment frame — exposed package-private so
@@ -118,9 +127,10 @@ object TrainingShards {
     val assigned = corpus.withColumn("shard_id",
       pmod(xxhash64(lit("shard"), col(idCol)), lit(nShards.toLong))
         .cast("int"))
-    AtomicRewrite.writePartitionsDiffed(spark, p.shards, assigned, "shard_id")
-    AtomicRewrite.write(spark, p.manifest,
-      manifestOf(AtomicRewrite.read(spark, p.shards), idCol))
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards)
+    val moved = AtomicRewrite.writePartitionsDiffedMoved(spark, p.shards,
+      assigned, "shard_id")
+    refreshManifestIncremental(spark, root, idCol, v0, moved)
   }
 
   /** One row per shard: doc/token counts and the `orderCol` span —
@@ -190,13 +200,70 @@ object TrainingShards {
         AtomicRewrite.read(spark, Paths(root).shards).columns.head)
   }
 
-  /** Re-derive the manifest from the committed shard table. */
+  /** Re-derive the manifest from the committed shard table in FULL and
+    * stamp the marker — the repair / slow path ([[forget]] uses it;
+    * [[refreshManifestIncremental]] falls back to it on any stamp
+    * mismatch). */
   private def refreshManifest(spark: SparkSession, root: String,
                               orderCol: String): Unit = {
     val p = Paths(root)
     AtomicRewrite.write(spark, p.manifest,
       manifestOf(AtomicRewrite.read(spark, p.shards), orderCol))
+    stampManifest(spark, p)
   }
+
+  /** Maintain the manifest after a diffed publish, reading O(moved
+    * shards) instead of the whole committed epoch. Valid only when the
+    * committed manifest provably describes the shard version the diff
+    * REPLACED (marker == v0) under the SAME order column: then unmoved
+    * shards' rows carry verbatim (their content is byte-identical by
+    * the diff's signature), moved shards re-aggregate from their
+    * plan-pruned committed partitions, dropped shards vanish, and a
+    * no-op publish (nothing moved, version unchanged) skips the
+    * manifest write entirely. Everything else — first build, full
+    * snapshot (`moved = None`), legacy/stale marker, order change —
+    * recomputes in full. Marker committed AFTER the manifest, so every
+    * crash window reads as "stale" and heals by recompute. */
+  private def refreshManifestIncremental(spark: SparkSession, root: String,
+                                         orderCol: String, v0: Option[Long],
+                                         moved: Option[Seq[Any]]): Unit = {
+    val p = Paths(root)
+    val valid = v0.isDefined && moved.isDefined &&
+      manifestFromVersion(spark, p) == v0 &&
+      AtomicRewrite.exists(spark, p.manifest) && {
+        val m = AtomicRewrite.read(spark, p.manifest)
+        m.columns.contains("order_col") &&
+          m.select("order_col").limit(1).collect()
+            .headOption.forall(_.getString(0) == orderCol)
+      }
+    if (!valid) { refreshManifest(spark, root, orderCol); return }
+    val movedIds = moved.get
+    if (movedIds.isEmpty) return // no-op publish: manifest already exact
+    val prev = AtomicRewrite.read(spark, p.manifest)
+      .filter(!col("shard_id").isin(movedIds: _*))
+    val rewritten = manifestOf(
+      AtomicRewrite.read(spark, p.shards)
+        .filter(col("shard_id").isin(movedIds: _*)), orderCol)
+    AtomicRewrite.write(spark, p.manifest, prev.unionByName(rewritten))
+    stampManifest(spark, p)
+  }
+
+  /** Commit the marker stamping the manifest with the CURRENT committed
+    * shard version. */
+  private def stampManifest(spark: SparkSession, p: Paths): Unit = {
+    import spark.implicits._
+    AtomicRewrite.write(spark, p.manifestFrom,
+      Seq(AtomicRewrite.currentVersion(spark, p.shards).get)
+        .toDF("shards_version").coalesce(1))
+  }
+
+  /** The shard version the committed manifest derives from — None for
+    * a legacy table (pre-marker) or a crash between the manifest and
+    * marker commits; both read as "recompute in full". */
+  private def manifestFromVersion(spark: SparkSession, p: Paths): Option[Long] =
+    if (!AtomicRewrite.exists(spark, p.manifestFrom)) None
+    else AtomicRewrite.read(spark, p.manifestFrom)
+      .select("shards_version").collect().headOption.map(_.getLong(0))
 
   def readShard(spark: SparkSession, root: String, shardId: Int): DataFrame =
     AtomicRewrite.read(spark, Paths(root).shards)

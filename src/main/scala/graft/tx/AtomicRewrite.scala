@@ -363,15 +363,29 @@ object AtomicRewrite {
     * mostly agree. */
   def writePartitionsDiffed(spark: SparkSession, root: String,
                             df: DataFrame, partCol: String,
-                            keepVersions: Int = 2): Boolean = {
+                            keepVersions: Int = 2): Boolean =
+    writePartitionsDiffedMoved(spark, root, df, partCol, keepVersions)
+      .forall(_.nonEmpty)
+
+  /** [[writePartitionsDiffed]] that also reports WHAT moved, for callers
+    * maintaining per-partition derived state (the TrainingShards
+    * manifest): `None` = the table was snapshotted in full (first
+    * write, schema change, moved set too wide to inline — treat as
+    * "everything moved"); `Some(Nil)` = full no-op, nothing committed;
+    * `Some(values)` = exactly these partition values were rewritten or
+    * dropped, every other partition rides by reference with
+    * byte-identical content. */
+  def writePartitionsDiffedMoved(spark: SparkSession, root: String,
+                                 df: DataFrame, partCol: String,
+                                 keepVersions: Int = 2): Option[Seq[Any]] = {
     import org.apache.spark.sql.functions.{coalesce, col, not}
     val freshCanon = canonicalSchema(df.schema)
-    def fullSnapshot(): Boolean = {
+    def fullSnapshot(): Option[Seq[Any]] = {
       write(spark, root, df, partitionBy = Seq(partCol),
         keepVersions = keepVersions)
       writeSidecar(spark, root,
         currentVersion(spark, root).get, sigAgg(df, partCol), freshCanon)
-      true
+      None
     }
     if (!exists(spark, root)) return fullSnapshot()
     val cur = currentVersion(spark, root).get
@@ -409,7 +423,7 @@ object AtomicRewrite {
       // — additive hidden metadata, the committed data files untouched
       if (!fromSidecar) writeSidecar(spark, root, cur, fresh, freshCanon)
       fresh.unpersist()
-      return false
+      return Some(Nil)
     }
     if (moved.size > MaxInlinedPartitionTerms) {
       // at this spread the diff saved nothing — snapshot in full rather
@@ -437,7 +451,7 @@ object AtomicRewrite {
     writeSidecar(spark, root, currentVersion(spark, root).get,
       fresh, freshCanon)
     fresh.unpersist()
-    true
+    Some(moved)
   }
 
   private val SigDir = "_sigs"

@@ -82,15 +82,85 @@ class TrainingShardsSpec extends SparkSpec {
     TrainingShards.build(spark, root, corpus, nShards = 5)
     val v0 = AtomicRewrite.currentVersion(spark, p.shards).get
     val m0 = AtomicRewrite.currentVersion(spark, p.manifest).get
-    // identical republish: the shard table burns NO version (zero bytes);
-    // the manifest still recommits — it is the cheap crash-repair side
-    // (a manifest stranded between the two commits heals on republish)
+    // identical republish: the shard table burns NO version (zero
+    // bytes), and the stamped manifest (manifest_from == committed
+    // shard version) proves the committed manifest already exact — the
+    // manifest write skips too. Crash repair moved from "always
+    // recommit" to the stamp: any stranded state reads as stale and
+    // recomputes in full (see the heal test below).
     TrainingShards.build(spark, root, corpus, nShards = 5)
     assert(AtomicRewrite.currentVersion(spark, p.shards).contains(v0),
       "an identical epoch republish must not rewrite shard bytes")
-    assert(AtomicRewrite.currentVersion(spark, p.manifest).contains(m0 + 1))
+    assert(AtomicRewrite.currentVersion(spark, p.manifest).contains(m0),
+      "a stamped-exact manifest must not recommit on a no-op republish")
     assert(TrainingShards.readManifest(spark, root)
       .agg(sum("n_docs")).head().getLong(0) == 200L)
+    spark.catalog.clearCache()
+  }
+
+  test("manifest maintenance is O(moved shards): carried rows verbatim, stale stamp heals") {
+    import spark.implicits._
+    import graft.tx.AtomicRewrite
+    val root = Files.createTempDirectory("graft-shards-m").toString
+    val p = TrainingShards.Paths(root)
+    TrainingShards.buildHashed(spark, root, corpus, nShards = 8)
+    val m1 = TrainingShards.readManifest(spark, root)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val extra = Seq((500L, 10L, 501L, "payload-500"))
+      .toDF("doc_id", "n_tokens", "train_pos", "text")
+    // the new doc's shard, computed through the engine's own hash
+    val newShard = Seq(500L).toDF("doc_id").select(
+      pmod(xxhash64(lit("shard"), col("doc_id")), lit(8L)).cast("int"))
+      .head().getInt(0)
+    // make every BYSTANDER shard's committed DATA pages unreadable
+    // (header bytes smashed, parquet footer left intact so schema
+    // probes still pass): the incremental manifest must re-aggregate
+    // only the moved shard's partition and carry the other rows from
+    // the committed manifest — a full recompute (the old behavior)
+    // would read bystander rows and throw here
+    def corrupt(): Unit = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          if (f.getName == "_sigs") Nil
+          else f.listFiles().toSeq.flatMap(walk)
+        } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p.shards))
+        .filterNot(_.getPath.contains(s"shard_id=$newShard"))
+        .foreach(f => java.nio.file.Files.write(f.toPath,
+          "XXXXXXXX".getBytes, java.nio.file.StandardOpenOption.WRITE))
+    }
+    corrupt()
+    TrainingShards.buildHashed(spark, root, corpus.unionByName(extra),
+      nShards = 8)
+    val m2 = TrainingShards.readManifest(spark, root)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // bystander rows carried byte-verbatim; the moved shard's row grew
+    // by exactly the appended doc
+    m1.keys.filterNot(_ == newShard).foreach(s =>
+      assert(m2(s) == m1(s), s"bystander shard $s manifest row moved"))
+    assert(m2(newShard).getLong(1) == m1(newShard).getLong(1) + 1)
+    assert(m2(newShard).getLong(2) == m1(newShard).getLong(2) + 10)
+    spark.catalog.clearCache()
+  }
+
+  test("a stale manifest stamp heals by full recompute on the next publish") {
+    import graft.tx.AtomicRewrite
+    val root = Files.createTempDirectory("graft-shards-s").toString
+    val p = TrainingShards.Paths(root)
+    TrainingShards.build(spark, root, corpus, nShards = 4)
+    val truth = TrainingShards.readManifest(spark, root).collect().toSet
+    // simulate a crash between the manifest and marker commits: the
+    // marker vanishes, so the stamp can no longer vouch for the
+    // manifest — the next publish must recompute in full and re-stamp
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(p.manifestFrom))
+    TrainingShards.build(spark, root, corpus, nShards = 4)
+    assert(TrainingShards.readManifest(spark, root).collect().toSet == truth)
+    assert(AtomicRewrite.exists(spark, p.manifestFrom),
+      "the healing recompute must re-stamp the manifest")
     spark.catalog.clearCache()
   }
 
