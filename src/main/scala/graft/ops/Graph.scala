@@ -25,25 +25,19 @@ object Graph {
 
   /** Min-label connected components over an (undirected) pair list.
     *
-    * Every round's label frame is eagerly `localCheckpoint`ed: an
+    * Every round materializes through a lineage-severing BARRIER: an
     * iterative dataflow that rebinds `labels = f(labels, ...)` otherwise
     * DOUBLES its logical plan per round (the update join references the
     * previous labels twice), and analysis cost goes exponential in the
-    * component diameter. Checkpointing truncates lineage to the
-    * materialized blocks — label frames are O(edge vertices), tiny next
-    * to the edge list. (At production scale on lossy executors, swap for
-    * reliable `checkpoint` into the job's checkpoint dir.)
-    *
-    * Superseded rounds' blocks are unpersisted EAGERLY as each next
-    * round materializes — never left to GC reaping, whose timing a
-    * long-running caller (the streaming near-dup stage) cannot rely on
-    * for flat executor storage. Only the RETURNED labels frame stays
-    * pinned; the caller owns releasing it once consumed (the
-    * [[graft.pipeline.NearDupStore]] contract). Unpersisting a
-    * localCheckpointed frame frees its blocks for good — safe here
-    * because each round's eager checkpoint is fully materialized before
-    * its predecessor releases, the same executor-loss trade the
-    * checkpoint choice already documents.
+    * component diameter. The barrier persists the round's frame,
+    * materializes it, and re-wraps its RDD as a fresh leaf DataFrame —
+    * downstream rounds see a constant-depth plan while the blocks stay
+    * EXPLICITLY releasable. (`localCheckpoint` would also truncate, but
+    * its pins are invisible to `Dataset.unpersist` and release only at
+    * some future GC — a long-running caller's executor storage must not
+    * depend on GC timing.) Superseded rounds release as each next round
+    * materializes; blocks lost to an executor recompute through the
+    * preserved lineage, one round at a time.
     *
     * @param pairs  one row per undirected edge, columns `srcCol`/`dstCol`
     *               (symmetrized internally)
@@ -51,57 +45,74 @@ object Graph {
     * @return labels `(id, component)` for every vertex present in `pairs`,
     *         component = min vertex id of the component. Vertices absent
     *         from `pairs` are the caller's to attach (their component is
-    *         their own id).
+    *         their own id). The frame comes back PINNED (one persisted
+    *         round, O(edge vertices)); the caller unpersists it once
+    *         consumed — the [[graft.pipeline.NearDupStore]] contract.
     */
   def connectedComponents(pairs: DataFrame,
                           srcCol: String = "src", dstCol: String = "dst",
                           maxIter: Int = 50,
                           trace: String => Unit = _ => ()): DataFrame = {
+    val spark = pairs.sparkSession
+    // (severed leaf view, releasable pin, row count) — the severed view
+    // reads the pin's cached blocks; unpersisting the pin later falls
+    // back to lineage recompute, never a lost-forever block
+    def barrier(df: DataFrame): (DataFrame, DataFrame, Long) = {
+      val pinned = df.persist()
+      val n = pinned.count() // materialize BEFORE any predecessor releases
+      (spark.createDataFrame(pinned.rdd, pinned.schema), pinned, n)
+    }
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var (labels, labelsPin, _) = barrier(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var changed = labels // round 0: every vertex speaks once
+    var changedPin = labelsPin
     var frontier = -1L
     var iter = 0
     while (frontier != 0L && iter < maxIter) {
       val nbrMin = edges
         .join(changed.select(col("id").as("dst"), col("component").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val updates = nbrMin.join(labels, Seq("id"))
-        .filter(col("nmin") < col("component"))
-        .select(col("id"), col("nmin").as("component"))
-        .localCheckpoint(true)
-      frontier = updates.count()
-      val prevLabels = labels
+      val (updates, updatesPin, n) = barrier(
+        nbrMin.join(labels, Seq("id"))
+          .filter(col("nmin") < col("component"))
+          .select(col("id"), col("nmin").as("component")))
+      frontier = n
+      val prevLabelsPin = labelsPin
       if (frontier > 0L) {
-        labels = labels
-          .join(updates.select(col("id"), col("component").as("__new")),
-            Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("__new"), col("component")).as("component"))
-          .localCheckpoint(true)
+        val (nl, nlPin, _) = barrier(
+          labels
+            .join(updates.select(col("id"), col("component").as("__new")),
+              Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("__new"), col("component")).as("component")))
+        labels = nl
+        labelsPin = nlPin
       }
-      // the round's new checkpoints are fully materialized — the
-      // previous round's blocks release NOW, not at some future GC
-      // (round 0's `changed` IS the initial labels frame: release once)
-      if (changed ne prevLabels) changed.unpersist()
-      if (labels ne prevLabels) prevLabels.unpersist()
+      // the round's new barriers are materialized — the previous
+      // round's blocks release NOW, not at some future GC (round 0's
+      // `changed` IS the initial labels frame: release once)
+      if (changedPin ne prevLabelsPin) changedPin.unpersist()
+      if (labelsPin ne prevLabelsPin) prevLabelsPin.unpersist()
       changed = updates
+      changedPin = updatesPin
       iter += 1
       trace(s"delta-CC iter=$iter frontier=$frontier")
     }
     edges.unpersist()
     // the terminal (empty-frontier) updates frame is still pinned
-    if (changed ne labels) changed.unpersist()
+    if (changedPin ne labelsPin) changedPin.unpersist()
     // silent under-merging would split components and let near-dups
     // through every downstream dedup decision — fail loudly instead
     if (frontier != 0L)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"(frontier=$frontier) — component diameter exceeds maxIter")
-    labels
+    // return the PIN, not the severed view: `unpersist()` on it
+    // genuinely releases the blocks, and its plan is one round deep
+    labelsPin
   }
 }

@@ -398,7 +398,18 @@ object IndexStore {
     * second consecutive maintain is a no-op). Doc counts and lengths
     * are untouched, so the 1-row summary only needs its version stamp
     * moved ([[statsIncrement]] with zero deltas). Safe on a quiesced
-    * store only — the [[CurationRunner.maintain]] contract. */
+    * store only — the [[CurationRunner.maintain]] contract.
+    *
+    * The scan itself is version-keyed: a `shrunk_at` marker records the
+    * docstats version the last pass converged at, and staleness is only
+    * ever INTRODUCED by [[append]] (which bumps that version — forget
+    * deletes whole docs, never growing a survivor's list), so a
+    * maintain whose marker matches skips entirely — the second
+    * consecutive maintain reads zero postings bytes, the
+    * [[CurationRunner.maintain]] fold invariance extended to the index.
+    * A missing/garbled marker (legacy store, crash mid-write) just
+    * rescans — the marker is a pure skip hint, never a correctness
+    * input. */
   def maintain(spark: SparkSession, root: String): Unit = {
     val p = Paths(root)
     if (!AtomicRewrite.exists(spark, p.postings) ||
@@ -406,6 +417,7 @@ object IndexStore {
     val committed = AtomicRewrite.read(spark, p.docstats)
     if (!committed.columns.contains("buckets")) return // legacy layout
     val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    if (shrunkAt(spark, root).contains(v0)) return // converged: zero reads
     val exact = AtomicRewrite.read(spark, p.postings)
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("bucket"))).as("__exact"))
@@ -416,7 +428,7 @@ object IndexStore {
     val touched = joined.filter(col("buckets") =!= col("__exact"))
       .select("doc_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { markShrunk(spark, root, v0); return }
     // rewrite only the touched doc buckets, every doc's list corrected
     // (bystander docs in those buckets rewrite with unchanged lists)
     val fixed = joined.filter(col("doc_bucket").isin(touched: _*))
@@ -427,6 +439,34 @@ object IndexStore {
         touched.map(org.apache.spark.sql.Row(_)),
         committed.select("doc_bucket").schema)))
     statsIncrement(spark, root, v0, 0L, 0L)
+    markShrunk(spark, root,
+      AtomicRewrite.currentVersion(spark, p.docstats).get)
+  }
+
+  /** The docstats version the last [[maintain]] pass converged at —
+    * None for a legacy store, a garbled file, or a crash mid-write (all
+    * read as "rescan", the safe side). A plain text file, not a
+    * versioned table: it is a skip HINT with no correctness weight. */
+  private def shrunkAt(spark: SparkSession, root: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root, "docstats_shrunk_at")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLongOption
+    }
+  }
+
+  private def markShrunk(spark: SparkSession, root: String, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, "docstats_shrunk_at")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
   }
 
   /** Ceiling on a query batch's distinct-term vocabulary: the term set

@@ -559,7 +559,10 @@ class CurationRunnerSpec extends SparkSpec {
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
     while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
-    assert(leaked.isEmpty, s"cycle left pinned RDDs: $leaked")
+    val detail = spark.sparkContext.getRDDStorageInfo
+      .filter(i => leaked.contains(i.id))
+      .map(i => s"${i.id}: ${i.name}").mkString("; ")
+    assert(leaked.isEmpty, s"cycle left pinned RDDs: $leaked [$detail]")
     spark.catalog.clearCache()
   }
 

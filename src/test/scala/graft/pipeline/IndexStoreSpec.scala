@@ -317,14 +317,25 @@ class IndexStoreSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert((nd, dl) == statsBefore)
     assert(sv == AtomicRewrite.currentVersion(spark, p.docstats).get)
-    // nothing stale left: a second maintain burns no version
+    // serving still works over the shrunk lists
+    assert(IndexStore.query(spark, root, q("lighthouse"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    // nothing stale left: a second maintain burns no version AND reads
+    // zero postings bytes — the shrunk_at marker matches the docstats
+    // version, so the scan is skipped entirely. Proof: smash every
+    // postings data page (footers kept readable) and maintain again.
     val v = AtomicRewrite.currentVersion(spark, p.docstats)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName == "_sigs") Nil
+        else f.listFiles().toSeq.flatMap(walk)
+      } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(p.postings)).foreach(f =>
+      java.nio.file.Files.write(f.toPath, "XXXXXXXX".getBytes,
+        java.nio.file.StandardOpenOption.WRITE))
     IndexStore.maintain(spark, root)
     assert(AtomicRewrite.currentVersion(spark, p.docstats) == v,
       "a converged docstats table must not rewrite")
-    // and serving still works over the shrunk lists
-    assert(IndexStore.query(spark, root, q("lighthouse"), k = 5)
-      .select("doc_id").as[Long].collect().toSet == Set(4L))
     spark.catalog.clearCache()
   }
 
