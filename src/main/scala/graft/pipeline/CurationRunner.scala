@@ -651,8 +651,10 @@ object CurationRunner {
     val ip = IndexStore.Paths(p.index)
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)
+    // (TrainingShards' manifest_from and IndexStore's docstats_shrunk_at
+    // are plain hint FILES, not versioned tables — nothing to vacuum)
     Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
-      p.shardsFrom, sp.shards, sp.manifest, sp.manifestFrom, ip.postings,
+      p.shardsFrom, sp.shards, sp.manifest, ip.postings,
       ip.docstats, ip.stats, ap.centroids, ap.cells)
       .filter(AtomicRewrite.exists(spark, _))
       .foreach(AtomicRewrite.vacuum(spark, _, keepVersions, retainHours))

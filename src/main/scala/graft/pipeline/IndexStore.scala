@@ -445,29 +445,13 @@ object IndexStore {
 
   /** The docstats version the last [[maintain]] pass converged at —
     * None for a legacy store, a garbled file, or a crash mid-write (all
-    * read as "rescan", the safe side). A plain text file, not a
-    * versioned table: it is a skip HINT with no correctness weight. */
-  private def shrunkAt(spark: SparkSession, root: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root, "docstats_shrunk_at")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else {
-      val len = f.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLongOption
-    }
-  }
+    * read as "rescan", the safe side). A plain hint file, not a
+    * versioned table ([[AtomicRewrite.readHint]]). */
+  private def shrunkAt(spark: SparkSession, root: String): Option[Long] =
+    AtomicRewrite.readHint(spark, s"$root/docstats_shrunk_at")
 
-  private def markShrunk(spark: SparkSession, root: String, v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root, "docstats_shrunk_at")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true)
-    try out.write(v.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-  }
+  private def markShrunk(spark: SparkSession, root: String, v: Long): Unit =
+    AtomicRewrite.writeHint(spark, s"$root/docstats_shrunk_at", v)
 
   /** Ceiling on a query batch's distinct-term vocabulary: the term set
     * is collected to the driver and inlined into the postings scan's

@@ -48,11 +48,14 @@ object TrainingShards {
   case class Paths(root: String) {
     val shards: String = s"$root/shards"
     val manifest: String = s"$root/manifest"
-    /** 1-row marker: the shard-table version the committed manifest
-      * derives from — the validity stamp that lets a publish carry
-      * unmoved shards' manifest rows instead of re-aggregating the
-      * whole committed epoch (the IndexStore stats-summary pattern).
-      * Holds a version number only, no subject data. */
+    /** Plain hint file ([[graft.tx.AtomicRewrite.readHint]]): the
+      * shard-table version the committed manifest derives from — the
+      * validity stamp that lets a publish carry unmoved shards'
+      * manifest rows instead of re-aggregating the whole committed
+      * epoch. NOT a versioned table: missing/garbled always reads as
+      * "recompute in full", so it carries zero correctness weight (and
+      * zero per-publish commit cost). Holds a version number only, no
+      * subject data. */
     val manifestFrom: String = s"$root/manifest_from"
   }
 
@@ -248,22 +251,16 @@ object TrainingShards {
     stampManifest(spark, p)
   }
 
-  /** Commit the marker stamping the manifest with the CURRENT committed
-    * shard version. */
-  private def stampManifest(spark: SparkSession, p: Paths): Unit = {
-    import spark.implicits._
-    AtomicRewrite.write(spark, p.manifestFrom,
-      Seq(AtomicRewrite.currentVersion(spark, p.shards).get)
-        .toDF("shards_version").coalesce(1))
-  }
+  /** Stamp the hint file with the CURRENT committed shard version. */
+  private def stampManifest(spark: SparkSession, p: Paths): Unit =
+    AtomicRewrite.writeHint(spark, p.manifestFrom,
+      AtomicRewrite.currentVersion(spark, p.shards).get)
 
   /** The shard version the committed manifest derives from — None for
-    * a legacy table (pre-marker) or a crash between the manifest and
-    * marker commits; both read as "recompute in full". */
+    * a legacy table (pre-marker), a garbled file, or a crash between
+    * the manifest and marker writes; all read as "recompute in full". */
   private def manifestFromVersion(spark: SparkSession, p: Paths): Option[Long] =
-    if (!AtomicRewrite.exists(spark, p.manifestFrom)) None
-    else AtomicRewrite.read(spark, p.manifestFrom)
-      .select("shards_version").collect().headOption.map(_.getLong(0))
+    AtomicRewrite.readHint(spark, p.manifestFrom)
 
   def readShard(spark: SparkSession, root: String, shardId: Int): DataFrame =
     AtomicRewrite.read(spark, Paths(root).shards)

@@ -503,6 +503,32 @@ object AtomicRewrite {
       s"$SigRecipe\n$canon")
   }
 
+  /** Read a plain-text version-stamp HINT file — None when missing or
+    * garbled. Hints are NOT versioned tables: they carry zero
+    * correctness weight, and every unreadable state must send the
+    * caller down its safe full-recompute path (the IndexStore
+    * `docstats_shrunk_at` / TrainingShards `manifest_from` skip
+    * discipline). A crash mid-write leaves a truncated number that
+    * parses to None — same safe side. */
+  def readHint(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, StandardCharsets.UTF_8).trim.toLongOption
+    }
+  }
+
+  /** Overwrite a version-stamp hint file (see [[readHint]]). */
+  def writeHint(spark: SparkSession, path: String, v: Long): Unit = {
+    val p = new Path(path)
+    writeText(fs(spark, p), p, v.toString)
+  }
+
   /** A version's committed signature sidecar, if complete and written
     * by the current recipe: (canonical schema, sig frame). */
   private def readSidecar(spark: SparkSession, root: String,

@@ -149,17 +149,13 @@ class TrainingShardsSpec extends SparkSpec {
     val p = TrainingShards.Paths(root)
     TrainingShards.build(spark, root, corpus, nShards = 4)
     val truth = TrainingShards.readManifest(spark, root).collect().toSet
-    // simulate a crash between the manifest and marker commits: the
+    // simulate a crash between the manifest and marker writes: the
     // marker vanishes, so the stamp can no longer vouch for the
     // manifest — the next publish must recompute in full and re-stamp
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    rmrf(new java.io.File(p.manifestFrom))
+    assert(new java.io.File(p.manifestFrom).delete())
     TrainingShards.build(spark, root, corpus, nShards = 4)
     assert(TrainingShards.readManifest(spark, root).collect().toSet == truth)
-    assert(AtomicRewrite.exists(spark, p.manifestFrom),
+    assert(new java.io.File(p.manifestFrom).exists(),
       "the healing recompute must re-stamp the manifest")
     spark.catalog.clearCache()
   }
