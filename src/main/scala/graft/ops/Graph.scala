@@ -106,11 +106,17 @@ object Graph {
     // the terminal (empty-frontier) updates frame is still pinned
     if (changedPin ne labelsPin) changedPin.unpersist()
     // silent under-merging would split components and let near-dups
-    // through every downstream dedup decision — fail loudly instead
-    if (frontier != 0L)
+    // through every downstream dedup decision — fail loudly instead.
+    // Release the labels pin FIRST: persist() pins are never GC-reaped
+    // (the reason this code left localCheckpoint), so throwing with it
+    // held would leak one O(vertices) cache entry per retry of a
+    // failing micro-batch
+    if (frontier != 0L) {
+      labelsPin.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"(frontier=$frontier) — component diameter exceeds maxIter")
+    }
     // return the PIN, not the severed view: `unpersist()` on it
     // genuinely releases the blocks, and its plan is one round deep
     labelsPin

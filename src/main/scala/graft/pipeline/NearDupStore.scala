@@ -124,10 +124,11 @@ object NearDupStore {
         Seq("batch_seq"))
     sig.unpersist()
     acceptedIds.unpersist()
-    // the CC labels frame comes back pinned (localCheckpoint blocks,
-    // Graph's contract) — every consumer is materialized by now (out
-    // counted, the store committed), so release it HERE: a long-running
-    // stream must not wait on GC reaping for flat executor storage
+    // the CC labels frame comes back pinned (an explicit persist() —
+    // Graph's contract; such pins NEVER GC-reap) — every consumer is
+    // materialized by now (out counted, the store committed), so this
+    // unpersist is the load-bearing release that keeps a long-running
+    // stream's executor storage flat
     comp.unpersist()
     out
   }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.ops.Bpe
 import graft.tx.AtomicRewrite
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -76,7 +76,8 @@ object TokenizerStore {
     * unrecoverable and FAILS the job (restart from round 0). Fine for
     * short trainings; a production 32k-round run should pass
     * `checkpointDir` (a durable filesystem path) to switch every
-    * barrier to a reliable checkpoint that survives executor loss —
+    * barrier to a durable parquet round-trip that survives executor
+    * loss —
     * same merges, per-round cost plus one durable write, and at most
     * TWO rounds of checkpoint files on disk at any moment (superseded
     * rounds delete as the next lands; the whole run dir deletes once
@@ -116,24 +117,12 @@ object TokenizerStore {
     rel.foreach(_.close())
   }
 
-  /** The round/chunk materialization barrier: an eager checkpoint that
-    * truncates plan AND rdd lineage. localCheckpoint (fast, executor
-    * blocks, lost with an executor, superseded blocks GC-reaped) by
-    * default; a RELIABLE checkpoint (durable files under the caller's
-    * checkpoint dir, survives executor loss) when `rounds` is set — the
-    * long-production-run knob.
-    *
-    * Reliable checkpoints are NEVER cleaned by Spark itself
-    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
-    * false, and even on it only fires on GC of the RDD handle), so an
-    * advertised 32k-round train would otherwise leave O(rounds) full
-    * corpus copies on disk — exactly the long runs the knob targets.
-    * [[ReliableRounds]] owns the hygiene: each barrier checkpoints into
-    * its own round directory and deletes the PREVIOUS round's once the
-    * new one has fully materialized — safe because a barrier's blocks
-    * are only ever read to build the next barrier (checkpoint() is
-    * eager), after which recomputes read the newest files. Disk
-    * high-water mark: two rounds, not O(rounds). */
+  /** The round/chunk materialization barrier: an eager materialization
+    * that truncates plan AND rdd lineage. localCheckpoint (fast,
+    * executor blocks, lost with an executor, superseded blocks
+    * GC-reaped) by default; a DURABLE parquet round-trip (files under
+    * the caller's checkpoint dir, survives executor loss) when `rounds`
+    * is set — the long-production-run knob. */
   private def barrier(df: DataFrame,
                       rounds: Option[ReliableRounds]): DataFrame =
     rounds match {
@@ -141,13 +130,29 @@ object TokenizerStore {
       case Some(r) => r.barrier(df)
     }
 
-  /** Per-train-run reliable-checkpoint round state: a run-scoped dir
-    * under the caller's `base`, one subdir per round, superseded rounds
-    * deleted as soon as the next barrier lands. `close()` removes the
-    * whole run dir — call it only when nothing reads the LAST barrier
-    * anymore ([[train]] does: the merge table is the durable output;
+  /** Per-train-run durable-barrier round state: a run-scoped dir under
+    * the caller's `base`, one subdir per round, superseded rounds
+    * deleted as soon as the next barrier lands — disk high-water mark
+    * two rounds, not O(rounds). `close()` removes the whole run dir —
+    * call it only when nothing reads the LAST barrier anymore
+    * ([[train]] does: the merge table is the durable output;
     * [[encodeChunked]] must not: its returned frame reads the final
-    * barrier's files for the session's lifetime). */
+    * barrier's files for the session's lifetime).
+    *
+    * Each barrier is a plain parquet write + leaf read-back, NOT an RDD
+    * `checkpoint()`: checkpoint routes through the SparkContext-GLOBAL
+    * checkpoint dir, so two concurrent runs on one session would
+    * interleave `setCheckpointDir` calls and this class's per-round
+    * deletes could destroy the other run's live files. The parquet
+    * round-trip keeps all state run-scoped (UUID dir, zero session
+    * globals — concurrent runs are independent by construction), severs
+    * lineage just as completely (the read-back is a leaf scan), and its
+    * columnar files are smaller and split-sized by the scan, where
+    * checkpoint files are java-serialized partition blobs pinned to the
+    * writing partitioning. Deleting round N-1 after round N's write is
+    * safe: N's files are complete (the write is the barrier's eager
+    * materialization) and every later recompute reads only the newest
+    * round's leaf. */
   private final class ReliableRounds(spark: SparkSession, base: String) {
     private val run = new org.apache.hadoop.fs.Path(base,
       s"graft-bpe-run-${java.util.UUID.randomUUID()}")
@@ -158,8 +163,8 @@ object TokenizerStore {
     def barrier(df: DataFrame): DataFrame = {
       n += 1
       val dir = new org.apache.hadoop.fs.Path(run, s"round-$n")
-      spark.sparkContext.setCheckpointDir(dir.toString)
-      val out = df.checkpoint() // eager: materializes BEFORE the delete
+      df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      val out = spark.read.parquet(dir.toString)
       prev.foreach(hfs.delete(_, true))
       prev = Some(dir)
       out

@@ -48,21 +48,27 @@ object AtomicRewrite {
 
   private def pointer(root: String) = new Path(root, "_LATEST")
 
+  /** Full contents of a small metadata file, None when absent.
+    * readFully, not a single read(): a short read would silently parse
+    * truncated contents (a version number, a manifest line). */
+  private def readSmallText(f: FileSystem, p: Path): Option[String] =
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, StandardCharsets.UTF_8))
+    }
+
   def exists(spark: SparkSession, root: String): Boolean =
     currentVersion(spark, root).isDefined
 
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, new Path(root))
-    val p = pointer(root)
-    if (f.exists(p)) {
-      // readFully, not a single read(): a short read would silently parse
-      // a truncated version number
-      val len = f.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
-    } else {
+    readSmallText(f, pointer(root)) match {
+      case Some(s) => Some(s.trim.toLong)
+      case None =>
       // crash recovery: if the pointer was lost mid-swap, fall back to the
       // newest snapshot dir carrying the _COMMITTED marker, which is
       // written strictly AFTER the pointer swap — so a staged v=N whose
@@ -345,7 +351,11 @@ object AtomicRewrite {
     * one (legacy table, a crash between the data commit and the sidecar
     * write, a compact) falls back to one full committed-side recompute
     * and re-establishes the sidecar, exactly like the IndexStore stats
-    * summary's version-stamp fallback.
+    * summary's version-stamp fallback. Every sidecar is derived from a
+    * read-back of COMMITTED bytes — never from a re-evaluation of `df`,
+    * whose two evaluations (diff, data write) nothing requires to
+    * agree — so the committed sidecar always describes the committed
+    * files, even for nondeterministic inputs.
     *
     * The signature is (row count, exact DECIMAL(38,0) sum, bit-XOR,
     * min, max of a full-row xxhash64 whose children interleave each
@@ -379,12 +389,28 @@ object AtomicRewrite {
                                  df: DataFrame, partCol: String,
                                  keepVersions: Int = 2): Option[Seq[Any]] = {
     import org.apache.spark.sql.functions.{coalesce, col, not}
+    // the diff inherently reads the PREVIOUS version (its sidecar backs
+    // the carried signatures evaluated after the new commit's vacuum) —
+    // keepVersions=1 could delete those files mid-plan
+    require(keepVersions >= 2,
+      s"writePartitionsDiffed needs keepVersions >= 2, got $keepVersions")
     val freshCanon = canonicalSchema(df.schema)
+    // EVERY sidecar below derives from a read-back of COMMITTED bytes,
+    // never from a re-evaluation of `df`: `df` evaluates once for the
+    // diff and once for the data write, and nothing requires those two
+    // evaluations to agree (an unpersisted frame recomputed after
+    // eviction, nondeterministic content). A sidecar hashed from
+    // evaluation 1 while the disk holds evaluation 2 would be a LIE the
+    // table then trusts forever — recipe valid, never healed — so the
+    // extra read (O(moved) after a diff, O(table) after a full
+    // snapshot: both the same order as the write they follow, against
+    // just-written, page-warm files) buys the invariant that the
+    // committed sidecar always describes the committed files.
     def fullSnapshot(): Option[Seq[Any]] = {
       write(spark, root, df, partitionBy = Seq(partCol),
         keepVersions = keepVersions)
-      writeSidecar(spark, root,
-        currentVersion(spark, root).get, sigAgg(df, partCol), freshCanon)
+      writeSidecar(spark, root, currentVersion(spark, root).get,
+        sigAgg(read(spark, root), partCol), freshCanon)
       None
     }
     if (!exists(spark, root)) return fullSnapshot()
@@ -398,9 +424,13 @@ object AtomicRewrite {
         case None =>
           val committed = read(spark, root)
           (canonicalSchema(committed.schema),
-            sigAgg(committed, partCol), false)
+            sigAgg(committed, partCol).persist(), false)
       }
-    if (committedCanon != freshCanon) return fullSnapshot()
+    def releaseCommitted(): Unit = if (!fromSidecar) committedSigs.unpersist()
+    if (committedCanon != freshCanon) {
+      releaseCommitted()
+      return fullSnapshot()
+    }
     val fresh = sigAgg(df, partCol).persist()
     val cm = committedSigs.select(col(partCol).as("__p"),
       col("__cnt").as("__ccnt"), col("__hsum").as("__chsum"),
@@ -417,40 +447,56 @@ object AtomicRewrite {
         not(col("__hmax") <=> col("__chmax")))
       .select(coalesce(fresh(partCol), col("__p")).as(partCol))
       .collect().map(_.get(0)).toSeq
+    fresh.unpersist() // consumed: only the collected moved set survives
     if (moved.isEmpty) {
       // unchanged content; if the committed side was recomputed (no
       // sidecar yet), persist it in place so the NEXT diff is O(buckets)
       // — additive hidden metadata, the committed data files untouched
-      if (!fromSidecar) writeSidecar(spark, root, cur, fresh, freshCanon)
-      fresh.unpersist()
+      // (committedSigs derives from the committed read — honest)
+      if (!fromSidecar) writeSidecar(spark, root, cur, committedSigs,
+        committedCanon)
+      releaseCommitted()
       return Some(Nil)
     }
     if (moved.size > MaxInlinedPartitionTerms) {
       // at this spread the diff saved nothing — snapshot in full rather
       // than inline a plan-sized predicate (the deleteImpl doctrine)
-      fresh.unpersist()
+      releaseCommitted()
       return fullSnapshot()
     }
     val dtype = df.schema(partCol).dataType
     val movedRows = moved.map(org.apache.spark.sql.Row(_))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(partCol, dtype)))
+    val movedPred = partitionPredicate(Seq(partCol), movedRows)
     // null-safe membership (partitionPredicate uses <=>): a NULL-keyed
     // partition in the moved set keeps its replacement rows — plain
     // isin would silently drop them while the replaced set deletes the
     // old dir (data loss in the generic primitive)
-    writePartitions(spark, root,
-      df.filter(partitionPredicate(Seq(partCol), movedRows)),
+    writePartitions(spark, root, df.filter(movedPred),
       Seq(partCol), replaced = Some(literalFrame(spark, movedRows, schema)),
       keepVersions = keepVersions)
-    // the new version's sidecar IS the fresh signature frame: unmoved
-    // partitions' sigs equal their committed ones by definition, moved
-    // partitions carry df's content verbatim. Written after the pointer
-    // commit — a crash here leaves a committed version whose next diff
-    // recomputes once and heals it.
+    // the new version's sidecar: unmoved partitions CARRY their
+    // committed signatures (same physical files ride the manifest by
+    // reference), moved partitions re-hash from the NEW version's
+    // committed bytes (plan-time pruned read of exactly the rewritten
+    // dirs). Written after the pointer commit — a crash in between
+    // leaves a committed version whose next diff recomputes once and
+    // heals it.
+    val sigCols = Seq(partCol, "__cnt", "__hsum", "__hxor", "__hmin", "__hmax")
+    // null-safe NEGATION too: single-column movedPred is isin-based,
+    // which yields NULL (not false) for a NULL partition key, and
+    // not(NULL) filters the row — an unmoved NULL-keyed partition's
+    // carried signature would silently vanish and the next diff would
+    // re-rewrite that partition forever
+    val carried = committedSigs
+      .filter(not(coalesce(movedPred, org.apache.spark.sql.functions.lit(false))))
+      .select(sigCols.map(col): _*)
+    val rehashed = sigAgg(read(spark, root).filter(movedPred), partCol)
+      .select(sigCols.map(col): _*)
     writeSidecar(spark, root, currentVersion(spark, root).get,
-      fresh, freshCanon)
-    fresh.unpersist()
+      carried.unionByName(rehashed), freshCanon)
+    releaseCommitted()
     Some(moved)
   }
 
@@ -512,15 +558,7 @@ object AtomicRewrite {
     * parses to None — same safe side. */
   def readHint(spark: SparkSession, path: String): Option[Long] = {
     val p = new Path(path)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val len = f.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, StandardCharsets.UTF_8).trim.toLongOption
-    }
+    readSmallText(fs(spark, p), p).flatMap(_.trim.toLongOption)
   }
 
   /** Overwrite a version-stamp hint file (see [[readHint]]). */
@@ -534,16 +572,12 @@ object AtomicRewrite {
   private def readSidecar(spark: SparkSession, root: String,
                           version: Long): Option[(String, DataFrame)] = {
     val f = fs(spark, new Path(root))
-    val sf = new Path(root, s"v=$version/$SigSchemaFile")
-    if (!f.exists(sf)) return None
-    val len = f.getFileStatus(sf).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = f.open(sf)
-    try in.readFully(0, buf) finally in.close()
-    val lines = new String(buf, StandardCharsets.UTF_8).split("\n", 2)
-    if (lines.length != 2 || lines(0).trim != SigRecipe.toString) None
-    else Some((lines(1),
-      spark.read.parquet(new Path(root, s"v=$version/$SigDir").toString)))
+    readSmallText(f, new Path(root, s"v=$version/$SigSchemaFile"))
+      .map(_.split("\n", 2)).collect {
+        case Array(recipe, canon) if recipe.trim == SigRecipe.toString =>
+          (canon,
+            spark.read.parquet(new Path(root, s"v=$version/$SigDir").toString))
+      }
   }
 
   /** Partition-aware DELETE: remove every row of the table whose `keyCol`
@@ -719,18 +753,9 @@ object AtomicRewrite {
     manifestLines(f, root, v).flatMap(_.find(_.startsWith("#cols="))
       .map(_.stripPrefix("#cols=").split(",").toSeq.filter(_.nonEmpty)))
 
-  private def manifestLines(f: FileSystem, root: String, v: Long): Option[Seq[String]] = {
-    val p = new Path(root, s"v=$v/$ManifestFile")
-    if (!f.exists(p)) None
-    else {
-      val len = f.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, StandardCharsets.UTF_8).split("\n").toSeq
-        .filter(_.nonEmpty))
-    }
-  }
+  private def manifestLines(f: FileSystem, root: String, v: Long): Option[Seq[String]] =
+    readSmallText(f, new Path(root, s"v=$v/$ManifestFile"))
+      .map(_.split("\n").toSeq.filter(_.nonEmpty))
 
   /** Relative `col=value[/col=value...]` dirs exactly `depth` levels deep. */
   private def listPartitionDirs(f: FileSystem, dir: Path, depth: Int): Seq[String] = {

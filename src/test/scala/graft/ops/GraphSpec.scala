@@ -27,4 +27,18 @@ class GraphSpec extends SparkSpec {
     labels.unpersist()
     assert((1 to n).forall(i => got(i.toLong) == 1L))
   }
+
+  test("non-convergence releases every pin before throwing (no cache leak)") {
+    // persist() pins never GC-reap, so the failure path must release
+    // them itself — a streaming foreachBatch retry loop re-attempting a
+    // failing micro-batch would otherwise leak one O(vertices) cache
+    // entry per attempt
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (1 until 12).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(pairs, maxIter = 2)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"non-convergence leaked pinned RDDs: $leaked")
+  }
 }

@@ -8,6 +8,12 @@ import java.nio.file.Files
 /** [[AtomicRewrite.writePartitionsDiffed]] — the sidecar-backed diff:
   * O(buckets) committed-side reads, null-hardened signatures, the full
   * StructType schema gate, and null partition keys. */
+object DiffedWriteSpec {
+  /** Shared across task closures (local mode: one JVM) so each
+    * EVALUATION of the nondeterministic test frame yields fresh values. */
+  val tick = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 class DiffedWriteSpec extends SparkSpec {
   import spark.implicits._
 
@@ -112,6 +118,53 @@ class DiffedWriteSpec extends SparkSpec {
       .collect().toSet == Set((Some("a"), 1L), (None, 99L)))
     // and the "a" partition rode by reference (only null moved)
     assert(!AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+  }
+
+  test("an unmoved NULL-keyed partition's signature carries through a diff") {
+    val root = tmpRoot()
+    val v0 = Seq((Some("a"), 1L), (None: Option[String], 2L)).toDF("b", "k")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v0, "b"))
+    // only the "a" partition moves; the NULL-keyed one rides by
+    // reference — its carried sidecar row must survive the moved-set
+    // negation (isin yields NULL, not false, for a NULL key; a non-
+    // null-safe not() would drop the row and every later diff would
+    // spuriously re-rewrite the null partition)
+    val v1 = Seq((Some("a"), 99L), (None: Option[String], 2L)).toDF("b", "k")
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"))
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, v1, "b"),
+      "identical republish must no-op — the null partition's carried " +
+        "signature vanished from the sidecar")
+  }
+
+  test("the sidecar describes committed bytes, never a re-evaluation of the input") {
+    val root = tmpRoot()
+    // a frame whose every EVALUATION differs (an RDD closure over a
+    // shared counter — local-mode tasks share the JVM): the diff/write
+    // evaluate the input independently, so a sidecar hashed from the
+    // input would describe a DIFFERENT evaluation than the files on
+    // disk — a lie with a valid recipe stamp that never heals
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    def nondet = spark.createDataFrame(
+      spark.sparkContext.parallelize(0 until 3, 1).map(i =>
+        org.apache.spark.sql.Row(i, DiffedWriteSpec.tick.incrementAndGet())),
+      schema)
+    def committedReplay(): org.apache.spark.sql.DataFrame = {
+      val cur = AtomicRewrite.read(spark, root).select("b", "k")
+      AtomicRewrite.literalFrame(spark, cur.collect().toSeq, cur.schema)
+    }
+    // full-snapshot path: first publish, then replay the committed bytes
+    AtomicRewrite.writePartitionsDiffed(spark, root, nondet, "b")
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, committedReplay(), "b"),
+      "replaying the committed bytes after a full snapshot must no-op")
+    // moved path: every partition's k changes, gets rewritten, and the
+    // new sidecar must again describe what actually landed
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, nondet, "b"))
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, committedReplay(), "b"),
+      "replaying the committed bytes after a diffed publish must no-op")
   }
 
   test("legacy table without a sidecar: one recompute heals it in place") {
