@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <root>/postings   // token, doc_id, tf, dl — hive-partitioned by
   *                     // bucket = pmod(xxhash64(token), buckets)
-  *   <root>/docstats   // doc_id, dl, buckets — partitioned by doc-hash
-  *                     // bucket; `buckets` is the doc's posting-bucket
-  *                     // list (an UPPER BOUND — see append — shrunk
-  *                     // back to exact by [[maintain]]), the record
-  *                     // that keeps append discovery O(batch)
+  *   <root>/docstats   // doc_id, dl, buckets, buckets_live —
+  *                     // partitioned by doc-hash bucket; `buckets` is
+  *                     // the doc's posting-bucket list (an UPPER
+  *                     // BOUND — see append — shrunk back to exact by
+  *                     // [[maintain]]), the record that keeps append
+  *                     // discovery O(batch); `buckets_live` is the
+  *                     // CURRENT text's exact list — with the
+  *                     // chain-clean proof (see maintain) it makes the
+  *                     // shrink an O(docstats) pass that never opens
+  *                     // postings
   *   <root>/stats      // ONE row (n_docs, sum_dl, docstats_version) —
   *                     // the running corpus summary, maintained
   *                     // INCREMENTALLY by appends (exact long deltas,
@@ -125,11 +130,13 @@ object IndexStore {
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       .withColumn("bucket", bucketOf(col("token")))
 
-  /** (doc_id, dl, buckets, doc_bucket) per canonical doc. `buckets` is
-    * the sorted distinct posting buckets the doc's tokens hash into
-    * (≤ [[PostingBuckets]] ints) — the per-doc record that lets a later
-    * re-submission find the doc's old postings WITHOUT scanning the
-    * postings table (see [[append]]). */
+  /** (doc_id, dl, buckets, buckets_live, doc_bucket) per canonical doc.
+    * `buckets` is the sorted distinct posting buckets the doc's tokens
+    * hash into (≤ [[PostingBuckets]] ints) — the per-doc record that
+    * lets a later re-submission find the doc's old postings WITHOUT
+    * scanning the postings table (see [[append]]). `buckets_live`
+    * starts equal and stays the CURRENT text's exact list while
+    * `buckets` grows into the crash-replay union. */
   private def docstatsOf(canonical: DataFrame): DataFrame =
     canonical.select(col("doc_id"),
         graft.ops.TextOps.tokens(col("__text")).as("__toks"))
@@ -137,6 +144,7 @@ object IndexStore {
         size(col("__toks")).cast("double").as("dl"),
         array_sort(array_distinct(
           transform(col("__toks"), t => bucketOf(t)))).as("buckets"))
+      .withColumn("buckets_live", col("buckets"))
       .withColumn("doc_bucket", docBucketOf(col("doc_id")))
 
   /** Build (replace) the index from a corpus. */
@@ -149,6 +157,11 @@ object IndexStore {
     AtomicRewrite.write(spark, p.docstats,
       docstatsOf(canon), partitionBy = Seq("doc_bucket"))
     refreshStats(spark, root)
+    // a fresh build IS an exact state: lists equal the live lists equal
+    // the postings — start the clean chain and the shrink convergence
+    val v = AtomicRewrite.currentVersion(spark, p.docstats).get
+    markChain(spark, root, v)
+    markShrunk(spark, root, v)
   }
 
   /** Append a batch incrementally. Replacement semantics for
@@ -206,7 +219,8 @@ object IndexStore {
       // the legacy full-postings discovery, legacy docstats schema.
       // build() writes the upgraded layout.
       mergeReplace(spark, p.postings, ids, post, "bucket")
-      mergeReplace(spark, p.docstats, ids, ds.drop("buckets"), "doc_bucket")
+      mergeReplace(spark, p.docstats,
+        ids, ds.drop("buckets", "buckets_live"), "doc_bucket")
     } else {
       // ≤ DocBuckets literal ints — prune the discovery read's docstats
       // partitions at plan time (severed lineage, the probed-cell idiom)
@@ -214,13 +228,29 @@ object IndexStore {
         .distinct().collect().map(_.getInt(0)).toSeq
       if (docBuckets.isEmpty) { post.unpersist(); return } // empty batch: no-op
       val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
-      val old = oldBucketLists(spark, p, ids, docBuckets).persist()
-      val intent = ds
+      val live = committed.columns.contains("buckets_live")
+      // CLEAN CHAIN: every append since the last provably-exact state
+      // (build / mode-A maintain) completed fully, so each committed
+      // doc's postings live in exactly its buckets_live — the old side
+      // of this batch's union can be the LIVE list, not the accreted
+      // crash-replay union: the stored bound stays ≤ two texts wide
+      // under clean-chain resubmission instead of growing monotonically
+      val chainClean = live && chainAt(spark, root).contains(v0)
+      val old = oldBucketLists(spark, p, ids, docBuckets, live).persist()
+      val oldSide =
+        if (chainClean) coalesce(col("__oldlive"), col("__old"))
+        else col("__old")
+      val intent0 = ds
         .join(old, Seq("doc_id"), "left")
         .withColumn("buckets", array_sort(array_distinct(concat(
           col("buckets"),
-          coalesce(col("__old"), array().cast("array<int>"))))))
-        .drop("__old", "__olddl").persist()
+          coalesce(oldSide, array().cast("array<int>"))))))
+        .drop("__old", "__oldlive", "__olddl")
+      // a v2 store (no buckets_live committed yet): keep its schema —
+      // the column arrives via the one-time [[maintain]] upgrade, never
+      // a mixed-schema partition commit
+      val intent = (if (live) intent0 else intent0.drop("buckets_live"))
+        .persist()
       // the summary delta, from the SAME O(batch) pruned reads: how many
       // batch ids are genuinely new, and how the exact token-length sum
       // moves under replacement (old dl out, new dl in)
@@ -255,6 +285,15 @@ object IndexStore {
       statsIncrement(spark, root, v0,
         newAgg.getLong(0) - oldAgg.getLong(0),
         newAgg.getLong(1) - oldAgg.getLong(1))
+      // extend the clean chain ONLY if it was clean coming in (a broken
+      // link means some OTHER doc's crash window may still be open —
+      // this append can't vouch for it) and every commit above landed.
+      // A crash anywhere before this line leaves the hint stale, which
+      // reads as "broken" — the safe side ([[maintain]] heals by one
+      // postings-scan pass).
+      if (chainClean)
+        markChain(spark, root,
+          AtomicRewrite.currentVersion(spark, p.docstats).get)
       post.unpersist()
       return
     }
@@ -269,11 +308,14 @@ object IndexStore {
     * postings read. */
   private[pipeline] def oldBucketLists(spark: SparkSession, p: Paths,
                                        ids: DataFrame,
-                                       docBuckets: Seq[Any]): DataFrame =
+                                       docBuckets: Seq[Any],
+                                       live: Boolean = false): DataFrame =
     AtomicRewrite.read(spark, p.docstats)
       .filter(col("doc_bucket").isin(docBuckets: _*))
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("buckets").as("__old"),
+        (if (live) col("buckets_live") else lit(null).cast("array<int>"))
+          .as("__oldlive"),
         col("dl").as("__olddl"))
 
   /** Legacy one-commit replace-merge (pre-bucket-list indexes only):
@@ -361,11 +403,29 @@ object IndexStore {
   def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean = {
     val p = Paths(root)
     val docIds = ids.toDF("doc_id")
+    val chainWasClean = chainCleanNow(spark, root, p)
     val a = AtomicRewrite.deleteMatching(spark, p.postings, docIds, "doc_id")
     val b = AtomicRewrite.deleteMatching(spark, p.docstats, docIds, "doc_id")
-    if (b) refreshStats(spark, root)
+    if (b) {
+      refreshStats(spark, root)
+      // deletions only SHRINK a doc's posting set (∅ ⊆ buckets_live for
+      // the erased; survivors untouched), so a clean chain survives a
+      // completed forget — extend it so the next maintain stays
+      // O(docstats). A crash above leaves the hint stale → broken →
+      // one postings-scan heal, the safe side.
+      if (chainWasClean)
+        markChain(spark, root,
+          AtomicRewrite.currentVersion(spark, p.docstats).get)
+    }
     a || b
   }
+
+  /** Whether the clean chain currently reaches the committed docstats
+    * version (see [[chainAt]]). */
+  private def chainCleanNow(spark: SparkSession, root: String,
+                            p: Paths): Boolean =
+    AtomicRewrite.currentVersion(spark, p.docstats)
+      .exists(v => chainAt(spark, root).contains(v))
 
   /** [[forget]] returning the matched doc ids (empty = index untouched)
     * — the audit-precision shape for [[Gdpr.StoreErasure]]. The match
@@ -377,39 +437,57 @@ object IndexStore {
                     ids: DataFrame): Seq[Any] = {
     val p = Paths(root)
     val docIds = ids.toDF("doc_id")
+    val chainWasClean = chainCleanNow(spark, root, p)
     val fromPostings = AtomicRewrite.deleteMatchingKeys(spark, p.postings,
       docIds, "doc_id")
     val fromStats = AtomicRewrite.deleteMatchingKeys(spark, p.docstats,
       docIds, "doc_id")
-    if (fromStats.nonEmpty) refreshStats(spark, root)
+    if (fromStats.nonEmpty) {
+      refreshStats(spark, root)
+      if (chainWasClean) // deletions preserve the chain — see [[forget]]
+        markChain(spark, root,
+          AtomicRewrite.currentVersion(spark, p.docstats).get)
+    }
     (fromPostings ++ fromStats).distinct
   }
 
   /** Maintenance: shrink docstats bucket lists back to EXACT. The lists
     * are deliberately an upper bound — [[append]] stores old∪new so a
     * crash replay can find every bucket a partially-committed version
-    * could occupy — but a long-lived doc re-submitted many times
-    * accretes stale buckets that inflate every later rewrite's touched
-    * set toward all [[PostingBuckets]]. This pass re-derives each doc's
-    * exact bucket set from the COMMITTED postings (one O(index) keyed
-    * agg — maintenance cadence, never the ingest path) and rewrites
-    * ONLY the doc-bucket partitions holding a doc whose stored list
-    * differs; nothing stale = zero commits, no version burned (the
-    * second consecutive maintain is a no-op). Doc counts and lengths
-    * are untouched, so the 1-row summary only needs its version stamp
-    * moved ([[statsIncrement]] with zero deltas). Safe on a quiesced
-    * store only — the [[CurationRunner.maintain]] contract.
+    * could occupy — and this pass converges them so stale buckets never
+    * inflate a later rewrite's touched set toward all
+    * [[PostingBuckets]]. Doc counts and lengths are untouched, so the
+    * 1-row summary only needs its version stamp moved
+    * ([[statsIncrement]] with zero deltas). Safe on a quiesced store
+    * only — the [[CurationRunner.maintain]] contract.
     *
-    * The scan itself is version-keyed: a `shrunk_at` marker records the
-    * docstats version the last pass converged at, and staleness is only
-    * ever INTRODUCED by [[append]] (which bumps that version — forget
-    * deletes whole docs, never growing a survivor's list), so a
-    * maintain whose marker matches skips entirely — the second
-    * consecutive maintain reads zero postings bytes, the
-    * [[CurationRunner.maintain]] fold invariance extended to the index.
-    * A missing/garbled marker (legacy store, crash mid-write) just
-    * rescans — the marker is a pure skip hint, never a correctness
-    * input. */
+    * Two modes, chosen by the CLEAN-CHAIN proof:
+    *  - '''O(docstats), zero postings reads''' (the production steady
+    *    state): when the `chain_clean` hint matches the current
+    *    docstats version — every mutation since the last provably-exact
+    *    state completed fully — each doc's committed postings occupy
+    *    exactly its `buckets_live`, so the shrink is `buckets :=
+    *    buckets_live` over the docs where they differ, rewriting only
+    *    their doc-bucket partitions. The narrow docstats table is the
+    *    only input; the postings table (orders of magnitude bigger —
+    *    one row per (token, doc) vs one per doc) is never opened,
+    *    spec-pinned by smashing its data pages.
+    *  - '''postings-scan heal''': a broken chain (a crashed append may
+    *    have left some doc's postings in its OLD buckets while
+    *    buckets_live already says new) re-derives every doc's exact set
+    *    from the COMMITTED postings — one O(index) keyed agg — fixes
+    *    both list columns, and re-establishes the chain. A v2 store
+    *    (docstats without `buckets_live`) takes this path once as its
+    *    UPGRADE: a full docstats rewrite adds the column (never a
+    *    mixed-schema partition commit), after which every later
+    *    maintain is mode one.
+    *
+    * Convergence is version-keyed on top: a `shrunk_at` marker records
+    * the docstats version the last pass converged at, so a maintain
+    * whose marker matches skips entirely — the second consecutive
+    * maintain reads zero bytes of either table. Both markers are pure
+    * skip/proof hints with full-recompute fallback, never correctness
+    * inputs ([[AtomicRewrite.readHint]]). */
   def maintain(spark: SparkSession, root: String): Unit = {
     val p = Paths(root)
     if (!AtomicRewrite.exists(spark, p.postings) ||
@@ -418,6 +496,28 @@ object IndexStore {
     if (!committed.columns.contains("buckets")) return // legacy layout
     val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
     if (shrunkAt(spark, root).contains(v0)) return // converged: zero reads
+    val live = committed.columns.contains("buckets_live")
+    if (live && chainAt(spark, root).contains(v0)) {
+      // clean chain: postings provably sit in buckets_live — shrink is
+      // an O(docstats) pass, the postings table never opened
+      val touched = committed.filter(col("buckets") =!= col("buckets_live"))
+        .select("doc_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) { markShrunk(spark, root, v0); return }
+      val fixed = committed.filter(col("doc_bucket").isin(touched: _*))
+        .withColumn("buckets", col("buckets_live"))
+      AtomicRewrite.writePartitions(spark, p.docstats, fixed,
+        Seq("doc_bucket"),
+        replaced = Some(AtomicRewrite.literalFrame(spark,
+          touched.map(org.apache.spark.sql.Row(_)),
+          committed.select("doc_bucket").schema)))
+      statsIncrement(spark, root, v0, 0L, 0L)
+      val v = AtomicRewrite.currentVersion(spark, p.docstats).get
+      markShrunk(spark, root, v)
+      markChain(spark, root, v) // only the bounds moved; still exact
+      return
+    }
+    // broken chain or pre-live store: heal from the committed postings
     val exact = AtomicRewrite.read(spark, p.postings)
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("bucket"))).as("__exact"))
@@ -425,22 +525,39 @@ object IndexStore {
     // a doc with no postings at all (zero-token text) has exact = []
     val joined = committed.join(exact, Seq("doc_id"), "left")
       .withColumn("__exact", coalesce(col("__exact"), emptyList))
-    val touched = joined.filter(col("buckets") =!= col("__exact"))
-      .select("doc_bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) { markShrunk(spark, root, v0); return }
-    // rewrite only the touched doc buckets, every doc's list corrected
-    // (bystander docs in those buckets rewrite with unchanged lists)
-    val fixed = joined.filter(col("doc_bucket").isin(touched: _*))
-      .withColumn("buckets", col("__exact")).drop("__exact")
-    AtomicRewrite.writePartitions(spark, p.docstats, fixed,
-      Seq("doc_bucket"),
-      replaced = Some(AtomicRewrite.literalFrame(spark,
-        touched.map(org.apache.spark.sql.Row(_)),
-        committed.select("doc_bucket").schema)))
+    if (!live) {
+      // v2 upgrade: one full rewrite adds buckets_live (a partition-
+      // level commit would mix schemas across the manifest) — exact
+      // lists in both columns, one O(docs) write, once per store
+      AtomicRewrite.write(spark, p.docstats,
+        joined.withColumn("buckets", col("__exact"))
+          .withColumn("buckets_live", col("__exact")).drop("__exact"),
+        partitionBy = Seq("doc_bucket"))
+    } else {
+      val touched = joined.filter(col("buckets") =!= col("__exact") ||
+          col("buckets_live") =!= col("__exact"))
+        .select("doc_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) {
+        // verified exact against the postings themselves — the chain
+        // re-establishes even though nothing needed rewriting
+        markShrunk(spark, root, v0)
+        markChain(spark, root, v0)
+        return
+      }
+      val fixed = joined.filter(col("doc_bucket").isin(touched: _*))
+        .withColumn("buckets", col("__exact"))
+        .withColumn("buckets_live", col("__exact")).drop("__exact")
+      AtomicRewrite.writePartitions(spark, p.docstats, fixed,
+        Seq("doc_bucket"),
+        replaced = Some(AtomicRewrite.literalFrame(spark,
+          touched.map(org.apache.spark.sql.Row(_)),
+          committed.select("doc_bucket").schema)))
+    }
     statsIncrement(spark, root, v0, 0L, 0L)
-    markShrunk(spark, root,
-      AtomicRewrite.currentVersion(spark, p.docstats).get)
+    val v = AtomicRewrite.currentVersion(spark, p.docstats).get
+    markShrunk(spark, root, v)
+    markChain(spark, root, v) // healed: exact state by construction
   }
 
   /** The docstats version the last [[maintain]] pass converged at —
@@ -452,6 +569,20 @@ object IndexStore {
 
   private def markShrunk(spark: SparkSession, root: String, v: Long): Unit =
     AtomicRewrite.writeHint(spark, s"$root/docstats_shrunk_at", v)
+
+  /** The CLEAN-CHAIN proof: the docstats version up to which every
+    * mutation since the last provably-exact state (build, a healing
+    * [[maintain]]) completed fully — written only at those points and
+    * at the END of a mutation that found it clean coming in. Hint ==
+    * current version ⟹ every doc's committed postings sit inside its
+    * `buckets_live` (the invariant the O(docstats) shrink needs).
+    * Missing/stale/garbled all read as "broken" — one postings-scan
+    * maintain heals and re-establishes. */
+  private def chainAt(spark: SparkSession, root: String): Option[Long] =
+    AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean")
+
+  private def markChain(spark: SparkSession, root: String, v: Long): Unit =
+    AtomicRewrite.writeHint(spark, s"$root/docstats_chain_clean", v)
 
   /** Ceiling on a query batch's distinct-term vocabulary: the term set
     * is collected to the driver and inlined into the postings scan's

@@ -558,7 +558,13 @@ object AtomicRewrite {
     * parses to None — same safe side. */
   def readHint(spark: SparkSession, path: String): Option[Long] = {
     val p = new Path(path)
-    readSmallText(fs(spark, p), p).flatMap(_.trim.toLongOption)
+    // unlike the pointer/manifest reads (where an unreadable file IS
+    // corruption and must throw), an unreadable HINT — truncated,
+    // bit-rotted, checksum-mismatched — reads as None: the caller's
+    // full-recompute path is always safe, so a hint must never be able
+    // to fail an operation
+    try readSmallText(fs(spark, p), p).flatMap(_.trim.toLongOption)
+    catch { case _: java.io.IOException => None }
   }
 
   /** Overwrite a version-stamp hint file (see [[readHint]]). */

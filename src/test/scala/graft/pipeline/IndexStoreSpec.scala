@@ -378,10 +378,11 @@ class IndexStoreSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-idx-leg").toString + "/idx"
     val p = IndexStore.Paths(root)
     IndexStore.build(spark, root, corpus)
-    // strip the bucket-list column: the docstats layout every index
-    // built before the O(batch) discovery carried
+    // strip the bucket-list columns: the docstats layout every index
+    // built before the O(batch) discovery carried (neither the
+    // crash-replay union nor the live list existed)
     AtomicRewrite.write(spark, p.docstats,
-      AtomicRewrite.read(spark, p.docstats).drop("buckets"),
+      AtomicRewrite.read(spark, p.docstats).drop("buckets", "buckets_live"),
       partitionBy = Seq("doc_bucket"))
     IndexStore.append(spark, root,
       Seq((4L, "night owl coaches replace the ferries")).toDF("doc_id", "text"))
@@ -391,6 +392,99 @@ class IndexStoreSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(4L))
     // and the legacy schema is preserved (no half-upgraded store)
     assert(!AtomicRewrite.read(spark, p.docstats).columns.contains("buckets"))
+    spark.catalog.clearCache()
+  }
+
+  private def smashPostings(p: IndexStore.Paths): Unit = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName == "_sigs") Nil
+        else f.listFiles().toSeq.flatMap(walk)
+      } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(p.postings)).foreach(f =>
+      java.nio.file.Files.write(f.toPath, "XXXXXXXX".getBytes,
+        java.nio.file.StandardOpenOption.WRITE))
+  }
+
+  test("clean-chain shrink is O(docstats): the postings table is never opened") {
+    val root = Files.createTempDirectory("graft-idx-chain").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    // clean-chain resubmissions: the stored bound accretes past the
+    // live list (old_live ∪ new per append)
+    IndexStore.append(spark, root,
+      Seq((4L, "granite quarry wagons descend the incline at dawn"))
+        .toDF("doc_id", "text"))
+    IndexStore.append(spark, root,
+      Seq((4L, "lighthouse keepers trim seven lamps before midnight"))
+        .toDF("doc_id", "text"))
+    val stale = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("buckets") =!= col("buckets_live")).count()
+    assert(stale > 0, "fixture must leave a stale bound to shrink")
+    // the brutal proof: make every postings data page unreadable. The
+    // chain is clean (every append completed), so the FIRST shrink pass
+    // must already run off docstats alone — mode A would throw here.
+    smashPostings(p)
+    IndexStore.maintain(spark, root)
+    val after = AtomicRewrite.read(spark, p.docstats)
+      .select("buckets", "buckets_live").as[(Seq[Int], Seq[Int])].collect()
+    assert(after.nonEmpty && after.forall { case (b, l) => b == l },
+      "every stored bound must equal its live list after the shrink")
+    spark.catalog.clearCache()
+  }
+
+  test("a broken chain heals by one postings scan, then the fast path resumes") {
+    val root = Files.createTempDirectory("graft-idx-heal").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    IndexStore.append(spark, root,
+      Seq((4L, "granite quarry wagons descend the incline at dawn"))
+        .toDF("doc_id", "text"))
+    // simulate a crash-shaped history: garble the chain hint — the
+    // shrink may no longer trust buckets_live and must re-derive from
+    // the committed postings (which stay readable here)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/docstats_chain_clean"),
+      "garbage".getBytes)
+    IndexStore.maintain(spark, root)
+    def storedList(d: Long) = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === d).select("buckets").as[Seq[Int]].head().toSet
+    def actual(d: Long) = AtomicRewrite.read(spark, p.postings)
+      .filter(col("doc_id") === d).select("bucket").as[Int].collect().toSet
+    assert(storedList(4L) == actual(4L), "the heal pass must shrink to exact")
+    // the heal re-established the chain: a later clean append + shrink
+    // runs off docstats alone again (postings smashed)
+    IndexStore.append(spark, root,
+      Seq((4L, "lighthouse keepers trim seven lamps before midnight"))
+        .toDF("doc_id", "text"))
+    smashPostings(p)
+    IndexStore.maintain(spark, root)
+    assert(AtomicRewrite.read(spark, p.docstats)
+      .filter(col("buckets") =!= col("buckets_live")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("a live-list-less store (r12 format) upgrades once at maintenance") {
+    val root = Files.createTempDirectory("graft-idx-up").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    // simulate the prior format: union column only, no live list (the
+    // rewrite also advances the version past both hints — realistic)
+    AtomicRewrite.write(spark, p.docstats,
+      AtomicRewrite.read(spark, p.docstats).drop("buckets_live"),
+      partitionBy = Seq("doc_bucket"))
+    IndexStore.maintain(spark, root)
+    val ds = AtomicRewrite.read(spark, p.docstats)
+    assert(ds.columns.contains("buckets_live"))
+    assert(ds.filter(col("buckets") =!= col("buckets_live")).count() == 0)
+    // upgraded and converged: the next maintain burns no version and
+    // reads neither table
+    val v = AtomicRewrite.currentVersion(spark, p.docstats)
+    IndexStore.maintain(spark, root)
+    assert(AtomicRewrite.currentVersion(spark, p.docstats) == v)
+    // and appends now ride the O(docstats) chain (hint == version)
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean") ==
+      AtomicRewrite.currentVersion(spark, p.docstats))
     spark.catalog.clearCache()
   }
 
