@@ -652,7 +652,8 @@ object CurationRunner {
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)
     // (TrainingShards' manifest_from and IndexStore's docstats_shrunk_at
-    // are plain hint FILES, not versioned tables — nothing to vacuum)
+    // / docstats_chain_clean are plain hint FILES, not versioned
+    // tables — nothing to vacuum)
     Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
       p.shardsFrom, sp.shards, sp.manifest, ip.postings,
       ip.docstats, ip.stats, ap.centroids, ap.cells)

@@ -403,29 +403,47 @@ object IndexStore {
   def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean = {
     val p = Paths(root)
     val docIds = ids.toDF("doc_id")
-    val chainWasClean = chainCleanNow(spark, root, p)
+    // BREAK both maintenance hints before touching anything: the
+    // postings delete does not bump the docstats version, so a crash
+    // between the two deletes would otherwise leave the chain hint
+    // matching while a half-forgotten doc's buckets_live no longer
+    // equals its (now empty) posting set — and the shrunk_at
+    // convergence skip would wave the next maintain past it entirely.
+    // Broken-at-entry makes every crash window heal by one
+    // postings-scan maintain (back to exact); a COMPLETED forget
+    // restores both below, since deletions only shrink posting sets
+    // (survivors untouched, erased docs gone from docstats too).
+    val marks = breakMaintHints(spark, root, p)
     val a = AtomicRewrite.deleteMatching(spark, p.postings, docIds, "doc_id")
     val b = AtomicRewrite.deleteMatching(spark, p.docstats, docIds, "doc_id")
-    if (b) {
-      refreshStats(spark, root)
-      // deletions only SHRINK a doc's posting set (∅ ⊆ buckets_live for
-      // the erased; survivors untouched), so a clean chain survives a
-      // completed forget — extend it so the next maintain stays
-      // O(docstats). A crash above leaves the hint stale → broken →
-      // one postings-scan heal, the safe side.
-      if (chainWasClean)
-        markChain(spark, root,
-          AtomicRewrite.currentVersion(spark, p.docstats).get)
-    }
+    if (b) refreshStats(spark, root)
+    restoreMaintHints(spark, root, p, marks)
     a || b
   }
 
-  /** Whether the clean chain currently reaches the committed docstats
-    * version (see [[chainAt]]). */
-  private def chainCleanNow(spark: SparkSession, root: String,
-                            p: Paths): Boolean =
-    AtomicRewrite.currentVersion(spark, p.docstats)
-      .exists(v => chainAt(spark, root).contains(v))
+  /** The [[forget]] entry discipline: remember which maintenance hints
+    * (clean chain, shrunk convergence) currently hold, then invalidate
+    * them — returns what to restore on completion. */
+  private def breakMaintHints(spark: SparkSession, root: String,
+                              p: Paths): (Boolean, Boolean) = {
+    val v = AtomicRewrite.currentVersion(spark, p.docstats)
+    val chain = v.exists(x => chainAt(spark, root).contains(x))
+    val shrunk = v.exists(x => shrunkAt(spark, root).contains(x))
+    if (chain) breakChain(spark, root)
+    if (shrunk) AtomicRewrite.writeHint(spark,
+      s"$root/docstats_shrunk_at", -1L)
+    (chain, shrunk)
+  }
+
+  /** Restore the hints a completed forget preserved (see
+    * [[breakMaintHints]]): both survive a COMPLETED deletion — the
+    * surviving docs' lists and postings are untouched. */
+  private def restoreMaintHints(spark: SparkSession, root: String,
+                                p: Paths, marks: (Boolean, Boolean)): Unit = {
+    val v = AtomicRewrite.currentVersion(spark, p.docstats).get
+    if (marks._1) markChain(spark, root, v)
+    if (marks._2) markShrunk(spark, root, v)
+  }
 
   /** [[forget]] returning the matched doc ids (empty = index untouched)
     * — the audit-precision shape for [[Gdpr.StoreErasure]]. The match
@@ -437,17 +455,14 @@ object IndexStore {
                     ids: DataFrame): Seq[Any] = {
     val p = Paths(root)
     val docIds = ids.toDF("doc_id")
-    val chainWasClean = chainCleanNow(spark, root, p)
+    // break-then-restore, the [[forget]] crash discipline
+    val marks = breakMaintHints(spark, root, p)
     val fromPostings = AtomicRewrite.deleteMatchingKeys(spark, p.postings,
       docIds, "doc_id")
     val fromStats = AtomicRewrite.deleteMatchingKeys(spark, p.docstats,
       docIds, "doc_id")
-    if (fromStats.nonEmpty) {
-      refreshStats(spark, root)
-      if (chainWasClean) // deletions preserve the chain — see [[forget]]
-        markChain(spark, root,
-          AtomicRewrite.currentVersion(spark, p.docstats).get)
-    }
+    if (fromStats.nonEmpty) refreshStats(spark, root)
+    restoreMaintHints(spark, root, p, marks)
     (fromPostings ++ fromStats).distinct
   }
 
@@ -512,9 +527,12 @@ object IndexStore {
           touched.map(org.apache.spark.sql.Row(_)),
           committed.select("doc_bucket").schema)))
       statsIncrement(spark, root, v0, 0L, 0L)
+      // chain BEFORE shrunk (build's order): a crash between the two
+      // must not wedge a broken chain behind a converged shrunk marker
+      // (maintain would early-return forever while appends accrete)
       val v = AtomicRewrite.currentVersion(spark, p.docstats).get
-      markShrunk(spark, root, v)
       markChain(spark, root, v) // only the bounds moved; still exact
+      markShrunk(spark, root, v)
       return
     }
     // broken chain or pre-live store: heal from the committed postings
@@ -540,9 +558,10 @@ object IndexStore {
         .collect().map(_.getInt(0)).toSeq
       if (touched.isEmpty) {
         // verified exact against the postings themselves — the chain
-        // re-establishes even though nothing needed rewriting
-        markShrunk(spark, root, v0)
+        // re-establishes even though nothing needed rewriting (chain
+        // before shrunk, the crash-ordering discipline)
         markChain(spark, root, v0)
+        markShrunk(spark, root, v0)
         return
       }
       val fixed = joined.filter(col("doc_bucket").isin(touched: _*))
@@ -556,8 +575,8 @@ object IndexStore {
     }
     statsIncrement(spark, root, v0, 0L, 0L)
     val v = AtomicRewrite.currentVersion(spark, p.docstats).get
-    markShrunk(spark, root, v)
     markChain(spark, root, v) // healed: exact state by construction
+    markShrunk(spark, root, v)
   }
 
   /** The docstats version the last [[maintain]] pass converged at —
@@ -583,6 +602,13 @@ object IndexStore {
 
   private def markChain(spark: SparkSession, root: String, v: Long): Unit =
     AtomicRewrite.writeHint(spark, s"$root/docstats_chain_clean", v)
+
+  /** Explicitly invalidate the chain before a mutation whose crash
+    * windows don't bump the docstats version ([[forget]]'s postings
+    * delete): -1 never matches a real version, so the hint reads
+    * "broken" until the mutation completes and restores it. */
+  private def breakChain(spark: SparkSession, root: String): Unit =
+    AtomicRewrite.writeHint(spark, s"$root/docstats_chain_clean", -1L)
 
   /** Ceiling on a query batch's distinct-term vocabulary: the term set
     * is collected to the driver and inlined into the postings scan's

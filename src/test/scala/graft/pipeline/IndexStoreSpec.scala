@@ -325,14 +325,7 @@ class IndexStoreSpec extends SparkSpec {
     // version, so the scan is skipped entirely. Proof: smash every
     // postings data page (footers kept readable) and maintain again.
     val v = AtomicRewrite.currentVersion(spark, p.docstats)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) {
-        if (f.getName == "_sigs") Nil
-        else f.listFiles().toSeq.flatMap(walk)
-      } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(p.postings)).foreach(f =>
-      java.nio.file.Files.write(f.toPath, "XXXXXXXX".getBytes,
-        java.nio.file.StandardOpenOption.WRITE))
+    smashPostings(p)
     IndexStore.maintain(spark, root)
     assert(AtomicRewrite.currentVersion(spark, p.docstats) == v,
       "a converged docstats table must not rewrite")
@@ -461,6 +454,30 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.maintain(spark, root)
     assert(AtomicRewrite.read(spark, p.docstats)
       .filter(col("buckets") =!= col("buckets_live")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("a crashed forget reads as broken; the heal converges the half-forgotten doc") {
+    val root = Files.createTempDirectory("graft-idx-fcrash").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    // simulate forget's crash window exactly as forget stages it: BOTH
+    // maintenance hints break at entry, the postings delete lands, the
+    // docstats delete never happens — doc 4's buckets_live now claims
+    // buckets its (deleted) postings no longer occupy. A shrink that
+    // still trusted the chain (or a convergence skip still keyed to the
+    // unchanged docstats version) would freeze that non-exact list.
+    AtomicRewrite.writeHint(spark, s"$root/docstats_chain_clean", -1L)
+    AtomicRewrite.writeHint(spark, s"$root/docstats_shrunk_at", -1L)
+    AtomicRewrite.deleteMatching(spark, p.postings,
+      Seq(4L).toDF("doc_id"), "doc_id")
+    IndexStore.maintain(spark, root)
+    val row = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 4L)
+      .select("buckets", "buckets_live").as[(Seq[Int], Seq[Int])].head()
+    assert(row._1.isEmpty && row._2.isEmpty,
+      s"the heal must converge the half-forgotten doc to its exact " +
+        s"(empty) posting set, got $row")
     spark.catalog.clearCache()
   }
 
