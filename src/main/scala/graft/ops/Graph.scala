@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 /** Distributed graph primitives for the dedup suite.
   *
@@ -60,7 +61,14 @@ object Graph {
     def barrier(df: DataFrame): (DataFrame, DataFrame, Long) = {
       val pinned = df.persist()
       val n = pinned.count() // materialize BEFORE any predecessor releases
-      (spark.createDataFrame(pinned.rdd, pinned.schema), pinned, n)
+      // sever at the InternalRow level: `queryExecution.toRdd` reads
+      // through the pin's cached blocks and the LogicalRDD leaf wraps
+      // those rows as-is. (`Dataset.rdd` + `createDataFrame` would
+      // deserialize every InternalRow to a Row and re-encode it — a
+      // per-row serde round-trip paid by every downstream read of
+      // every round.)
+      (GraftShim.internalCreateDataFrame(
+        spark, pinned.queryExecution.toRdd, pinned.schema), pinned, n)
     }
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))

@@ -29,6 +29,20 @@ object GraftShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Wrap an InternalRow RDD as a fresh leaf DataFrame (the
+    * `internalCreateDataFrame` / `LogicalRDD` bridge). Unlike
+    * `createDataFrame(df.rdd, schema)` — which deserializes every cached
+    * InternalRow to an external Row and re-encodes it on every read —
+    * this wraps the rows as-is: a lineage-severing barrier built from
+    * `df.queryExecution.toRdd` pays zero per-row conversion. */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
+
   /** Analyzed logical plan of a DataFrame (for building custom plan nodes
     * over resolved child output). */
   def analyzed(df: org.apache.spark.sql.DataFrame)
