@@ -151,6 +151,15 @@ object IndexStore {
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val p = Paths(root)
+    // entry discipline (the [[forget]] pattern): the postings rewrite
+    // below does not bump the docstats version, so a crash between the
+    // postings and docstats commits of a REBUILD would leave a chain
+    // hint still matching the old docstats while postings already
+    // describe the new corpus — a false proof a later clean-chain pass
+    // would trust (stranding ghost postings behind the O(docstats)
+    // shrink). Break both hints before the first write; the marks at
+    // the end restore them at the new, provably-exact version.
+    breakMaintHints(spark, root, p)
     val canon = canonicalBatch(corpus, textCol, idCol)
     AtomicRewrite.write(spark, p.postings,
       postingsOf(canon), partitionBy = Seq("bucket"))
@@ -394,32 +403,30 @@ object IndexStore {
   }
 
   /** Right-to-be-forgotten: remove the given doc ids' postings and
-    * stats. Partition-aware — the postings rewrite touches only the
-    * forgotten docs' distinct token buckets (≤ [[PostingBuckets]] by
-    * construction), the stats rewrite only their doc buckets; N, avgdl
-    * and df shift automatically on the next [[query]] because scoring
-    * derives them from the committed tables. Returns whether anything
-    * was rewritten; [[forgetMatched]] the matched ids for audit. */
-  def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean = {
-    val p = Paths(root)
-    val docIds = ids.toDF("doc_id")
-    // BREAK both maintenance hints before touching anything: the
-    // postings delete does not bump the docstats version, so a crash
-    // between the two deletes would otherwise leave the chain hint
-    // matching while a half-forgotten doc's buckets_live no longer
-    // equals its (now empty) posting set — and the shrunk_at
-    // convergence skip would wave the next maintain past it entirely.
-    // Broken-at-entry makes every crash window heal by one
-    // postings-scan maintain (back to exact); a COMPLETED forget
-    // restores both below, since deletions only shrink posting sets
-    // (survivors untouched, erased docs gone from docstats too).
-    val marks = breakMaintHints(spark, root, p)
-    val a = AtomicRewrite.deleteMatching(spark, p.postings, docIds, "doc_id")
-    val b = AtomicRewrite.deleteMatching(spark, p.docstats, docIds, "doc_id")
-    if (b) refreshStats(spark, root)
-    restoreMaintHints(spark, root, p, marks)
-    a || b
-  }
+    * stats. O(subject), never O(corpus):
+    *  - the 1-row summary repairs by [[statsIncrement]] with NEGATIVE
+    *    deltas — the matched docs' (count, exact dl sum), read from
+    *    their partition-pruned docstats buckets BEFORE the delete —
+    *    instead of [[refreshStats]]'s full docstats re-aggregate
+    *    (the [[append]] pattern applied to the erasure path; reference
+    *    analog: the self-describing incremental watermark of
+    *    reference/src/gold/_marts/facts/fact_trips.py:43-56);
+    *  - the docstats delete's discovery is pruned to the ids' doc-hash
+    *    buckets (doc_bucket is a pure hash of doc_id — always sound);
+    *  - under the CLEAN-CHAIN proof the postings delete's discovery is
+    *    pruned to the union of the matched docs' stored bucket lists
+    *    (chain clean ⟹ every doc's committed postings sit inside its
+    *    lists AND a doc absent from docstats has no postings — see
+    *    [[chainAt]]); a broken chain falls back to the full-scan
+    *    discovery, since a crashed build/append may have left postings
+    *    outside any committed list.
+    * Every fast path has a full-recompute fallback, so correctness
+    * never depends on a hint or a stamp. N, avgdl and df shift
+    * automatically on the next [[query]] because scoring derives them
+    * from the committed tables. Returns whether anything was
+    * rewritten; [[forgetMatched]] the matched ids for audit. */
+  def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean =
+    forgetImpl(spark, root, ids, collectKeys = false)._1
 
   /** The [[forget]] entry discipline: remember which maintenance hints
     * (clean chain, shrunk convergence) currently hold, then invalidate
@@ -437,13 +444,15 @@ object IndexStore {
 
   /** Restore the hints a completed forget preserved (see
     * [[breakMaintHints]]): both survive a COMPLETED deletion — the
-    * surviving docs' lists and postings are untouched. */
+    * surviving docs' lists and postings are untouched. An absent store
+    * (a forget against an index never built — the hooks' no-op
+    * contract) has nothing to restore, and broke nothing at entry. */
   private def restoreMaintHints(spark: SparkSession, root: String,
-                                p: Paths, marks: (Boolean, Boolean)): Unit = {
-    val v = AtomicRewrite.currentVersion(spark, p.docstats).get
-    if (marks._1) markChain(spark, root, v)
-    if (marks._2) markShrunk(spark, root, v)
-  }
+                                p: Paths, marks: (Boolean, Boolean)): Unit =
+    AtomicRewrite.currentVersion(spark, p.docstats).foreach { v =>
+      if (marks._1) markChain(spark, root, v)
+      if (marks._2) markShrunk(spark, root, v)
+    }
 
   /** [[forget]] returning the matched doc ids (empty = index untouched)
     * — the audit-precision shape for [[Gdpr.StoreErasure]]. The match
@@ -452,18 +461,98 @@ object IndexStore {
     * still carries derived subject data (its dl shifts N/avgdl), so its
     * erasure must be audited, not silently dropped. */
   def forgetMatched(spark: SparkSession, root: String,
-                    ids: DataFrame): Seq[Any] = {
+                    ids: DataFrame): Seq[Any] =
+    forgetImpl(spark, root, ids, collectKeys = true)._2
+
+  /** What ONE partition-pruned docstats read learns before the deletes:
+    * the docstats version the deletes will replace, the matched docs'
+    * (count, exact dl sum) — the summary's negative delta — plus the
+    * union of their stored posting-bucket lists when the clean chain
+    * makes that union a sound postings prune (None = no such proof,
+    * full-scan discovery). None overall = no usable docstats (absent,
+    * or a pre-doc_bucket layout) → the legacy full-recompute path. */
+  private case class ForgetScope(fromVersion: Long, nDocs: Long,
+                                 sumDl: Long, docBuckets: Seq[Any],
+                                 postBuckets: Option[Seq[Any]])
+
+  private def forgetScope(spark: SparkSession, p: Paths, docIds: DataFrame,
+                          chainClean: Boolean): Option[ForgetScope] = {
+    if (!AtomicRewrite.exists(spark, p.docstats)) return None
+    val committed = AtomicRewrite.read(spark, p.docstats)
+    if (!committed.columns.contains("doc_bucket")) return None
+    val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    // ≤ DocBuckets literal ints — prune the docstats read at plan time
+    // (doc_bucket is a pure hash of doc_id: every matching row is in
+    // one of these partitions by construction of every write path)
+    val docBuckets = docIds
+      .select(docBucketOf(col("doc_id")).as("doc_bucket"))
+      .distinct().collect().map(_.get(0)).toSeq
+    val withLists = chainClean && committed.columns.contains("buckets")
+    if (docBuckets.isEmpty)
+      return Some(ForgetScope(v0, 0L, 0L, Nil,
+        if (withLists) Some(Nil) else None))
+    val agg = committed.filter(col("doc_bucket").isin(docBuckets: _*))
+      .join(docIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"),
+        (if (withLists)
+           array_sort(array_distinct(flatten(collect_list(col("buckets")))))
+         else array().cast("array<int>")).as("pb"))
+      .head()
+    Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
+      if (withLists) Some(agg.getSeq[Int](2).map(x => x: Any)) else None))
+  }
+
+  /** The shared body of [[forget]]/[[forgetMatched]] — break hints,
+    * read the scope, delete (pruned where sound), repair the summary by
+    * negative deltas, restore hints. */
+  private def forgetImpl(spark: SparkSession, root: String, ids: DataFrame,
+                         collectKeys: Boolean): (Boolean, Seq[Any]) = {
     val p = Paths(root)
     val docIds = ids.toDF("doc_id")
-    // break-then-restore, the [[forget]] crash discipline
+    // BREAK both maintenance hints before touching anything: the
+    // postings delete does not bump the docstats version, so a crash
+    // between the two deletes would otherwise leave the chain hint
+    // matching while a half-forgotten doc's buckets_live no longer
+    // equals its (now empty) posting set — and the shrunk_at
+    // convergence skip would wave the next maintain past it entirely.
+    // Broken-at-entry makes every crash window heal by one
+    // postings-scan maintain (back to exact); a COMPLETED forget
+    // restores both below, since deletions only shrink posting sets
+    // (survivors untouched, erased docs gone from docstats too).
+    // marks._1 doubles as the CLEAN-CHAIN proof read at entry — we are
+    // the only writer (the quiesced-store contract), so it still
+    // vouches for the committed state the deletes below read.
     val marks = breakMaintHints(spark, root, p)
-    val fromPostings = AtomicRewrite.deleteMatchingKeys(spark, p.postings,
-      docIds, "doc_id")
-    val fromStats = AtomicRewrite.deleteMatchingKeys(spark, p.docstats,
-      docIds, "doc_id")
-    if (fromStats.nonEmpty) refreshStats(spark, root)
+    val scope = forgetScope(spark, p, docIds, chainClean = marks._1)
+    def del(table: String, prune: Option[Column]): (Boolean, Seq[Any]) =
+      if (collectKeys) {
+        val ks = AtomicRewrite.deleteMatchingKeys(spark, table, docIds,
+          "doc_id", prune)
+        (ks.nonEmpty, ks)
+      } else
+        (AtomicRewrite.deleteMatching(spark, table, docIds, "doc_id", prune),
+          Nil)
+    val (a, keysA) = scope.flatMap(_.postBuckets) match {
+      // chain clean and no matched docstats rows (or zero-token docs
+      // only) ⟹ provably no postings: skip the table entirely
+      case Some(pb) if pb.isEmpty => (false, Seq.empty[Any])
+      case Some(pb) => del(p.postings, Some(col("bucket").isin(pb: _*)))
+      case None => del(p.postings, None)
+    }
+    val (b, keysB) = scope match {
+      case Some(s) if s.docBuckets.isEmpty => (false, Seq.empty[Any])
+      case Some(s) =>
+        del(p.docstats, Some(col("doc_bucket").isin(s.docBuckets: _*)))
+      case None => del(p.docstats, None)
+    }
+    if (b) scope match {
+      case Some(s) =>
+        statsIncrement(spark, root, s.fromVersion, -s.nDocs, -s.sumDl)
+      case None => refreshStats(spark, root)
+    }
     restoreMaintHints(spark, root, p, marks)
-    (fromPostings ++ fromStats).distinct
+    (a || b, (keysA ++ keysB).distinct)
   }
 
   /** Maintenance: shrink docstats bucket lists back to EXACT. The lists
@@ -594,7 +683,10 @@ object IndexStore {
     * [[maintain]]) completed fully — written only at those points and
     * at the END of a mutation that found it clean coming in. Hint ==
     * current version ⟹ every doc's committed postings sit inside its
-    * `buckets_live` (the invariant the O(docstats) shrink needs).
+    * `buckets_live` (the invariant the O(docstats) shrink needs), and —
+    * because every completed mutation keeps the two tables describing
+    * the same doc set — a doc absent from docstats has NO postings
+    * (the invariant [[forget]]'s pruned postings discovery needs).
     * Missing/stale/garbled all read as "broken" — one postings-scan
     * maintain heals and re-establishes. */
   private def chainAt(spark: SparkSession, root: String): Option[Long] =

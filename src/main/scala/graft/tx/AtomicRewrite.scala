@@ -1,7 +1,7 @@
 package graft.tx
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -602,10 +602,21 @@ object AtomicRewrite {
     * Returns whether anything was rewritten. This is the BULK shape —
     * the driver sees only the touched partition set; a caller that also
     * needs the per-key outcome (audit trails) uses
-    * [[deleteMatchingKeys]], which pays for the extra key collect. */
+    * [[deleteMatchingKeys]], which pays for the extra key collect.
+    *
+    * `pruneTo`: an optional predicate EVERY row matching `keys` is
+    * guaranteed to satisfy — the caller's proof obligation (e.g. a
+    * partition column that is a pure hash of the key column, or a
+    * committed per-key partition list). The discovery semi-join scans
+    * only the partitions the predicate prunes to, turning the O(table)
+    * discovery into O(matching partitions); an UNSOUND predicate
+    * silently strands matching rows, so callers without such a proof
+    * must pass None. */
   def deleteMatching(spark: SparkSession, root: String,
-                     keys: DataFrame, keyCol: String): Boolean =
-    deleteImpl(spark, root, keys, keyCol, collectKeys = false).isDefined
+                     keys: DataFrame, keyCol: String,
+                     pruneTo: Option[Column] = None): Boolean =
+    deleteImpl(spark, root, keys, keyCol, collectKeys = false, pruneTo)
+      .isDefined
 
   /** [[deleteMatching]] that ALSO returns the DISTINCT matched key
     * values (empty = no matching rows, no version burned), so callers
@@ -615,14 +626,17 @@ object AtomicRewrite {
     * contract; bulk deletes (no audit) should use [[deleteMatching]],
     * whose driver traffic stays partition-cardinality. */
   def deleteMatchingKeys(spark: SparkSession, root: String,
-                         keys: DataFrame, keyCol: String): Seq[Any] =
-    deleteImpl(spark, root, keys, keyCol, collectKeys = true).getOrElse(Nil)
+                         keys: DataFrame, keyCol: String,
+                         pruneTo: Option[Column] = None): Seq[Any] =
+    deleteImpl(spark, root, keys, keyCol, collectKeys = true, pruneTo)
+      .getOrElse(Nil)
 
   /** None = nothing matched; Some(keys) = rewrote (keys empty unless
     * `collectKeys`). */
   private def deleteImpl(spark: SparkSession, root: String,
                          keys: DataFrame, keyCol: String,
-                         collectKeys: Boolean): Option[Seq[Any]] = {
+                         collectKeys: Boolean,
+                         pruneTo: Option[Column]): Option[Seq[Any]] = {
     import org.apache.spark.sql.functions.col
     if (!exists(spark, root)) return None
     val ks = keys.select(col(keyCol)).distinct()
@@ -635,7 +649,10 @@ object AtomicRewrite {
         s"$root is not partition-committed; deleteMatching would rewrite " +
           "the whole table — use write() with a filtered snapshot instead")
     }
-    val matchedRows = table.join(ks, Seq(keyCol), "left_semi")
+    // pruneTo covers every matching row (the caller's proof), so the
+    // discovery scan reads only the partitions it prunes to
+    val matchedRows = pruneTo.map(table.filter).getOrElse(table)
+      .join(ks, Seq(keyCol), "left_semi")
     // bulk shape: distinct over partition values only (narrow driver
     // traffic); audit shape: one pass over (key, partitions) pairs
     // yields both outputs

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * postings never ghost-match), partition-aware erasure with shifted
   * statistics, and bounded bucket layout.
   */
+/** Executor-side capture for the rebuild crash-window probe (local mode
+  * shares the JVM, so a task's write is visible to the driver). */
+object BuildHintProbe { @volatile var seen: String = "unread" }
+
 class IndexStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -388,15 +392,114 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  private def smashPostings(p: IndexStore.Paths): Unit = {
+  private def smashPostings(p: IndexStore.Paths): Unit =
+    smashParquet(p.postings, keepDirs = Set.empty)
+
+  /** Overwrite the first bytes of every parquet data file under `table`
+    * EXCEPT those inside a partition dir named in `keepDirs` — footers
+    * (at the tail) stay readable, so plan-time schema probes survive
+    * while any data-page read of a smashed file throws. The brutal
+    * proof of a pruned read path. */
+  private def smashParquet(table: String, keepDirs: Set[String]): Unit = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) {
-        if (f.getName == "_sigs") Nil
+        if (f.getName == "_sigs" || keepDirs.contains(f.getName)) Nil
         else f.listFiles().toSeq.flatMap(walk)
       } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(p.postings)).foreach(f =>
+    walk(new java.io.File(table)).foreach { f =>
       java.nio.file.Files.write(f.toPath, "XXXXXXXX".getBytes,
-        java.nio.file.StandardOpenOption.WRITE))
+        java.nio.file.StandardOpenOption.WRITE)
+      // drop the local-FS checksum sidecar: CRC verification would fail
+      // the FOOTER read too (tiny files share one checksum chunk) — the
+      // proof wants "schema probes fine, data pages throw"
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+  }
+
+  test("forget on a store never built is a no-op (the GDPR hooks' contract)") {
+    val root = Files.createTempDirectory("graft-idx-nx").toString + "/idx"
+    assert(!IndexStore.forget(spark, root, Seq(1L).toDF("doc_id")))
+    assert(IndexStore.forgetMatched(spark, root, Seq(1L).toDF("doc_id")).isEmpty)
+    // and the no-op left no stray hint/state behind
+    assert(!new java.io.File(root).exists() ||
+      new java.io.File(root).listFiles().forall(f =>
+        !f.getName.contains("chain_clean")))
+    spark.catalog.clearCache()
+  }
+
+  test("forget is O(subject): pruned discovery + delta-repaired summary, bystander pages never read") {
+    val root = Files.createTempDirectory("graft-idx-osub").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus) // fresh build: chain is clean
+    val subjDb = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 1L).select("doc_bucket").as[Int].head()
+    val subjPb = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 1L).select("buckets").as[Seq[Int]].head().toSet
+    // tamper the summary VALUES but keep the matching stamp: the forget
+    // must move it by its exact negative delta alone — proof the repair
+    // never re-aggregates docstats (a recompute would erase the tamper)
+    val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    AtomicRewrite.write(spark, p.stats,
+      Seq((1000L, 5000L, v0)).toDF("n_docs", "sum_dl", "docstats_version")
+        .coalesce(1))
+    // the brutal proof of pruned reads: smash every docstats data page
+    // OUTSIDE the subject's doc bucket and every postings data page
+    // OUTSIDE the subject's stored bucket list. An unpruned discovery
+    // semi-join (the old O(table) scan) or a full stats recompute would
+    // throw on the smashed pages.
+    smashParquet(p.docstats, keepDirs = Set(s"doc_bucket=$subjDb"))
+    smashParquet(p.postings, keepDirs = subjPb.map(b => s"bucket=$b"))
+    assert(IndexStore.forget(spark, root, Seq(1L).toDF("doc_id")))
+    // moved by exactly (-1 doc, -7 dl), re-stamped to the new version
+    val (n, dl, sv) = AtomicRewrite.read(spark, p.stats)
+      .select("n_docs", "sum_dl", "docstats_version")
+      .as[(Long, Long, Long)].head()
+    assert((n, dl) == ((999L, 4993L)),
+      s"summary must move by the subject's exact delta, got ($n, $dl)")
+    assert(sv == AtomicRewrite.currentVersion(spark, p.docstats).get)
+    // the subject really is gone (partition-pruned read — bystanders
+    // stay smashed)
+    assert(AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_bucket") === subjDb && col("doc_id") === 1L).isEmpty)
+    // hints restored: the completed forget preserved the clean chain
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean")
+      .contains(AtomicRewrite.currentVersion(spark, p.docstats).get))
+    spark.catalog.clearCache()
+  }
+
+  test("a rebuild breaks the maintenance hints before its first write (crash discipline)") {
+    val root = Files.createTempDirectory("graft-idx-bw").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    IndexStore.build(spark, root, corpus)
+    val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean")
+      .contains(v0), "fixture: a fresh build must mark the chain")
+    // probe the hint DURING the rebuild: the corpus is first evaluated
+    // inside the postings-write job, which runs BEFORE the docstats
+    // commit — exactly the crash window. Had the old hints survived to
+    // that point, a crash there would leave a clean-chain proof over
+    // postings that already describe the new corpus.
+    val hintFile = s"$root/docstats_chain_clean"
+    BuildHintProbe.seen = "unread"
+    val base = Seq((7L, "entirely new corpus for the rebuild"))
+      .toDF("doc_id", "text")
+    val probed = spark.createDataFrame(
+      base.rdd.map { r =>
+        BuildHintProbe.seen = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(hintFile))).trim
+        r
+      }, base.schema)
+    IndexStore.build(spark, root, probed)
+    assert(BuildHintProbe.seen == "-1",
+      s"chain hint read '${BuildHintProbe.seen}' during the rebuild's " +
+        "first write — a crash in that window would leave a false proof")
+    // a COMPLETED rebuild restores both hints at the new exact version
+    val v1 = AtomicRewrite.currentVersion(spark, p.docstats).get
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean")
+      .contains(v1))
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_shrunk_at")
+      .contains(v1))
+    spark.catalog.clearCache()
   }
 
   test("clean-chain shrink is O(docstats): the postings table is never opened") {
