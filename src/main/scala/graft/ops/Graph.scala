@@ -1,8 +1,11 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives for the dedup suite.
   *
@@ -30,15 +33,19 @@ object Graph {
     * iterative dataflow that rebinds `labels = f(labels, ...)` otherwise
     * DOUBLES its logical plan per round (the update join references the
     * previous labels twice), and analysis cost goes exponential in the
-    * component diameter. The barrier persists the round's frame,
-    * materializes it, and re-wraps its RDD as a fresh leaf DataFrame —
-    * downstream rounds see a constant-depth plan while the blocks stay
-    * EXPLICITLY releasable. (`localCheckpoint` would also truncate, but
-    * its pins are invisible to `Dataset.unpersist` and release only at
-    * some future GC — a long-running caller's executor storage must not
-    * depend on GC timing.) Superseded rounds release as each next round
-    * materializes; blocks lost to an executor recompute through the
-    * preserved lineage, one round at a time.
+    * component diameter. The barrier pins the round's rows at the
+    * InternalRow level — `queryExecution.toRdd`, row-copied and
+    * persisted MEMORY_AND_DISK, re-wrapped as a `LogicalRDD` leaf — so
+    * downstream rounds see a constant-depth plan over the stored
+    * UnsafeRows with ZERO per-row conversion on either side. (A
+    * Dataset-level `persist()` would columnar-encode every round and
+    * decode on every read; `Dataset.rdd` + `createDataFrame` would pay
+    * a full Row serde round-trip; `localCheckpoint` would store the
+    * same rows but its pins are invisible to explicit release and free
+    * only at some future GC — a long-running caller's executor storage
+    * must not depend on GC timing.) Superseded rounds release as each
+    * next round materializes; blocks lost to an executor recompute
+    * through the preserved RDD lineage, one round at a time.
     *
     * @param pairs  one row per undirected edge, columns `srcCol`/`dstCol`
     *               (symmetrized internally)
@@ -47,28 +54,25 @@ object Graph {
     *         component = min vertex id of the component. Vertices absent
     *         from `pairs` are the caller's to attach (their component is
     *         their own id). The frame comes back PINNED (one persisted
-    *         round, O(edge vertices)); the caller unpersists it once
-    *         consumed — the [[graft.pipeline.NearDupStore]] contract.
+    *         copy of the final labels, O(edge vertices)); the caller
+    *         unpersists it once consumed — the
+    *         [[graft.pipeline.NearDupStore]] contract.
     */
   def connectedComponents(pairs: DataFrame,
                           srcCol: String = "src", dstCol: String = "dst",
                           maxIter: Int = 50,
                           trace: String => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
-    // (severed leaf view, releasable pin, row count) — the severed view
-    // reads the pin's cached blocks; unpersisting the pin later falls
-    // back to lineage recompute, never a lost-forever block
-    def barrier(df: DataFrame): (DataFrame, DataFrame, Long) = {
-      val pinned = df.persist()
+    // (severed leaf view, releasable pin, row count). The row copy is
+    // the Dataset.checkpoint recipe: toRdd's UnsafeRows are buffer-
+    // reused within a partition, and pinned storage needs stable
+    // objects. Unpersisting the pin later falls back to lineage
+    // recompute, never a lost-forever block.
+    def barrier(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
+      val pinned = df.queryExecution.toRdd.map(_.copy())
+      pinned.persist(StorageLevel.MEMORY_AND_DISK)
       val n = pinned.count() // materialize BEFORE any predecessor releases
-      // sever at the InternalRow level: `queryExecution.toRdd` reads
-      // through the pin's cached blocks and the LogicalRDD leaf wraps
-      // those rows as-is. (`Dataset.rdd` + `createDataFrame` would
-      // deserialize every InternalRow to a Row and re-encode it — a
-      // per-row serde round-trip paid by every downstream read of
-      // every round.)
-      (GraftShim.internalCreateDataFrame(
-        spark, pinned.queryExecution.toRdd, pinned.schema), pinned, n)
+      (GraftShim.internalCreateDataFrame(spark, pinned, df.schema), pinned, n)
     }
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -115,18 +119,22 @@ object Graph {
     if (changedPin ne labelsPin) changedPin.unpersist()
     // silent under-merging would split components and let near-dups
     // through every downstream dedup decision — fail loudly instead.
-    // Release the labels pin FIRST: persist() pins are never GC-reaped
-    // (the reason this code left localCheckpoint), so throwing with it
-    // held would leak one O(vertices) cache entry per retry of a
-    // failing micro-batch
+    // Release the labels pin FIRST: pins are never GC-reaped, so
+    // throwing with it held would leak one O(vertices) storage entry
+    // per retry of a failing micro-batch
     if (frontier != 0L) {
       labelsPin.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"(frontier=$frontier) — component diameter exceeds maxIter")
     }
-    // return the PIN, not the severed view: `unpersist()` on it
-    // genuinely releases the blocks, and its plan is one round deep
-    labelsPin
+    // the caller's handle: one Dataset-level pin of the FINAL labels
+    // (its `unpersist()` genuinely releases the blocks, and its plan is
+    // a single severed leaf), materialized before the last round's RDD
+    // pin releases
+    val out = labels.persist()
+    out.count()
+    labelsPin.unpersist()
+    out
   }
 }
