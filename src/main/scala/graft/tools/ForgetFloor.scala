@@ -54,17 +54,24 @@ object ForgetFloor {
         s"probe slice $i erased nothing — fixture broken")
       (System.nanoTime() - s) / 1e9
     }
-    val clean = (0 until cycles).map { i =>
-      val dt = timedForget(i)
-      println(f"""{"mode":"clean_chain","cycle":$i,"sec":$dt%.3f}""")
-      dt
-    }
-    val scan = (0 until cycles).map { i =>
-      AtomicRewrite.writeHint(spark, s"$root/docstats_chain_clean", -1L)
-      val dt = timedForget(cycles + i)
-      println(f"""{"mode":"full_scan","cycle":$i,"sec":$dt%.3f}""")
-      dt
-    }
+    // INTERLEAVED modes (clean, scan, clean, scan …): a mode that only
+    // runs after the other has warmed the JIT would read faster for the
+    // wrong reason. The scan cycle garbles the chain hint to force the
+    // full-scan postings discovery; since the probe knows no crash
+    // happened, re-marking the chain at the current version afterwards
+    // is truthful and restores the clean mode for the next cycle.
+    def chain(v: Long): Unit =
+      AtomicRewrite.writeHint(spark, s"$root/docstats_chain_clean", v)
+    val (clean, scan) = (0 until cycles).map { i =>
+      val c = timedForget(2 * i)
+      println(f"""{"mode":"clean_chain","cycle":$i,"sec":$c%.3f}""")
+      chain(-1L)
+      val s = timedForget(2 * i + 1)
+      println(f"""{"mode":"full_scan","cycle":$i,"sec":$s%.3f}""")
+      chain(AtomicRewrite.currentVersion(spark,
+        IndexStore.Paths(root).docstats).get)
+      (c, s)
+    }.unzip
     println(f"""{"tool":"forget_floor","sf":"$sfDir","cycles":$cycles,""" +
       f""""clean_min":${clean.min}%.3f,"scan_min":${scan.min}%.3f}""")
     spark.stop()
