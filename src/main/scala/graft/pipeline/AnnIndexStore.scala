@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   *   <root>/centroids   // K rows: centroid_id, cv  (full snapshot)
   *   <root>/cells       // vec_id, embedding, centroid_id — hive-
   *                      // partitioned by centroid_id, partition-committed
+  *   <root>/vecmap      // vec_id, centroid_id — the narrow per-key cell
+  *                      // record, partitioned by vec_bucket =
+  *                      // pmod(xxhash64(vec_id), VecBuckets). What makes
+  *                      // [[forget]] O(subject): the subject ids' cells
+  *                      // are read from their hash-pruned vecmap buckets
+  *                      // instead of a discovery scan of the whole cells
+  *                      // table (the [[IndexStore]] docstats pattern,
+  *                      // radically simpler here because a vec's cell is
+  *                      // IMMUTABLE — same embedding, same centroids ⟹
+  *                      // same argmax — so entries are write-once, with
+  *                      // no accreted upper bound and no shrink pass)
   * }}}
   *
   * Scale: assignment is a narrow map against K broadcast centroids
@@ -35,7 +46,41 @@ object AnnIndexStore {
   case class Paths(root: String) {
     val centroids: String = s"$root/centroids"
     val cells: String = s"$root/cells"
+    val vecmap: String = s"$root/vecmap"
   }
+
+  /** Vec-id-hash partition count of the narrow vecmap table. */
+  val VecBuckets = 16
+
+  private def vecBucketOf(id: Column): Column =
+    pmod(xxhash64(id), lit(VecBuckets.toLong)).cast("int")
+
+  /** The COVERAGE proof: the cells version up to which every committed
+    * cells row has a vecmap row naming its cell — written by [[build]],
+    * [[maintain]]'s backfill, and at the END of an append/forget that
+    * found it covering (both preserve coverage: append commits the
+    * batch's vecmap rows BEFORE its cells rows, and deletions remove
+    * cells rows before their vecmap rows). Hint == cells current
+    * version ⟹ [[forget]] may prune its cells discovery to the subject
+    * ids' vecmap cells, and an id absent from vecmap has no cells row.
+    * Missing/stale/garbled all read as "not covering" — the full-scan
+    * discovery fallback is always sound, and [[maintain]] heals by one
+    * narrow backfill. Never a correctness input
+    * ([[AtomicRewrite.readHint]]). */
+  private def coversAt(spark: SparkSession, root: String): Option[Long] =
+    AtomicRewrite.readHint(spark, s"$root/vecmap_covers")
+
+  private def markCovers(spark: SparkSession, root: String, v: Long): Unit =
+    AtomicRewrite.writeHint(spark, s"$root/vecmap_covers", v)
+
+  private def breakCovers(spark: SparkSession, root: String): Unit =
+    AtomicRewrite.writeHint(spark, s"$root/vecmap_covers", -1L)
+
+  /** The narrow (vec_id, centroid_id, vec_bucket) frame of an
+    * assignment. */
+  private def vecmapOf(asg: DataFrame): DataFrame =
+    asg.select(col("vec_id"), col("centroid_id"))
+      .withColumn("vec_bucket", vecBucketOf(col("vec_id")))
 
   /** Cosine rounded to 6 digits — the same convention as every vector
     * oracle, so argmax/ranking ties resolve identically across engines. */
@@ -78,12 +123,24 @@ object AnnIndexStore {
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             centroids: DataFrame): Unit = {
     val p = Paths(root)
+    // entry discipline (the IndexStore.build pattern): a REBUILD with
+    // new centroids moves vectors across cells, so a crash between the
+    // cells and vecmap commits would leave a coverage hint vouching for
+    // a map that points at the wrong cells — break it before the first
+    // write; the mark at the end restores it at the new cells version.
+    breakCovers(spark, root)
     AtomicRewrite.write(spark, p.centroids, centroids
       .select(col("centroid_id").cast("int"), col("cv")))
     val cells = assign(corpus, AtomicRewrite.read(spark, p.centroids))
       .withColumn("qv8", code(col("embedding")))
+      .persist()
     AtomicRewrite.write(spark, p.cells, cells,
       partitionBy = Seq("centroid_id"))
+    AtomicRewrite.write(spark, p.vecmap, vecmapOf(cells),
+      partitionBy = Seq("vec_bucket"))
+    cells.unpersist()
+    markCovers(spark, root,
+      AtomicRewrite.currentVersion(spark, p.cells).get)
   }
 
   /** Deterministic fixed-K centroid draw: the `k` corpus vectors with
@@ -158,7 +215,17 @@ object AnnIndexStore {
     * the touched cells (carried-by-reference manifest commit). A replay
     * (same vec_ids) replaces rather than duplicates. A pre-quantization
     * index (no `qv8` column) is migrated whole on first append — one
-    * O(table) rewrite, after which commits are O(touched cells) again. */
+    * O(table) rewrite, after which commits are O(touched cells) again.
+    *
+    * The vecmap intent commits FIRST: a crash between the vecmap and
+    * cells commits leaves map rows for vectors with no cells row — a
+    * harmless superset for the pruned [[forget]] (the immutable-cell
+    * contract means the replayed batch lands in exactly those cells),
+    * never a cells row the map misses. The coverage hint re-marks at
+    * the new cells version only when it was covering at entry (this
+    * append can't vouch for someone else's open crash window); a crash
+    * before the re-mark reads as "not covering" — the safe side,
+    * healed by one [[maintain]] backfill. */
   def append(spark: SparkSession, root: String, batch: DataFrame): Unit = {
     val p = Paths(root)
     if (!AtomicRewrite.read(spark, p.cells).columns.contains("qv8"))
@@ -166,11 +233,27 @@ object AnnIndexStore {
         AtomicRewrite.read(spark, p.cells)
           .withColumn("qv8", code(col("embedding"))),
         partitionBy = Seq("centroid_id"))
+    val covered = AtomicRewrite.currentVersion(spark, p.cells)
+      .exists(v => coversAt(spark, root).contains(v))
     val cents = AtomicRewrite.read(spark, p.centroids)
     val asg = assign(batch, cents)
       .withColumn("qv8", code(col("embedding"))).persist()
     val touched = asg.select("centroid_id").distinct().persist()
     if (!touched.isEmpty) {
+      // vecmap intent first (see above); skipped on a pre-vecmap index —
+      // [[maintain]] backfills the whole map in one narrow pass
+      if (AtomicRewrite.exists(spark, p.vecmap)) {
+        val vm = vecmapOf(asg).persist()
+        val vb = vm.select("vec_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val survivors = AtomicRewrite.read(spark, p.vecmap)
+          .filter(col("vec_bucket").isin(vb: _*))
+          .join(vm.select("vec_id"), Seq("vec_id"), "left_anti")
+        AtomicRewrite.writePartitions(spark, p.vecmap,
+          survivors.unionByName(vm), Seq("vec_bucket"),
+          replaced = Some(vm.select("vec_bucket").distinct()))
+        vm.unpersist()
+      }
       // collect the (few) touched cell ids: static partition pruning on
       // the existing read + severed lineage for the replaced set
       val ids = touched.collect().map(_.getInt(0)).toSeq
@@ -181,6 +264,9 @@ object AnnIndexStore {
         .unionByName(asg)
       AtomicRewrite.writePartitions(spark, p.cells, merged,
         Seq("centroid_id"), replaced = Some(touched.toDF()))
+      if (covered && AtomicRewrite.exists(spark, p.vecmap))
+        markCovers(spark, root,
+          AtomicRewrite.currentVersion(spark, p.cells).get)
     }
     asg.unpersist(); touched.unpersist()
   }
@@ -208,13 +294,94 @@ object AnnIndexStore {
     * there means retraining/rebuilding the index; production indexes
     * should train their centroids for this reason too. */
   def forget(spark: SparkSession, root: String, ids: DataFrame): Boolean =
-    AtomicRewrite.deleteMatching(spark, Paths(root).cells, ids, "vec_id")
+    forgetImpl(spark, root, ids, collectKeys = false)._1
 
   /** [[forget]] returning the matched vec ids (empty = index untouched,
-    * no version burned) — the audit-precision shape. */
+    * no version burned) — the audit-precision shape. The match set is
+    * the union over cells and vecmap: an id present only in the map (an
+    * append that crashed between its intent and cells commits) still
+    * names where a subject's vector WOULD live, so its erasure is
+    * audited, not silently dropped. */
   def forgetMatched(spark: SparkSession, root: String,
                     ids: DataFrame): Seq[Any] =
-    AtomicRewrite.deleteMatchingKeys(spark, Paths(root).cells, ids, "vec_id")
+    forgetImpl(spark, root, ids, collectKeys = true)._2
+
+  /** Shared body of [[forget]]/[[forgetMatched]]. O(subject) under the
+    * coverage proof: the subject ids' cells are read from their
+    * hash-pruned vecmap buckets (≤ [[VecBuckets]] literal partitions)
+    * and the cells delete's discovery prunes to exactly those cells —
+    * never a scan of the whole cells table. Without the proof (legacy
+    * index, open crash window) the cells delete falls back to the
+    * full-scan discovery, which is always sound. Deletion order keeps
+    * the coverage invariant: cells rows go first, their map rows second
+    * (a map row may outlive its cells row — a harmless prune superset —
+    * never the reverse), so a completed forget re-marks the hint at the
+    * new cells version. */
+  private def forgetImpl(spark: SparkSession, root: String, ids: DataFrame,
+                         collectKeys: Boolean): (Boolean, Seq[Any]) = {
+    val p = Paths(root)
+    val vecIds = ids.toDF("vec_id")
+    val covered = AtomicRewrite.exists(spark, p.vecmap) &&
+      AtomicRewrite.currentVersion(spark, p.cells)
+        .exists(v => coversAt(spark, root).contains(v))
+    // ≤ VecBuckets literal ints — vec_bucket is a pure hash of vec_id,
+    // so pruning the vecmap reads by it is always sound
+    val vb =
+      if (!AtomicRewrite.exists(spark, p.vecmap)) Nil
+      else vecIds.select(vecBucketOf(col("vec_id")).as("vec_bucket"))
+        .distinct().collect().map(_.get(0)).toSeq
+    val cellPrune: Option[Column] =
+      if (!covered) None
+      else if (vb.isEmpty) Some(lit(false)) // empty id set: nothing anywhere
+      else {
+        val cellIds = AtomicRewrite.read(spark, p.vecmap)
+          .filter(col("vec_bucket").isin(vb: _*))
+          .join(vecIds.distinct(), Seq("vec_id"), "left_semi")
+          .select("centroid_id").distinct()
+          .collect().map(_.get(0)).toSeq
+        // covered ⟹ an id with no map row has no cells row: an empty
+        // cell set prunes the whole delete to a no-op without a read
+        if (cellIds.isEmpty) Some(lit(false))
+        else if (cellIds.size > AtomicRewrite.MaxInlinedPartitionTerms) None
+        else Some(col("centroid_id").isin(cellIds: _*))
+      }
+    def del(table: String, keyCol: String,
+            prune: Option[Column]): (Boolean, Seq[Any]) =
+      if (collectKeys) {
+        val ks = AtomicRewrite.deleteMatchingKeys(spark, table, vecIds,
+          keyCol, prune)
+        (ks.nonEmpty, ks)
+      } else
+        (AtomicRewrite.deleteMatching(spark, table, vecIds, keyCol, prune),
+          Nil)
+    val (a, keysA) = del(p.cells, "vec_id", cellPrune)
+    val (b, keysB) =
+      if (vb.isEmpty) (false, Seq.empty[Any])
+      else del(p.vecmap, "vec_id",
+        Some(col("vec_bucket").isin(vb: _*)))
+    if (covered && (a || b))
+      markCovers(spark, root,
+        AtomicRewrite.currentVersion(spark, p.cells).get)
+    (a || b, (keysA ++ keysB).distinct)
+  }
+
+  /** Maintenance: (re)establish the vecmap coverage proof. A covering
+    * map is a version-keyed no-op reading zero bytes; anything else —
+    * a pre-vecmap index, a crash window that left the hint stale — is
+    * healed by ONE narrow backfill (vec_id + centroid_id columns of the
+    * committed cells; the embedding payload is never read thanks to
+    * parquet column pruning) and the hint re-marks. Safe on a quiesced
+    * store only — the [[CurationRunner.maintain]] contract. */
+  def maintain(spark: SparkSession, root: String): Unit = {
+    val p = Paths(root)
+    if (!AtomicRewrite.exists(spark, p.cells)) return
+    val v = AtomicRewrite.currentVersion(spark, p.cells).get
+    if (coversAt(spark, root).contains(v)) return // covering: zero reads
+    AtomicRewrite.write(spark, p.vecmap,
+      vecmapOf(AtomicRewrite.read(spark, p.cells)),
+      partitionBy = Seq("vec_bucket"))
+    markCovers(spark, root, v)
+  }
 
   /** Retrain the index's centroid set from its OWN surviving corpus and
     * rebuild the cells around it — the erasure-completion step for

@@ -648,15 +648,18 @@ object CurationRunner {
     // re-submission; maintenance is where it converges) — a no-op
     // burning no version when nothing is stale
     IndexStore.maintain(spark, p.index)
+    // (re)establish the ANN vecmap coverage proof — a version-keyed
+    // no-op when covering, one narrow backfill otherwise
+    AnnIndexStore.maintain(spark, p.ann)
     val ip = IndexStore.Paths(p.index)
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)
-    // (TrainingShards' manifest_from and IndexStore's docstats_shrunk_at
-    // / docstats_chain_clean are plain hint FILES, not versioned
-    // tables — nothing to vacuum)
+    // (TrainingShards' manifest_from, IndexStore's docstats_shrunk_at /
+    // docstats_chain_clean and AnnIndexStore's vecmap_covers are plain
+    // hint FILES, not versioned tables — nothing to vacuum)
     Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
       p.shardsFrom, sp.shards, sp.manifest, ip.postings,
-      ip.docstats, ip.stats, ap.centroids, ap.cells)
+      ip.docstats, ip.stats, ap.centroids, ap.cells, ap.vecmap)
       .filter(AtomicRewrite.exists(spark, _))
       .foreach(AtomicRewrite.vacuum(spark, _, keepVersions, retainHours))
   }

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
 
+/** Executor-side capture for the rebuild crash-window probe (local mode
+  * shares the JVM, so a task's write is visible to the driver). */
+object AnnHintProbe { @volatile var seen: String = "unread" }
+
 /** Incremental IVF index: build partitions the corpus into centroid
   * cells, append rewrites only the touched cells, query probes only its
   * cells and matches a brute-force in-cell ranking. */
@@ -295,6 +299,144 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.append(spark, root, corpus(Seq(103L)))
     assert(AtomicRewrite.read(spark, p.cells)
       .filter(col("vec_id") === 103L).count() == 1)
+    spark.catalog.clearCache()
+  }
+
+  test("forget is O(subject): vecmap-pruned discovery — bystander cells' pages never read") {
+    val root = Files.createTempDirectory("graft-ivf-osub").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    // the map covers a fresh build; subject = id 3 (cell 1)
+    import spark.implicits._
+    val subjBucket = AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_id") === 3L).select("vec_bucket").as[Int].head()
+    // the brutal proof: smash every cells data page OUTSIDE cell 1 and
+    // every vecmap data page OUTSIDE the subject's hash bucket. The old
+    // O(index) discovery semi-join — or any unpruned vecmap read —
+    // would throw on the smashed pages.
+    smashParquet(p.cells, keepDirs = Set("centroid_id=1"))
+    smashParquet(p.vecmap, keepDirs = Set(s"vec_bucket=$subjBucket"))
+    val matched = AnnIndexStore.forgetMatched(spark, root, Seq(3L).toDF("vec_id"))
+    assert(matched.map(_.asInstanceOf[Long]).toSet == Set(3L))
+    // the subject really is gone (partition-pruned read — bystanders
+    // stay smashed) and the map row went with it
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("centroid_id") === 1 && col("vec_id") === 3L).isEmpty)
+    assert(AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_bucket") === subjBucket && col("vec_id") === 3L).isEmpty)
+    // a completed forget re-marks coverage at the new cells version
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells))
+    spark.catalog.clearCache()
+  }
+
+  test("coverage discipline: appends extend the proof; a legacy/stale map falls back, maintain heals") {
+    val root = Files.createTempDirectory("graft-ivf-cov").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    import spark.implicits._
+    // an append keeps the map covering: the appended id is pruned-
+    // forgettable (bystander pages smashed) right after
+    AnnIndexStore.append(spark, root,
+      Seq((201L, Seq(0f, 1f, 0.005f, 0f))).toDF("vec_id", "embedding"))
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells),
+      "an append on a covered index must re-mark the proof")
+    val b201 = AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_id") === 201L).select("vec_bucket").as[Int].head()
+    smashParquet(p.cells, keepDirs = Set("centroid_id=51"))
+    smashParquet(p.vecmap, keepDirs = Set(s"vec_bucket=$b201"))
+    assert(AnnIndexStore.forget(spark, root, Seq(201L).toDF("vec_id")))
+    spark.catalog.clearCache()
+
+    // a STALE hint (crash-shaped history) must NOT be trusted: with
+    // bystander pages still smashed, the fallback full-scan discovery
+    // throws — proof the pruned path is gated on the proof, not on the
+    // map's mere existence
+    AtomicRewrite.writeHint(spark, s"$root/vecmap_covers", -1L)
+    intercept[org.apache.spark.SparkException] {
+      AnnIndexStore.forget(spark, root, Seq(5L).toDF("vec_id"))
+    }
+    spark.catalog.clearCache()
+
+    // maintain heals: rebuild the fixture un-smashed, simulate the
+    // legacy store (no map, no hint) — forget still works (full scan),
+    // then ONE maintain backfills the map and the pruned path returns
+    val root2 = Files.createTempDirectory("graft-ivf-cov2").toString + "/index"
+    val p2 = AnnIndexStore.Paths(root2)
+    AnnIndexStore.build(spark, root2, corpus(1L to 200L), centroidEvery = 50)
+    val fs = new org.apache.hadoop.fs.Path(p2.vecmap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p2.vecmap), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root2/vecmap_covers"), false)
+    assert(AnnIndexStore.forget(spark, root2, Seq(3L).toDF("vec_id")),
+      "a pre-vecmap index must still erase via the full-scan fallback")
+    AnnIndexStore.maintain(spark, root2)
+    assert(AtomicRewrite.readHint(spark, s"$root2/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p2.cells))
+    val b5 = AtomicRewrite.read(spark, p2.vecmap)
+      .filter(col("vec_id") === 5L).select("vec_bucket").as[Int].head()
+    smashParquet(p2.cells, keepDirs = Set("centroid_id=1"))
+    smashParquet(p2.vecmap, keepDirs = Set(s"vec_bucket=$b5"))
+    assert(AnnIndexStore.forget(spark, root2, Seq(5L).toDF("vec_id")))
+    spark.catalog.clearCache()
+  }
+
+  test("a rebuild breaks the coverage proof before its first write (crash discipline)") {
+    val root = Files.createTempDirectory("graft-ivf-bw").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells))
+    // probe the hint DURING a rebuild (the IndexStoreSpec idiom): the
+    // corpus is first evaluated inside the cells-write job, which runs
+    // BEFORE the vecmap commit — exactly the crash window. A stale
+    // covering hint surviving to that point would vouch for a map whose
+    // cells moved under it.
+    val hintFile = s"$root/vecmap_covers"
+    AnnHintProbe.seen = "unread"
+    val base = corpus(1L to 200L)
+    val probed = spark.createDataFrame(
+      base.rdd.map { r =>
+        AnnHintProbe.seen = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(hintFile))).trim
+        r
+      }, base.schema)
+    AnnIndexStore.build(spark, root, probed, centroidEvery = 50)
+    assert(AnnHintProbe.seen == "-1",
+      s"coverage hint read '${AnnHintProbe.seen}' during the rebuild's " +
+        "cells write — a crash in that window would leave a false proof")
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells))
+    // simulate the rebuild crash window exactly where build stages it:
+    // hint broken at entry (what the fixed build does), new centroids +
+    // cells committed, the vecmap write never happens — the map now
+    // points at cells that moved. The STALE hint must read broken so
+    // forget full-scans instead of trusting the wrong map.
+    // Observable without injection: retrain() reassigns cells with NEW
+    // centroids; interrupt it by checking the hint right after a manual
+    // break — then prove a broken-hint forget ignores the (wrong) map.
+    graft.tx.AtomicRewrite.writeHint(spark, s"$root/vecmap_covers", -1L)
+    import spark.implicits._
+    // corrupt the map on purpose: point id 3 at a cell it never lived in
+    val wrong = AtomicRewrite.read(spark, p.vecmap)
+      .withColumn("centroid_id",
+        when(col("vec_id") === 3L, lit(151)).otherwise(col("centroid_id")))
+    AtomicRewrite.write(spark, p.vecmap, wrong, partitionBy = Seq("vec_bucket"))
+    // broken hint ⟹ full-scan discovery ⟹ the erase still lands
+    assert(AnnIndexStore.forget(spark, root, Seq(3L).toDF("vec_id")))
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("vec_id") === 3L).isEmpty,
+      "a broken-proof forget must not trust the corrupted map")
+    // and retrain (a full rebuild) re-derives the map and the proof
+    AnnIndexStore.retrain(spark, root, k = 4, iters = 1)
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells))
+    assert(AtomicRewrite.read(spark, p.vecmap)
+      .join(AtomicRewrite.read(spark, p.cells)
+        .select(col("vec_id"), col("centroid_id").as("__c")), Seq("vec_id"))
+      .filter(col("centroid_id") =!= col("__c")).isEmpty,
+      "after rebuild every map row must name its vec's actual cell")
     spark.catalog.clearCache()
   }
 

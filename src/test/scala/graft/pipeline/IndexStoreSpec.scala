@@ -393,28 +393,7 @@ class IndexStoreSpec extends SparkSpec {
   }
 
   private def smashPostings(p: IndexStore.Paths): Unit =
-    smashParquet(p.postings, keepDirs = Set.empty)
-
-  /** Overwrite the first bytes of every parquet data file under `table`
-    * EXCEPT those inside a partition dir named in `keepDirs` — footers
-    * (at the tail) stay readable, so plan-time schema probes survive
-    * while any data-page read of a smashed file throws. The brutal
-    * proof of a pruned read path. */
-  private def smashParquet(table: String, keepDirs: Set[String]): Unit = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) {
-        if (f.getName == "_sigs" || keepDirs.contains(f.getName)) Nil
-        else f.listFiles().toSeq.flatMap(walk)
-      } else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(table)).foreach { f =>
-      java.nio.file.Files.write(f.toPath, "XXXXXXXX".getBytes,
-        java.nio.file.StandardOpenOption.WRITE)
-      // drop the local-FS checksum sidecar: CRC verification would fail
-      // the FOOTER read too (tiny files share one checksum chunk) — the
-      // proof wants "schema probes fine, data pages throw"
-      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
-    }
-  }
+    smashParquet(p.postings) // the SparkSpec helper
 
   test("forget on a store never built is a no-op (the GDPR hooks' contract)") {
     val root = Files.createTempDirectory("graft-idx-nx").toString + "/idx"
