@@ -382,6 +382,43 @@ class AnnIndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("an append crashed between its vecmap and cells commits stays erasable and heals") {
+    val root = Files.createTempDirectory("graft-ivf-awin").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    import spark.implicits._
+    // simulate append's one crash window exactly as it stages it: the
+    // batch's vecmap intent row committed, the cells commit never
+    // happens. The hint still matches (the crash didn't bump cells), and
+    // that is SOUND: the map is a superset — it names the cell where the
+    // vector WOULD land (immutable-cell contract), never misses one.
+    val hintBefore = AtomicRewrite.readHint(spark, s"$root/vecmap_covers")
+    val vm = AtomicRewrite.read(spark, p.vecmap)
+    val intent = Seq((777L, 51))
+      .toDF("vec_id", "centroid_id")
+      .withColumn("vec_bucket", pmod(xxhash64(col("vec_id")), lit(16L)).cast("int"))
+    AtomicRewrite.write(spark, p.vecmap, vm.unionByName(intent),
+      partitionBy = Seq("vec_bucket"))
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") == hintBefore,
+      "fixture: the crash window leaves the coverage hint untouched")
+    // a GDPR erasure of the crashed id still lands: no cells row to
+    // delete, but the map row (derived from the subject's embedding)
+    // must be audited and erased
+    val matched = AnnIndexStore.forgetMatched(spark, root, Seq(777L).toDF("vec_id"))
+    assert(matched.map(_.asInstanceOf[Long]).toSet == Set(777L),
+      "an intent-only id must still be audited and erased")
+    assert(AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_id") === 777L).isEmpty)
+    // and a surviving id is still pruned-erasable afterwards — the
+    // window never broke the proof
+    val b3 = AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_id") === 3L).select("vec_bucket").as[Int].head()
+    smashParquet(p.cells, keepDirs = Set("centroid_id=1"))
+    smashParquet(p.vecmap, keepDirs = Set(s"vec_bucket=$b3"))
+    assert(AnnIndexStore.forget(spark, root, Seq(3L).toDF("vec_id")))
+    spark.catalog.clearCache()
+  }
+
   test("a rebuild breaks the coverage proof before its first write (crash discipline)") {
     val root = Files.createTempDirectory("graft-ivf-bw").toString + "/index"
     val p = AnnIndexStore.Paths(root)
