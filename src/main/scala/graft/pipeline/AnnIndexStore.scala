@@ -39,7 +39,12 @@ import org.apache.spark.sql.functions._
   * Constraint (shared with every IVF index): a vec_id's embedding is
   * immutable — re-appending the same id replaces it within its cell,
   * but an embedding CHANGE that moves the vector to a different cell
-  * would strand the old row (delete + append instead).
+  * would strand the old row (delete + append instead). The vecmap
+  * coverage proof leans on the same contract: a violating re-append
+  * repoints the id's map row at the new cell, so the stranded old row
+  * would also hide from a map-pruned [[forget]] — the violation's
+  * blast radius, not a new obligation (the stranded row is already
+  * unreachable to replacement and retained forever without it).
   */
 object AnnIndexStore {
 
