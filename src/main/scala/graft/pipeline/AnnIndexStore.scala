@@ -345,10 +345,15 @@ object AnnIndexStore {
           .select("centroid_id").distinct()
           .collect().map(_.get(0)).toSeq
         // covered ⟹ an id with no map row has no cells row: an empty
-        // cell set prunes the whole delete to a no-op without a read
+        // cell set prunes the whole delete to a no-op without a read.
+        // A BULK subject (a banned source, not one user) can span tens
+        // of thousands of cells — isInCollection compiles to one
+        // InSet, so the prune survives any subject size the driver-side
+        // collect above could produce (None past the ceiling: the
+        // full-scan fallback is always sound)
         if (cellIds.isEmpty) Some(lit(false))
-        else if (cellIds.size > AtomicRewrite.MaxInlinedPartitionTerms) None
-        else Some(col("centroid_id").isin(cellIds: _*))
+        else if (cellIds.size > AtomicRewrite.MaxSetMembershipTerms) None
+        else Some(col("centroid_id").isInCollection(cellIds))
       }
     def del(table: String, keyCol: String,
             prune: Option[Column]): (Boolean, Seq[Any]) =
@@ -376,12 +381,38 @@ object AnnIndexStore {
     * healed by ONE narrow backfill (vec_id + centroid_id columns of the
     * committed cells; the embedding payload is never read thanks to
     * parquet column pruning) and the hint re-marks. Safe on a quiesced
-    * store only — the [[CurationRunner.maintain]] contract. */
-  def maintain(spark: SparkSession, root: String): Unit = {
+    * store only — the [[CurationRunner.maintain]] contract.
+    *
+    * `audit = true` runs the backfill UNCONDITIONALLY — the detection/
+    * healing backstop for the two states a version-keyed skip can never
+    * see, both of which re-deriving the map FROM the committed cells
+    * repairs in one narrow pass:
+    *  - '''orphan intent rows''': an append that crashed after its
+    *    vecmap intent commit and was never replayed leaves map rows for
+    *    vectors with no cells row; once any later append re-marks
+    *    coverage they persist indefinitely (harmless to the prune — a
+    *    superset — but subject-derived data retained forever unless
+    *    that subject is individually forgotten);
+    *  - '''contract-violation strandings''': a caller that violated the
+    *    immutable-embedding contract (re-appended an id whose changed
+    *    embedding moved cells) stranded the old cells row with NO map
+    *    row naming its cell — a covered forget misses it while
+    *    reporting the id erased. The audit backfill emits a map row for
+    *    EVERY committed cells row (the stranded one included), so the
+    *    next forget of that id erases it and the coverage proof is true
+    *    again.
+    * Run it on a slow cadence (the vacuum cadence —
+    * [[CurationRunner.maintain]]'s `auditAnnVecmap`); per-batch, the
+    * version-keyed skip stays the right default. Where raw-vector
+    * centroids are in play, [[retrain]] on cadence remains the
+    * compliance backstop of last resort (it rebuilds cells AND map from
+    * the surviving corpus). */
+  def maintain(spark: SparkSession, root: String,
+               audit: Boolean = false): Unit = {
     val p = Paths(root)
     if (!AtomicRewrite.exists(spark, p.cells)) return
     val v = AtomicRewrite.currentVersion(spark, p.cells).get
-    if (coversAt(spark, root).contains(v)) return // covering: zero reads
+    if (!audit && coversAt(spark, root).contains(v)) return // covering: zero reads
     AtomicRewrite.write(spark, p.vecmap,
       vecmapOf(AtomicRewrite.read(spark, p.cells)),
       partitionBy = Seq("vec_bucket"))

@@ -586,7 +586,8 @@ object CurationRunner {
   def maintain(spark: SparkSession, root: String, buckets: Int = 16,
                keepVersions: Int = 3,
                retainHours: Option[Double] =
-                 Some(AtomicRewrite.MinRetainHours)): Unit = {
+                 Some(AtomicRewrite.MinRetainHours),
+               auditAnnVecmap: Boolean = false): Unit = {
     val p = Paths(root)
     val last =
       if (!AtomicRewrite.exists(spark, p.control)) None
@@ -649,8 +650,13 @@ object CurationRunner {
     // burning no version when nothing is stale
     IndexStore.maintain(spark, p.index)
     // (re)establish the ANN vecmap coverage proof — a version-keyed
-    // no-op when covering, one narrow backfill otherwise
-    AnnIndexStore.maintain(spark, p.ann)
+    // no-op when covering, one narrow backfill otherwise. On the slow
+    // (vacuum) cadence, pass auditAnnVecmap = true: the unconditional
+    // backfill purges orphan intent rows a never-replayed crashed
+    // append left behind and restores erasability after an
+    // immutable-embedding contract violation (AnnIndexStore.maintain's
+    // audit contract) — both invisible to the version-keyed skip
+    AnnIndexStore.maintain(spark, p.ann, audit = auditAnnVecmap)
     val ip = IndexStore.Paths(p.index)
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)

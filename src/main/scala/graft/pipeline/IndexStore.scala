@@ -414,10 +414,12 @@ object IndexStore {
     *  - the docstats delete's discovery is pruned to the ids' doc-hash
     *    buckets (doc_bucket is a pure hash of doc_id — always sound);
     *  - under the CLEAN-CHAIN proof the postings delete's discovery is
-    *    pruned to the union of the matched docs' stored bucket lists
+    *    pruned to the union of the matched docs' LIVE bucket lists
     *    (chain clean ⟹ every doc's committed postings sit inside its
-    *    lists AND a doc absent from docstats has no postings — see
-    *    [[chainAt]]); a broken chain falls back to the full-scan
+    *    `buckets_live` ⊆ `buckets` AND a doc absent from docstats has
+    *    no postings — see [[chainAt]]; the live list is the tighter
+    *    sound bound, immune to the accreted union's crash-replay
+    *    inflation); a broken chain falls back to the full-scan
     *    discovery, since a crashed build/append may have left postings
     *    outside any committed list.
     * Every fast path has a full-recompute fallback, so correctness
@@ -491,16 +493,37 @@ object IndexStore {
     if (docBuckets.isEmpty)
       return Some(ForgetScope(v0, 0L, 0L, Nil,
         if (withLists) Some(Nil) else None))
-    val agg = committed.filter(col("doc_bucket").isin(docBuckets: _*))
+    val matched = committed.filter(col("doc_bucket").isin(docBuckets: _*))
       .join(docIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"),
-        (if (withLists)
-           array_sort(array_distinct(flatten(collect_list(col("buckets")))))
-         else array().cast("array<int>")).as("pb"))
-      .head()
-    Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
-      if (withLists) Some(agg.getSeq[Int](2).map(x => x: Any)) else None))
+      .persist()
+    try {
+      val agg = matched
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"))
+        .head()
+      // the postings prune = the union of the matched docs' bucket
+      // lists, STREAMED: explode + distinct caps every aggregation
+      // buffer at PostingBuckets entries (map-side partial distinct), so
+      // a bulk subject (10⁸ docs) never materializes O(subject × list)
+      // ints in one buffer the way flatten(collect_list(…)) would.
+      // Chain clean ⟹ postings ⊆ buckets_live ⊆ buckets per doc, so the
+      // LIVE list is the tighter sound bound — on a store with many
+      // crash-replayed appends since the last shrink, the accreted
+      // `buckets` union inflates toward all PostingBuckets (coalesce:
+      // a migrated store may hold pre-live NULL rows).
+      val pb =
+        if (!withLists) Nil
+        else {
+          val listCol =
+            if (committed.columns.contains("buckets_live"))
+              coalesce(col("buckets_live"), col("buckets"))
+            else col("buckets")
+          matched.select(explode(listCol).as("__b")).distinct()
+            .orderBy(col("__b")).collect().map(_.get(0)).toSeq
+        }
+      Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
+        if (withLists) Some(pb) else None))
+    } finally matched.unpersist()
   }
 
   /** The shared body of [[forget]]/[[forgetMatched]] — break hints,

@@ -42,6 +42,12 @@ object AnnForgetFloor {
     println(f"""{"build_sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
     val subjects = e.select("vec_id").orderBy("vec_id")
       .limit(batch * cycles * 2).as[Long].collect()
+    // fail on SIZING, loudly, before any slice can come up short or
+    // overlap — a small corpus would otherwise read as the misleading
+    // "probe slice N erased nothing — fixture broken"
+    require(subjects.length == batch * cycles * 2,
+      s"corpus too small for $cycles cycles × $batch vecs × 2 modes: " +
+        s"need ${batch * cycles * 2} distinct vec ids, found ${subjects.length}")
     def slice(i: Int) = subjects.slice(i * batch, (i + 1) * batch).toSeq
       .toDF("vec_id")
     def timedForget(i: Int): Double = {

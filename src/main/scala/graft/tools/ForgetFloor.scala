@@ -46,6 +46,12 @@ object ForgetFloor {
     // workload shape: one subject's docs, not a fraction of the corpus)
     val subjects = d.select("doc_id").orderBy("doc_id")
       .limit(batch * cycles * 2).as[Long].collect()
+    // fail on SIZING, loudly, before any slice can come up short or
+    // overlap — a small corpus would otherwise read as the misleading
+    // "probe slice N erased nothing — fixture broken"
+    require(subjects.length == batch * cycles * 2,
+      s"corpus too small for $cycles cycles × $batch docs × 2 modes: " +
+        s"need ${batch * cycles * 2} distinct doc ids, found ${subjects.length}")
     def slice(i: Int) = subjects.slice(i * batch, (i + 1) * batch).toSeq
       .toDF("doc_id")
     def timedForget(i: Int): Double = {

@@ -117,17 +117,32 @@ object AtomicRewrite {
     * catch-up run whose affected set is "every partition" would inline
     * thousands of terms). Callers with a bigger set should read the
     * whole table instead — at that spread a full scan IS the right
-    * plan. */
+    * plan. SINGLE-column predicates are exempt up to
+    * [[MaxSetMembershipTerms]]: they compile to one IN list that
+    * Catalyst converts to an O(1)-lookup InSet — one plan node carrying
+    * a value set, not per-term expression nodes — so a bulk-subject
+    * erasure (a banned source spanning tens of thousands of partitions)
+    * keeps its prune exactly when the table is biggest. */
   val MaxInlinedPartitionTerms = 4096
+
+  /** Ceiling on single-column set-membership values (one IN → InSet).
+    * Generous by design — the values were already collected to the
+    * driver, so the real bound is the collect that produced them; this
+    * guard only keeps a runaway set from inflating the plan state
+    * unboundedly. At K = √N cells, even a 10¹²-vector index stays under
+    * it. */
+  val MaxSetMembershipTerms = 1 << 20
 
   def partitionPredicate(cols: Seq[String],
                          rows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
     require(rows.nonEmpty, "partitionPredicate needs at least one row")
-    require(rows.size <= MaxInlinedPartitionTerms,
-      s"partitionPredicate over ${rows.size} partition rows exceeds " +
-        s"$MaxInlinedPartitionTerms inlined terms; an affected set this " +
-        "wide should read the full table (or semi-join), not inline a plan")
+    require(rows.size <=
+        (if (cols.lengthCompare(1) == 0) MaxSetMembershipTerms
+         else MaxInlinedPartitionTerms),
+      s"partitionPredicate over ${rows.size} partition rows exceeds the " +
+        "inlined-term ceiling; an affected set this wide should read the " +
+        "full table (or semi-join), not inline a plan")
     if (cols.lengthCompare(1) == 0) {
       // single column: one IN list instead of N ORed equalities —
       // Catalyst converts a large IN to an O(1)-lookup InSet, so
@@ -666,12 +681,20 @@ object AtomicRewrite {
       } else
         (Nil, matchedRows.select(pcols.map(col): _*).distinct().collect().toSeq)
     if (touched.isEmpty) return None
-    if (touched.size > MaxInlinedPartitionTerms)
-      // at this spread a full scan IS the right plan — and a hard
-      // failure here would poison the erasure request driving it
+    if (touched.size > MaxInlinedPartitionTerms &&
+        (pcols.lengthCompare(1) > 0 || touched.size > MaxSetMembershipTerms))
+      // multi-column layouts (or a set outgrowing even the InSet
+      // ceiling): at this spread a full scan IS the right plan — and a
+      // hard failure here would poison the erasure request driving it
       write(spark, root, table.join(ks, Seq(keyCol), "left_anti"),
         partitionBy = pcols)
     else {
+      // single-column wide sets ride the InSet shape of
+      // partitionPredicate: a bulk-subject delete (a banned source
+      // spanning tens of thousands of partitions) rewrites only its
+      // touched partitions — bystanders ride the manifest by reference,
+      // their pages never read — instead of degrading to an O(table)
+      // rewrite exactly when the table is biggest
       val parts = literalFrame(spark, touched,
         org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))
       val keep = table.filter(partitionPredicate(pcols, touched))

@@ -511,6 +511,113 @@ class AnnIndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bulk-subject forget (> MaxInlinedPartitionTerms cells) stays pruned — bystander pages never read") {
+    // the regulatory-erasure shape: a banned SOURCE, not one user — the
+    // subject spans more cells than the inlined-literal ceiling, where
+    // the pre-r15 path abandoned the prune and full-scan discovery
+    // would read (and here, throw on) every bystander page. The store
+    // layout is staged through the store's own writers; geometry is
+    // irrelevant to forget, so one tiny vector per cell keeps the
+    // fixture wide (4200+ hive partitions) but small.
+    val root = Files.createTempDirectory("graft-ivf-bulk").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    val nSubject = AtomicRewrite.MaxInlinedPartitionTerms + 104 // 4200 cells
+    val nBystander = 60
+    val all = (1 to nSubject + nBystander)
+      .map(i => (i.toLong, Seq(1f, 0f), i)).toDF("vec_id", "embedding", "centroid_id")
+    AtomicRewrite.write(spark, p.cells, all, partitionBy = Seq("centroid_id"))
+    AtomicRewrite.write(spark, p.vecmap,
+      all.select(col("vec_id"), col("centroid_id"))
+        .withColumn("vec_bucket",
+          pmod(xxhash64(col("vec_id")), lit(16L)).cast("int")),
+      partitionBy = Seq("vec_bucket"))
+    AtomicRewrite.writeHint(spark, s"$root/vecmap_covers",
+      AtomicRewrite.currentVersion(spark, p.cells).get)
+    val v0 = AtomicRewrite.currentVersion(spark, p.cells).get
+    def bystanderFiles() = {
+      val d = new java.io.File(s"${p.cells}/v=$v0/centroid_id=${nSubject + 7}")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    // the brutal proof: every bystander cell's pages smashed — any
+    // unpruned discovery or O(table) rewrite fallback would throw.
+    // (Baseline captured AFTER the smash: smashing itself rewrites the
+    // bystander bytes; the claim is that the FORGET never restages them.)
+    smashParquet(p.cells,
+      keepDirs = (1 to nSubject).map(i => s"centroid_id=$i").toSet)
+    val before = bystanderFiles()
+    val subject = (1 to nSubject).map(_.toLong).toDF("vec_id")
+    assert(AnnIndexStore.forget(spark, root, subject))
+    assert(AtomicRewrite.currentVersion(spark, p.cells).contains(v0 + 1),
+      "one bulk forget = one cells commit")
+    // every subject cell emptied and gone from the manifest (pruned
+    // reads — bystanders stay smashed); bystander files byte-untouched
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("centroid_id") === 1 || col("centroid_id") === nSubject)
+      .isEmpty)
+    assert(bystanderFiles() == before,
+      "bystander cells' files were restaged by a bulk forget")
+    assert(AtomicRewrite.read(spark, p.vecmap).count() == nBystander.toLong,
+      "every subject map row must be erased with its cells row")
+    // a completed bulk forget re-marks coverage at the new cells version
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells))
+    spark.catalog.clearCache()
+  }
+
+  test("maintain audit: restores erasability after a contract violation; purges orphan intent rows") {
+    val root = Files.createTempDirectory("graft-ivf-audit").toString + "/index"
+    val p = AnnIndexStore.Paths(root)
+    AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)
+    import spark.implicits._
+    // CONTRACT VIOLATION: re-append id 3 with an embedding that moves it
+    // from cell 1 to cell 51 — append replaces within the TOUCHED cells
+    // only, so the old cells row strands while the map row repoints
+    AnnIndexStore.append(spark, root,
+      Seq((3L, Seq(0f, 1f, 0.005f, 0f))).toDF("vec_id", "embedding"))
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("vec_id") === 3L).count() == 2,
+      "fixture: the violation must strand the old cells row")
+    // the blast radius the backstop exists for: a covered forget misses
+    // the stranded row yet reports the id erased, and re-marks coverage
+    // over the now-false invariant
+    val matched = AnnIndexStore.forgetMatched(spark, root, Seq(3L).toDF("vec_id"))
+    assert(matched.map(_.asInstanceOf[Long]).toSet == Set(3L))
+    val stranded = AtomicRewrite.read(spark, p.cells).filter(col("vec_id") === 3L)
+    assert(stranded.count() == 1 &&
+      stranded.select("centroid_id").as[Int].head() == 1,
+      "fixture: the covered forget must have missed the stranded row")
+    // an orphan intent row on top (an append that crashed after its
+    // vecmap commit and was never replayed)
+    val vm = AtomicRewrite.read(spark, p.vecmap)
+    AtomicRewrite.write(spark, p.vecmap, vm.unionByName(
+      Seq((888L, 51)).toDF("vec_id", "centroid_id")
+        .withColumn("vec_bucket",
+          pmod(xxhash64(col("vec_id")), lit(16L)).cast("int"))),
+      partitionBy = Seq("vec_bucket"))
+    // the version-keyed default CANNOT see either state — the map
+    // looks covering, so maintain is a no-op and both rows persist
+    AnnIndexStore.maintain(spark, root)
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("vec_id") === 3L).count() == 1)
+    assert(AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_id") === 888L).count() == 1)
+    // the AUDIT backfill re-derives the map FROM the cells: the
+    // stranded row regains a map row naming its cell, the orphan
+    // (backed by no cells row) is purged
+    AnnIndexStore.maintain(spark, root, audit = true)
+    assert(AtomicRewrite.read(spark, p.vecmap)
+      .filter(col("vec_id") === 888L).isEmpty,
+      "audit must purge intent rows no cells row backs")
+    assert(AnnIndexStore.forget(spark, root, Seq(3L).toDF("vec_id")),
+      "after the audit the stranded row must be erasable again")
+    assert(AtomicRewrite.read(spark, p.cells)
+      .filter(col("vec_id") === 3L).isEmpty)
+    assert(AtomicRewrite.readHint(spark, s"$root/vecmap_covers") ==
+      AtomicRewrite.currentVersion(spark, p.cells))
+    spark.catalog.clearCache()
+  }
+
   test("nprobe=2 reaches a second cell when the query sits between blocks") {
     val root = Files.createTempDirectory("graft-ivf2").toString + "/index"
     AnnIndexStore.build(spark, root, corpus(1L to 200L), centroidEvery = 50)

@@ -446,6 +446,49 @@ class IndexStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("forget prunes the postings discovery to buckets_live, never the accreted union") {
+    // chain clean ⟹ postings ⊆ buckets_live ⊆ buckets per doc: on a
+    // store whose lists accreted under (clean-chain) re-submission, the
+    // LIVE list is the tighter sound prune — the accreted union reads
+    // stale buckets for nothing, inflating toward all PostingBuckets
+    val root = Files.createTempDirectory("graft-idx-live").toString + "/idx"
+    val p = IndexStore.Paths(root)
+    // doc 1: wide text (many posting buckets); doc 2: the SAME tokens,
+    // so every stale bucket keeps live rows (dirs that exist and, when
+    // smashed, throw on any read)
+    val wide = (1 to 48).map(i => s"w$i").mkString(" ")
+    IndexStore.build(spark, root,
+      Seq((1L, wide), (2L, wide)).toDF("doc_id", "text"))
+    // clean-chain re-submission of doc 1 with ONE token: its stored
+    // `buckets` becomes old_live ∪ new while `buckets_live` is the new
+    // exact list — and the chain stays clean (append extends it)
+    IndexStore.append(spark, root, Seq((1L, "zebra")).toDF("doc_id", "text"))
+    val (accreted, live) = AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 1L).select("buckets", "buckets_live")
+      .as[(Seq[Int], Seq[Int])].head()
+    assert((accreted.toSet -- live.toSet).nonEmpty,
+      "fixture: the accreted union must exceed the live list")
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean")
+      .contains(AtomicRewrite.currentVersion(spark, p.docstats).get),
+      "fixture: the clean-chain append must keep the proof")
+    // smash every postings page outside the subject's LIVE list: a
+    // discovery pruned by the accreted union — the pre-r15 shape —
+    // reads the stale buckets (they hold doc 2's live postings) and
+    // throws; the live-pruned discovery never opens them
+    smashParquet(p.postings,
+      keepDirs = live.toSet.map((b: Int) => s"bucket=$b"))
+    assert(IndexStore.forget(spark, root, Seq(1L).toDF("doc_id")))
+    assert(AtomicRewrite.read(spark, p.docstats)
+      .filter(col("doc_id") === 1L).isEmpty)
+    assert(AtomicRewrite.read(spark, p.postings)
+      .filter(col("bucket").isin(live: _*) && col("doc_id") === 1L).isEmpty,
+      "the subject's live postings must be erased")
+    // the completed forget restores the clean chain
+    assert(AtomicRewrite.readHint(spark, s"$root/docstats_chain_clean")
+      .contains(AtomicRewrite.currentVersion(spark, p.docstats).get))
+    spark.catalog.clearCache()
+  }
+
   test("a rebuild breaks the maintenance hints before its first write (crash discipline)") {
     val root = Files.createTempDirectory("graft-idx-bw").toString + "/idx"
     val p = IndexStore.Paths(root)
