@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   * (a bare count() would let Catalyst prune projections away). One warm-up
   * query amortizes JVM/codegen/filesystem warm-up out of the first
   * measurement.
+  *
+  * Timings run as round-robin SWEEPS over the whole suite with a
+  * deterministic CPU canary at every sweep boundary (see the
+  * measurement site) — the steal-robustness design the r14 phantom
+  * regressions ordered.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,40 +60,70 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    // 3 timed runs per query, report the median: a single pass is at the
-    // mercy of hypervisor steal (observed 2-5x over-reads on a shared
-    // host); the median of three discards one bad draw. True median over
-    // the GOOD runs (middle of 3, mean of 2, the 1) — and any query with
-    // failed runs is listed in "flaky" so a partial failure is visible
-    // rather than min-biased.
+    // 3 timed runs per query as ROUND-ROBIN SWEEPS over the whole suite
+    // (run all queries once, then sweep 2, then sweep 3), never 3
+    // consecutive runs per query. Consecutive runs made the per-query
+    // min burst-correlated: a multi-minute steal burst inflated all 3
+    // draws of every query inside it, and the r14 artifact showed
+    // contiguous ×2-8 "regressions" (q49-q60, q100-q118) on untouched
+    // code that burned the whole adjudication budget proving phantom.
+    // Under sweeps a burst inflates ONE sweep's single draw of each
+    // affected query; the cross-sweep min stays honest unless the burst
+    // outlasts a full suite pass (~6-8 min at sf0.1). The median keeps
+    // its old reading: true median over the GOOD runs, failed runs
+    // listed in "flaky" so a partial failure is visible, not min-biased.
+    //
+    // Per-sweep STEAL CANARY: a fixed, deterministic, single-threaded
+    // CPU loop timed at every sweep boundary and emitted in the
+    // artifact, so a reader tells steal from real work off the artifact
+    // itself — flat canaries bracket calm sweeps; a spiked boundary
+    // flags the sweep(s) whose draws it inflated.
+    def canarySec(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < (1 << 27)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      if (acc == 42L) print("") // keep the loop live under JIT
+      (System.nanoTime() - t0) / 1e9
+    }
+    canarySec() // JIT-warm the canary itself so boundary 0 is honest
     val runsPerQuery = 3
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      var firstErr: Option[Throwable] = None
-      val times = (1 to runsPerQuery).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = Array.fill(names.size, runsPerQuery)(-1.0)
+    val errs = Array.fill[Option[Throwable]](names.size)(None)
+    val canaries = Array.fill(runsPerQuery + 1)(-1.0)
+    for (sweep <- 0 until runsPerQuery) {
+      canaries(sweep) = canarySec()
+      names.zipWithIndex.foreach { case (name, qi) =>
         val t0 = System.nanoTime()
         val ok = try { exec(name); true } catch {
-          case e: Throwable => if (firstErr.isEmpty) firstErr = Some(e); false
+          case e: Throwable => if (errs(qi).isEmpty) errs(qi) = Some(e); false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release any caches a query persisted — in a 50+-query single
+        // release any caches a query persisted — in a 140+-query single
         // session, leaked persists compound memory pressure for the rest
         // of the suite (round-1 bench pathology)
         spark.catalog.clearCache()
-        if (ok) dt else -1.0
+        if (ok) times(qi)(sweep) = dt
       }
-      val good = times.filter(_ >= 0).sorted
+    }
+    canaries(runsPerQuery) = canarySec()
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      val good = times(qi).filter(_ >= 0).sorted.toSeq
       val med =
         if (good.isEmpty) -1.0
         else if (good.size % 2 == 1) good(good.size / 2)
         else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
-      // the MIN travels with the median: on a steal-prone shared host the
-      // median of 3 can still be 10x+ over-read (two bad draws), while the
-      // min is steal-robust — two rounds of phantom "regressions" were
-      // adjudicated by hand-rerunning IsoBench because the artifact alone
-      // couldn't tell steal from real work. min >> baseline means real
-      // work; median >> min ≈ baseline means the host stole the round.
+      // the MIN travels with the median: min >> anchor means real work;
+      // median >> min ≈ anchor means the host stole that query's worst
+      // sweeps — and the canary column says WHICH sweeps were stolen
       val mn = if (good.isEmpty) -1.0 else good.head
-      (name, med, mn, good.size, firstErr)
+      (name, med, mn, good.size, errs(qi))
     }
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // The capture window that ingests this output keeps only a ~2 kB TAIL:
@@ -120,6 +155,10 @@ object Bench {
     val flaky = results.collect { case (n, _, _, ok, _) if ok < runsPerQuery =>
       s""""$n":$ok""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // sweep-boundary canary timings (runs+1 values): the steal record
+    // of the run, as its own early line AND in the file + final line
+    val canaryJson = canaries.map(r3).mkString("[", ",", "]")
+    println(s"""{"metric":"steal_canary","boundaries":${canaries.length},"sec":$canaryJson}""")
     // Full-fidelity artifact ON DISK: the round capture keeps only a
     // 2000-char stdout tail — r9 lost ~110 queries' [median,min,n]
     // triples to it, exactly the steal-adjudication data the triples
@@ -129,7 +168,7 @@ object Bench {
     val fullJson = results.map { case (n, v, mn, ok, _) =>
         s""""$n":[${r3(v)},${r3(mn)},$ok]""" }
       .mkString(
-        s"""{"metric":"query_stats","runs":$runsPerQuery,"total_sec":${r3(total)},"sf":"$sfDir","flaky":$flaky,"queries":{""",
+        s"""{"metric":"query_stats","runs":$runsPerQuery,"total_sec":${r3(total)},"sf":"$sfDir","canary_sec":$canaryJson,"flaky":$flaky,"queries":{""",
         ",", "}}\n")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -153,8 +192,11 @@ object Bench {
       "short query keys must stay unique (qNN prefix)")
     val qs = results.zip(ids).map { case ((_, v, mn, _, _), id) =>
       id + ":" + cs(v) + ":" + cs(mn) }.mkString(",")
+    // "cn" = the sweep-boundary canary timings in centiseconds (runs+1
+    // comma-joined values) — ~15 chars buying the in-artifact steal read
+    val cn = canaries.map(cs).mkString(",")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsPerQuery,"cs":1,"flaky":$flaky,"sf":"${new java.io.File(sfDir).getName}","q":"$qs"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsPerQuery,"cs":1,"cn":"$cn","flaky":$flaky,"sf":"${new java.io.File(sfDir).getName}","q":"$qs"}"""
     require(line.length <= 1900,
       s"final bench line (${line.length} chars) outgrew the 2000-char " +
         "tail window — shrink the encoding before the artifact silently truncates")
