@@ -89,6 +89,10 @@ object IndexStore {
   /** Token-hash partition count of the postings table — the cap on how
     * many partitions a doc-keyed erasure can touch. */
   val PostingBuckets = 32
+  // forgetScope unions bucket lists as a single-Long bitmask — a bucket
+  // id must fit one bit of a bigint (shiftleft wraps mod 64 past that)
+  require(PostingBuckets <= 64,
+    "PostingBuckets outgrew the 64-bit forgetScope mask — widen it")
 
   /** Doc-hash partition count of the narrow docstats table. */
   val DocBuckets = 16
@@ -495,35 +499,38 @@ object IndexStore {
         if (withLists) Some(Nil) else None))
     val matched = committed.filter(col("doc_bucket").isin(docBuckets: _*))
       .join(docIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .persist()
-    try {
-      val agg = matched
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"))
-        .head()
-      // the postings prune = the union of the matched docs' bucket
-      // lists, STREAMED: explode + distinct caps every aggregation
-      // buffer at PostingBuckets entries (map-side partial distinct), so
-      // a bulk subject (10⁸ docs) never materializes O(subject × list)
-      // ints in one buffer the way flatten(collect_list(…)) would.
-      // Chain clean ⟹ postings ⊆ buckets_live ⊆ buckets per doc, so the
-      // LIVE list is the tighter sound bound — on a store with many
-      // crash-replayed appends since the last shrink, the accreted
-      // `buckets` union inflates toward all PostingBuckets (coalesce:
-      // a migrated store may hold pre-live NULL rows).
-      val pb =
-        if (!withLists) Nil
-        else {
-          val listCol =
-            if (committed.columns.contains("buckets_live"))
-              coalesce(col("buckets_live"), col("buckets"))
-            else col("buckets")
-          matched.select(explode(listCol).as("__b")).distinct()
-            .orderBy(col("__b")).collect().map(_.get(0)).toSeq
-        }
-      Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
-        if (withLists) Some(pb) else None))
-    } finally matched.unpersist()
+    // the postings prune = the union of the matched docs' bucket lists,
+    // folded into the SAME single-row aggregation as a 64-bit MASK:
+    // buckets are pmod(·, PostingBuckets) ints (< 64, object-init
+    // require), so a per-row `aggregate` folds each list into one Long
+    // and `bit_or` unions across rows — O(1) aggregation state, one
+    // job, where flatten(collect_list(…)) materialized O(subject ×
+    // list) ints in one buffer on a bulk subject (10⁸ docs). Chain
+    // clean ⟹ postings ⊆ buckets_live ⊆ buckets per doc, so the LIVE
+    // list is the tighter sound bound — on a store with many
+    // crash-replayed appends since the last shrink, the accreted
+    // `buckets` union inflates toward all PostingBuckets (the outer
+    // coalesce: a migrated store may hold pre-live NULL rows; the inner
+    // one: bit_or over zero rows is NULL — an empty mask, matching the
+    // "no matched docs ⟹ provably no postings" skip).
+    val listCol =
+      if (!withLists) array().cast("array<int>")
+      else if (committed.columns.contains("buckets_live"))
+        coalesce(col("buckets_live"), col("buckets"))
+      else col("buckets")
+    val agg = matched
+      .select(col("dl"), coalesce(listCol, array().cast("array<int>")).as("__l"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"),
+        coalesce(expr("bit_or(aggregate(__l, cast(0 as bigint), " +
+          "(acc, b) -> acc | shiftleft(cast(1 as bigint), b)))"), lit(0L))
+          .as("pbmask"))
+      .head()
+    val mask = agg.getLong(2)
+    val pb = (0 until PostingBuckets)
+      .filter(b => (mask >> b & 1L) == 1L).map(x => x: Any)
+    Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
+      if (withLists) Some(pb) else None))
   }
 
   /** The shared body of [[forget]]/[[forgetMatched]] — break hints,
