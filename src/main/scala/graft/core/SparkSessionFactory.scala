@@ -18,6 +18,13 @@ object SparkSessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      // whole-stage-codegen compiled-class cache, sized to the engine's
+      // operator surface: the 100-entry default thrashes on any session
+      // serving the full 140+-query suite (every plan recompiles ~1.9 s
+      // of Janino per revisit — measured as a ~1.5x min inflation on
+      // sub-second queries when Bench went sweep-ordered). Static conf:
+      // must be set at session build, JVM-wide for its lifetime.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // bucketed gold tables (saveAsTable) land in tmp, never the cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
