@@ -473,9 +473,13 @@ object AtomicRewrite {
       releaseCommitted()
       return Some(Nil)
     }
-    if (moved.size > MaxInlinedPartitionTerms) {
-      // at this spread the diff saved nothing — snapshot in full rather
-      // than inline a plan-sized predicate (the deleteImpl doctrine)
+    if (moved.size > MaxSetMembershipTerms) {
+      // partCol is a single column, so the moved-set predicate compiles
+      // to one IN→InSet at any realistic width (the deleteImpl
+      // doctrine) — only a set outgrowing even that ceiling snapshots
+      // in full; under it, a wide epoch diff (tens of thousands of
+      // moved shards at 100 TB) still rides by reference everywhere
+      // the signatures matched
       releaseCommitted()
       return fullSnapshot()
     }
