@@ -167,6 +167,52 @@ class DiffedWriteSpec extends SparkSpec {
       "replaying the committed bytes after a diffed publish must no-op")
   }
 
+  test("a wide diff (> MaxInlinedPartitionTerms moved) stays sliced — unmoved partitions ride by reference") {
+    // the r15 doctrine: a single partition column's moved-set predicate
+    // is one IN→InSet at any realistic width, so a wide epoch diff
+    // (4200 moved partitions here) must commit a PARTITION-LEVEL
+    // rewrite — unmoved dirs byte-identical under the new manifest —
+    // instead of the pre-r15 full-snapshot fallback that restaged (and
+    // re-hashed) every unmoved partition too
+    val root = tmpRoot()
+    val nMoved = AtomicRewrite.MaxInlinedPartitionTerms + 104 // 4200
+    val nStill = 60
+    def frame(salt: String) =
+      spark.range(nMoved + nStill).select(
+        col("id").cast("int").as("p"),
+        when(col("id") < nMoved, concat(lit("v"), lit(salt)))
+          .otherwise(lit("const")).as("v"))
+    assert(AtomicRewrite.writePartitionsDiffed(spark, root, frame("a"), "p"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(0L))
+    def stillFiles() = {
+      val d = new java.io.File(s"$root/v=0/p=${nMoved + 7}")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = stillFiles()
+    assert(before.nonEmpty)
+    val moved = AtomicRewrite.writePartitionsDiffedMoved(
+      spark, root, frame("b"), "p")
+    assert(moved.isDefined && moved.get.size == nMoved,
+      s"a wide diff must stay sliced (Some(4200 moved)), got " +
+        s"${moved.map(_.size)} — None means the full-snapshot fallback ran")
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+    // only the moved partitions were staged in v=1; the unmoved dirs'
+    // v=0 files are byte-untouched and ride the new manifest
+    assert(!new java.io.File(s"$root/v=1/p=${nMoved + 7}").exists(),
+      "an unmoved partition must not be restaged by a wide diff")
+    assert(stillFiles() == before, "unmoved partition files were rewritten")
+    val got = AtomicRewrite.read(spark, root)
+    assert(got.count() == (nMoved + nStill).toLong)
+    assert(got.filter(col("p") === 0 && col("v") === "vb").count() == 1)
+    assert(got.filter(col("p") === nMoved && col("v") === "const").count() == 1)
+    // and the new sidecar is honest: a third commit with the same
+    // content is a full no-op over carried + rehashed signatures
+    assert(!AtomicRewrite.writePartitionsDiffed(spark, root, frame("b"), "p"))
+    assert(AtomicRewrite.currentVersion(spark, root).contains(1L))
+    spark.catalog.clearCache()
+  }
+
   test("legacy table without a sidecar: one recompute heals it in place") {
     val root = tmpRoot()
     val df = Seq((0, 1L), (1, 2L)).toDF("b", "k")
