@@ -76,8 +76,14 @@ object Bench {
     // Per-sweep STEAL CANARY: a fixed, deterministic, single-threaded
     // CPU loop timed at every sweep boundary and emitted in the
     // artifact, so a reader tells steal from real work off the artifact
-    // itself — flat canaries bracket calm sweeps; a spiked boundary
-    // flags the sweep(s) whose draws it inflated.
+    // itself. A spiked boundary flags the sweep(s) whose draws it
+    // inflated; flat canaries are NECESSARY, not sufficient, evidence
+    // of a calm sweep — a burst confined strictly inside one sweep
+    // (starting after a boundary, ending before the next) inflates that
+    // sweep's draws with both bracketing canaries flat. The cross-sweep
+    // min still absorbs any burst shorter than a full suite pass; only
+    // a min-vs-anchor delta that persists across runs warrants an
+    // interleaved IsoBench adjudication.
     def canarySec(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L

@@ -48,9 +48,21 @@ object Tables {
     * preserved inside one mtime tick) is outside the guard for the
     * life of the JVM, the standard listing-signature tradeoff. */
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String], Long)]()
 
-  private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
+  /** Footer-derived row count of a table — zero data pages read. The
+    * same cached footer sweep that decides the nanos rewrite records
+    * each file's record count, so sizing decisions (e.g. K = ⌈√N⌉
+    * centroid counts) cost a metadata lookup instead of a full-corpus
+    * `count()` action per query. At 100 TB the catalog would carry this
+    * as table statistics; the footer sum is the file-layout equivalent. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    probe(spark, s"$sfDir/$name.parquet")._2
+
+  private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] =
+    probe(spark, path)._1
+
+  private def probe(spark: SparkSession, path: String): (Set[String], Long) = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
@@ -62,18 +74,19 @@ object Tables {
       files.filter(_.getPath.getName.endsWith(".parquet")).toSeq ++
         dirs.sortBy(_.getPath.getName).toSeq.flatMap(s => parquets(s.getPath))
     }
-    def footerNanos(file: org.apache.hadoop.fs.Path): Set[String] = {
+    def footerNanos(file: org.apache.hadoop.fs.Path): (Set[String], Long) = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+        val nanos = reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
           case fld if Option(fld.getLogicalTypeAnnotation).exists {
               case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
                 t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
               case _ => false
             } => fld.getName
         }.toSet
+        (nanos, reader.getRecordCount)
       } finally reader.close()
     }
     val statuses =
@@ -86,14 +99,78 @@ object Tables {
     val sig = statuses.map(s =>
       s"${s.getPath}:${s.getLen}:${s.getModificationTime}").mkString("\n")
     val cached = probeCache.get(path)
-    if (cached != null && cached._1 == sig) return cached._2
+    if (cached != null && cached._1 == sig) return (cached._2, cached._3)
     val probed = statuses.map(_.getPath).map(f => f -> footerNanos(f))
-    if (probed.map(_._2).distinct.size > 1)
+    if (probed.map(_._2._1).distinct.size > 1)
       throw new IllegalStateException(
         s"mixed-generation table at $path: nano-timestamp columns differ " +
-          probed.map { case (f, s) => s"${f.getName}=$s" }.mkString("across probed files (", " vs ", ")"))
-    probeCache.put(path, (sig, probed.head._2))
-    probed.head._2
+          probed.map { case (f, s) => s"${f.getName}=${s._1}" }.mkString("across probed files (", " vs ", ")"))
+    val rows = probed.map(_._2._2).sum
+    probeCache.put(path, (sig, probed.head._2._1, rows))
+    (probed.head._2._1, rows)
+  }
+
+  /** Plan-free estimate of the partition count a parquet scan of `path`
+    * would get: Spark's own split-size formula (maxSplitBytes +
+    * greedy split packing, `FilePartition.getFilePartitions`) evaluated
+    * over the FS listing. Callers deciding "is this scan
+    * under-partitioned?" use this instead of `df.rdd.getNumPartitions`,
+    * which constructs (and freezes) a pre-AQE physical plan per call —
+    * and AQE could not repair the decision anyway: it only
+    * coalesces/splits SHUFFLE partitions, never widens a scan's. */
+  def scanPartitionEstimate(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def dataFiles(d: org.apache.hadoop.fs.Path): Seq[Long] = {
+      val (dirs, files) = fs.listStatus(d)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .partition(_.isDirectory)
+      files.filterNot(_.getPath.getName.startsWith(".")).map(_.getLen).toSeq ++
+        dirs.flatMap(s => dataFiles(s.getPath))
+    }
+    val sizes =
+      (if (fs.getFileStatus(p).isDirectory) dataFiles(p)
+       else Seq(fs.getFileStatus(p).getLen)).filter(_ > 0)
+    if (sizes.isEmpty) return 1
+    val sc = org.apache.spark.sql.internal.SQLConf.get
+    val openCost = sc.filesOpenCostInBytes
+    val minParts = sc.filesMinPartitionNum
+      .orElse(sc.getConf(
+        org.apache.spark.sql.internal.SQLConf.LEAF_NODE_DEFAULT_PARALLELISM))
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val bytesPerCore = sizes.map(_ + openCost).sum / math.max(minParts, 1)
+    val maxSplit =
+      math.min(sc.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    // each file yields ceil(len/maxSplit) splits costed len+openCost;
+    // splits pack greedily (in descending-size file order upstream —
+    // ordering only shifts the estimate by ±1 bin at these shapes)
+    val splitCosts = sizes.sorted(Ordering[Long].reverse).flatMap { len =>
+      val n = ((len + maxSplit - 1) / maxSplit).toInt
+      (0 until n).map(i =>
+        math.min(maxSplit, len - i.toLong * maxSplit) + openCost)
+    }
+    var bins = 0
+    var cur = 0L
+    splitCosts.foreach { c =>
+      if (bins == 0 || cur + c > maxSplit) { bins += 1; cur = c }
+      else cur += c
+    }
+    math.max(bins, 1)
+  }
+
+  /** [[load]] with an under-partitioning guard: a small single-file
+    * corpus scans into fewer partitions than cores (the openCost floor
+    * caps split fan-out) and heavy per-row work downstream would
+    * serialize; spread it once. At real scale the many-file scan
+    * self-partitions and this is a no-op — decided from the FS listing
+    * ([[scanPartitionEstimate]]), never by materializing the scan RDD. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val d = load(spark, sfDir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (scanPartitionEstimate(spark, s"$sfDir/$name.parquet") < p)
+      d.repartition(p)
+    else d
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

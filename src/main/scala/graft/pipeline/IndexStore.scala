@@ -512,7 +512,12 @@ object IndexStore {
     // `buckets` union inflates toward all PostingBuckets (the outer
     // coalesce: a migrated store may hold pre-live NULL rows; the inner
     // one: bit_or over zero rows is NULL — an empty mask, matching the
-    // "no matched docs ⟹ provably no postings" skip).
+    // "no matched docs ⟹ provably no postings" skip). The same agg
+    // carries a validity flag: shiftleft wraps mod 64, so a stored list
+    // entry outside [0, PostingBuckets) — corrupt or legacy docstats —
+    // would alias onto a legal bucket and silently fall OUT of the
+    // prune; any such entry invalidates the whole mask and the forget
+    // falls back to the sound full-scan discovery instead.
     val listCol =
       if (!withLists) array().cast("array<int>")
       else if (committed.columns.contains("buckets_live"))
@@ -524,13 +529,16 @@ object IndexStore {
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"),
         coalesce(expr("bit_or(aggregate(__l, cast(0 as bigint), " +
           "(acc, b) -> acc | shiftleft(cast(1 as bigint), b)))"), lit(0L))
-          .as("pbmask"))
+          .as("pbmask"),
+        coalesce(expr("bool_or(exists(__l, " +
+          s"b -> b IS NULL OR b < 0 OR b >= $PostingBuckets))"), lit(false))
+          .as("pb_out_of_range"))
       .head()
     val mask = agg.getLong(2)
     val pb = (0 until PostingBuckets)
       .filter(b => (mask >> b & 1L) == 1L).map(x => x: Any)
     Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
-      if (withLists) Some(pb) else None))
+      if (withLists && !agg.getBoolean(3)) Some(pb) else None))
   }
 
   /** The shared body of [[forget]]/[[forgetMatched]] — break hints,

@@ -22,12 +22,10 @@ object TextQueries {
     * heavy per-doc maps (shingling, hashing) would run on one core.
     * Spread it once — but only when the scan actually under-partitions:
     * at real scale the many-file scan self-partitions and an unconditional
-    * repartition would be a pure full-corpus shuffle cost. */
-  private def docs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    val p = s.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < p) d.repartition(p) else d
-  }
+    * repartition would be a pure full-corpus shuffle cost. The decision
+    * reads the FS listing ([[Tables.loadSpread]]), not the scan RDD. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
 
   private def materializeAndRelease(out: DataFrame, inputs: DataFrame*): DataFrame =
     QueryUtil.materializeAndRelease(out, inputs: _*)

@@ -22,12 +22,11 @@ object VectorQueries {
 
   /** Single-file corpus → spread the pairwise cosine work across cores —
     * only when the scan under-partitions (see TextQueries.docs); at real
-    * scale the multi-file scan self-partitions and this is a no-op. */
-  private def emb(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-    val p = s.sparkContext.defaultParallelism
-    if (e.rdd.getNumPartitions < p) e.repartition(p) else e
-  }
+    * scale the multi-file scan self-partitions and this is a no-op. The
+    * decision reads the FS listing ([[Tables.loadSpread]]), not the
+    * scan RDD. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "embeddings")
 
   /** Codegen'd cosine ([[graft.functions.CosineSimilarity]]) — one tight
     * primitive loop per pair inside whole-stage codegen, bit-identical to
@@ -56,9 +55,13 @@ object VectorQueries {
     * pair side instead.) Training is paid once per query and amortized
     * to zero through the persisted store in production, where K is the
     * caller's policy knob ([[q83]]/[[q94]] pin the fixed-[[TrainK]]
-    * store shape). */
-  private def centroids(e: DataFrame): DataFrame = {
-    val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    * store shape). K is sized from the parquet FOOTER row count
+    * ([[Tables.rowCount]] — a cached metadata read), not an `e.count()`
+    * action: sizing cost one full-corpus scan per vector query for a
+    * single scalar the file metadata already holds. */
+  private def centroids(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val k = math.ceil(math.sqrt(
+      Tables.rowCount(s, dir, "embeddings").toDouble)).toInt
     broadcast(graft.pipeline.AnnIndexStore.trainCentroids(
       e.select(col("vec_id"), col("embedding")), k, TrainIters))
   }
@@ -98,7 +101,7 @@ object VectorQueries {
     // means a hot self-join.
     "q38_cosine_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cells = assign(e, centroids(e), "vec_id")
+      val cells = assign(e, centroids(s, dir, e), "vec_id")
       cells.alias("a").join(cells.alias("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -150,7 +153,7 @@ object VectorQueries {
     // physically partitioned by centroid_id so a probe reads one cell.
     "q45_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = centroids(e)
+      val cents = centroids(s, dir, e)
       val cells = assign(e, cents, "vec_id")
       val queries = assign(e.filter(col("vec_id") % 50 === 0), cents, "vec_id")
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -173,7 +176,7 @@ object VectorQueries {
     // shape (partial sums map-side, K×64 rows cross the shuffle).
     "q59_kmeans_step" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cells = assign(e, centroids(e), "vec_id")
+      val cells = assign(e, centroids(s, dir, e), "vec_id")
       // The mean is rounded in integer micro-unit space: sum the exact
       // 6-decimal element values as micro-unit longs, then half-away-from-
       // zero divide by n with pure integer arithmetic. round(double, 6)
@@ -198,7 +201,7 @@ object VectorQueries {
     // set broadcasts into the cell join.
     "q60_ann_ivf_nprobe" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = centroids(e)
+      val cents = centroids(s, dir, e)
       val cells = assign(e, cents, "vec_id")
       val probes = e.filter(col("vec_id") % 50 === 0).crossJoin(cents)
         .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
@@ -420,7 +423,7 @@ object VectorQueries {
     // session's RankLimitToTopK rule.
     "q109_hard_negatives" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cells = assign(e, centroids(e), "vec_id")
+      val cells = assign(e, centroids(s, dir, e), "vec_id")
         .join(e.select(col("vec_id"), col("label")), "vec_id")
       val anchors = cells.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
@@ -448,7 +451,7 @@ object VectorQueries {
     // native TopKPerKey heap under RankLimitToTopK.
     "q113_csls_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cells = assign(e, centroids(e), "vec_id")
+      val cells = assign(e, centroids(s, dir, e), "vec_id")
       val pairs = cells.alias("a").join(cells.alias("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
             col("a.vec_id") =!= col("b.vec_id"))
