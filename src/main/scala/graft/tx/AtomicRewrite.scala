@@ -36,8 +36,28 @@ import java.util.UUID
   *
   * VACUUM ≙ deleting version dirs older than the pointer (keepVersions)
   * that are not referenced by any retained version's manifest.
+  *
+  * '''Writer fencing''': single-writer-per-table is the contract, but a
+  * MISCONFIGURED second writer must lose loudly, not silently (the
+  * last-pointer-swap-wins failure a plain stage-then-swap has). Every
+  * commit stages into a unique dot-prefixed dir invisible to readers,
+  * then [[promote]]s: re-check the pointer against the version the
+  * commit was computed from (throw [[ConcurrentWriteException]] on
+  * drift), claim `v=<next>` by an EXCLUSIVE rename (two writers racing
+  * the same next — only one rename can succeed), swap the pointer. The
+  * loser's staged bytes are deleted; the winner's version is never
+  * touched by the loser. Residual window: a writer paused longer than
+  * the reclaim grace between its exclusive rename and its pointer swap
+  * (a sub-millisecond span) can be reclaimed as crashed — the
+  * documented lease-less-fencing tradeoff on rename-only filesystems.
   */
 object AtomicRewrite {
+
+  /** A second writer detected at commit time: the table advanced (or the
+    * target version was claimed) after this writer staged. The staged
+    * bytes are rolled back; the table stays at the winner's version. */
+  final class ConcurrentWriteException(msg: String)
+    extends IllegalStateException(msg)
 
   private val ManifestFile = "_PARTS"
   private val CommittedMarker = "_COMMITTED"
@@ -99,7 +119,12 @@ object AtomicRewrite {
   /** Tiny literal DataFrame from collected rows (affected-partition and
     * affected-key sets): severs any lineage back to the table being
     * rewritten (the ambiguous-self-join trap) and gives the optimizer a
-    * broadcastable constant. Rows must be few — they sit on the driver. */
+    * broadcastable constant. Rows must be FEW — they sit on the driver
+    * AND inline into the plan as a LocalRelation; wide sets (a
+    * bulk-subject delete's touched partitions, up to
+    * [[MaxSetMembershipTerms]]) must stay as collected rows and ride
+    * [[writePartitionsRows]] / the InSet arm of [[partitionPredicate]]
+    * instead of round-tripping through a frame. */
   def literalFrame(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
                    schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -130,7 +155,10 @@ object AtomicRewrite {
     * driver, so the real bound is the collect that produced them; this
     * guard only keeps a runaway set from inflating the plan state
     * unboundedly. At K = √N cells, even a 10¹²-vector index stays under
-    * it. */
+    * it. Sets past [[MaxInlinedPartitionTerms]] skip `isin`'s per-value
+    * Literal children and construct the single InSet node directly, so
+    * the ceiling costs one hash set of collected values — never ~10⁶
+    * expression nodes through analysis. */
   val MaxSetMembershipTerms = 1 << 20
 
   def partitionPredicate(cols: Seq[String],
@@ -154,7 +182,23 @@ object AtomicRewrite {
       val nonNull = values.filter(_ != null)
       val in =
         if (nonNull.isEmpty) lit(false)
-        else col(cols.head).isin(nonNull: _*)
+        else if (nonNull.lengthCompare(MaxInlinedPartitionTerms) <= 0)
+          col(cols.head).isin(nonNull: _*)
+        else {
+          // past the inline width, `isin` would allocate one Literal
+          // child per value and walk them all through analysis before
+          // OptimizeIn collapses the list — at the 2^20 ceiling that is
+          // ~1M expression nodes of pure driver cost. Build the
+          // optimized form DIRECTLY: one InSet node over the values in
+          // their catalyst representation (the same per-element
+          // conversion Literal.apply performs).
+          val hset = nonNull.map(org.apache.spark.sql.catalyst
+            .CatalystTypeConverters.convertToCatalyst).toSet
+          org.apache.spark.sql.graftshim.GraftShim.column(
+            org.apache.spark.sql.catalyst.expressions.InSet(
+              org.apache.spark.sql.graftshim.GraftShim.expression(
+                col(cols.head)), hset))
+        }
       if (values.contains(null)) in || col(cols.head).isNull else in
     } else {
       rows.map(r => cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
@@ -220,8 +264,9 @@ object AtomicRewrite {
     // the recorded one, so it carries forward
     val effectiveBuckets = bucketCount.orElse(bucketCountOf(spark, root))
     val f = fs(spark, new Path(root))
-    val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    val target = new Path(root, s"v=$next")
+    val cur = currentVersion(spark, root)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    val target = stagingPath(root, next)
     if (effective.isEmpty) {
       df.write.mode(SaveMode.Overwrite).parquet(target.toString)
     } else {
@@ -245,7 +290,7 @@ object AtomicRewrite {
           effectiveBuckets)
       }
     }
-    commitPointer(spark, root, next)
+    promote(spark, root, cur, next, target)
     vacuum(spark, root, keepVersions)
   }
 
@@ -277,6 +322,27 @@ object AtomicRewrite {
                       partitionBy: Seq[String],
                       replaced: Option[DataFrame] = None,
                       keepVersions: Int = 2,
+                      bucketCount: Option[Int] = None): Unit =
+    writePartitionsRows(spark, root, df, partitionBy,
+      replaced.map { r =>
+        (r.select(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().collect().toSeq,
+          org.apache.spark.sql.types.StructType(
+            partitionBy.map(c => r.schema(c))))
+      }, keepVersions, bucketCount)
+
+  /** [[writePartitions]] taking the replaced set as ALREADY-COLLECTED
+    * partition-value rows (columns = `partitionBy`, in order). The
+    * internal shape for wide sets: a bulk-subject delete's touched set
+    * (up to [[MaxSetMembershipTerms]] values) was already collected by
+    * discovery — round-tripping it through a DataFrame would inline an
+    * O(set)-row LocalRelation into a plan just to collect it back. */
+  private[tx] def writePartitionsRows(spark: SparkSession, root: String,
+                      df: DataFrame,
+                      partitionBy: Seq[String],
+                      replaced: Option[(Seq[org.apache.spark.sql.Row],
+                        org.apache.spark.sql.types.StructType)],
+                      keepVersions: Int = 2,
                       bucketCount: Option[Int] = None): Unit = {
     require(partitionBy.nonEmpty, "writePartitions needs partition columns")
     val f = fs(spark, new Path(root))
@@ -297,7 +363,7 @@ object AtomicRewrite {
           "count is a table-lifetime constant — migrate via a full rewrite")
     val effectiveBuckets = bucketCount.orElse(recordedBuckets)
     val next = cur.map(_ + 1).getOrElse(0L)
-    val target = new Path(root, s"v=$next")
+    val target = stagingPath(root, next)
     partitionAligned(df, partitionBy,
         salted = !partitionBy.contains("key_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
@@ -320,10 +386,8 @@ object AtomicRewrite {
     }
     val replacedDirs: Set[String] = replaced match {
       case None => newParts.toSet
-      case Some(r) =>
-        val schema = r.schema
-        val dirs = r.select(partitionBy.map(org.apache.spark.sql.functions.col): _*)
-          .distinct().collect().map { row =>
+      case Some((rows, schema)) =>
+        val dirs = rows.map { row =>
             partitionBy.zipWithIndex.map { case (c, i) =>
               s"$c=${encodePartValue(row.get(i), schema(c).dataType)}"
             }.mkString("/")
@@ -343,7 +407,7 @@ object AtomicRewrite {
     } else {
       writeManifest(f, target, partitionBy, merged, effectiveBuckets)
     }
-    commitPointer(spark, root, next)
+    promote(spark, root, cur, next, target)
     vacuum(spark, root, keepVersions)
   }
 
@@ -492,8 +556,8 @@ object AtomicRewrite {
     // partition in the moved set keeps its replacement rows — plain
     // isin would silently drop them while the replaced set deletes the
     // old dir (data loss in the generic primitive)
-    writePartitions(spark, root, df.filter(movedPred),
-      Seq(partCol), replaced = Some(literalFrame(spark, movedRows, schema)),
+    writePartitionsRows(spark, root, df.filter(movedPred),
+      Seq(partCol), replaced = Some((movedRows, schema)),
       keepVersions = keepVersions)
     // the new version's sidecar: unmoved partitions CARRY their
     // committed signatures (same physical files ride the manifest by
@@ -698,12 +762,14 @@ object AtomicRewrite {
       // spanning tens of thousands of partitions) rewrites only its
       // touched partitions — bystanders ride the manifest by reference,
       // their pages never read — instead of degrading to an O(table)
-      // rewrite exactly when the table is biggest
-      val parts = literalFrame(spark, touched,
-        org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))
+      // rewrite exactly when the table is biggest. The touched rows
+      // pass as-collected (writePartitionsRows) — a DataFrame wrap
+      // would inline an O(set)-row LocalRelation just to collect it
+      // back
       val keep = table.filter(partitionPredicate(pcols, touched))
         .join(ks, Seq(keyCol), "left_anti")
-      writePartitions(spark, root, keep, pcols, replaced = Some(parts))
+      writePartitionsRows(spark, root, keep, pcols, replaced = Some((touched,
+        org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))))
     }
     Some(matched)
   }
@@ -730,6 +796,64 @@ object AtomicRewrite {
   def bucketCountOf(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, new Path(root))
     currentVersion(spark, root).flatMap(v => manifestBuckets(f, root, v))
+  }
+
+  /** Unique staging dir for a commit of `v=<next>`: dot-prefixed so the
+    * version listing ([[currentVersion]]'s recovery scan) never sees it. */
+  private def stagingPath(root: String, next: Long): Path =
+    new Path(root, s".staging-v$next-${UUID.randomUUID()}")
+
+  /** Promote a fully staged snapshot dir to `v=<next>` and swap the
+    * pointer — the check-and-throw seam of the writer fence (object
+    * doc). `expected` is the version this commit was computed against
+    * (None = creating the table); any drift means a second writer won
+    * and THIS writer must lose loudly with its staged bytes rolled
+    * back, never silently clobber the winner's commit. */
+  private[tx] def promote(spark: SparkSession, root: String,
+                          expected: Option[Long], next: Long,
+                          staging: Path): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    def fail(msg: String): Nothing = {
+      f.delete(staging, true)
+      throw new ConcurrentWriteException(
+        s"$root: $msg (this commit was computed against version " +
+          s"${expected.map(_.toString).getOrElse("<none>")}); " +
+          "single-writer-per-table is the contract — fix the job config")
+    }
+    if (currentVersion(spark, root) != expected)
+      fail("table advanced while this commit was staging")
+    val dest = new Path(root, s"v=$next")
+    val fc = FileContext.getFileContext(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // EXCLUSIVE rename (no Rename.OVERWRITE): of two writers racing the
+    // same next, exactly one claim succeeds — the other sees dest exist
+    def renameExclusive(): Boolean =
+      try { fc.rename(staging, dest); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (f.exists(dest)) false else throw e
+      }
+    if (!renameExclusive()) {
+      // dest already exists: a concurrent writer claimed this version —
+      // or an earlier writer crashed inside its (rename → swap) window,
+      // milliseconds wide. Poll the pointer over a short grace to tell
+      // them apart: movement ⟹ live winner (lose loudly); no movement
+      // past the grace ⟹ crashed claim (reclaim it and retry once).
+      val graceMs = spark.conf.getOption("graft.commit.graceMs")
+        .map(_.toLong).getOrElse(2000L)
+      val deadline = System.nanoTime() + graceMs * 1000000L
+      while (currentVersion(spark, root) == expected &&
+          System.nanoTime() < deadline) Thread.sleep(25)
+      if (currentVersion(spark, root) != expected ||
+          f.exists(new Path(dest, CommittedMarker)))
+        fail(s"another writer committed v=$next concurrently")
+      f.delete(dest, true)
+      if (!renameExclusive())
+        fail(s"v=$next claimed twice during the reclaim grace — " +
+          "a live concurrent writer")
+    }
+    commitPointer(spark, root, next)
   }
 
   /** Atomic pointer swap: write sidecar then rename OVER the live
@@ -970,6 +1094,17 @@ object AtomicRewrite {
       s"retainHours=$h is below the $MinRetainHours-hour safety floor; " +
         "pass allowUnsafeRetention=true only if no reader can hold old snapshots"))
     val f = fs(spark, new Path(root))
+    // crashed writers' staging leftovers: invisible to readers
+    // (dot-prefixed, never in the version listing), they only hold
+    // disk. A day's grace means no live stage is ever reclaimed here
+    // (commits stage minutes-to-hours, not days); the promote fence's
+    // own grace handles the renamed-but-unswapped window separately.
+    val stagingCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    if (f.exists(new Path(root)))
+      f.listStatus(new Path(root)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-v")
+          && s.getModificationTime < stagingCutoff)
+        .foreach(s => f.delete(s.getPath, true))
     val floor: Long = retainHours
       .map(h => System.currentTimeMillis() - (h * 3600 * 1000).toLong)
       .getOrElse(Long.MaxValue)
