@@ -415,6 +415,18 @@ object CurationRunner {
     * [[TrainingShards.build]]. A pure metadata pass over precomputed
     * ingest signals — the corpus text is read only by the shard
     * publish, which is O(selection) by definition. */
+  /** Publish-only cadence: run the release phase (mixture cap → budget
+    * cut → curated publish → shard epoch) against the CURRENT corpus
+    * without landing anything — the decoupled-release operational shape
+    * ([[runBatch]]'s `publish = false` ingests on batch cadence; this
+    * publishes on release cadence), and the seam
+    * [[graft.tools.CurationBench]] prices the release phase through. A
+    * no-change corpus re-release is a full no-op (the diffed curated
+    * commit + the shardsFrom marker). */
+  def publishRelease(spark: SparkSession, root: String,
+                     conf: Conf = Conf()): Unit =
+    release(spark, Paths(root), conf)
+
   private def release(spark: SparkSession, p: Paths, conf: Conf): Unit = {
     val keptAll = AtomicRewrite.read(spark, p.corpus).filter(col("keep"))
     // mixture enforcement first (the q116 cut): per-source greedy
