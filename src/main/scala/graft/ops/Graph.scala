@@ -58,11 +58,45 @@ object Graph {
     *         unpersists it once consumed — the
     *         [[graft.pipeline.NearDupStore]] contract.
     */
+  /** Pair-count bound under which CC runs as ONE driver-side union-find
+    * over the collected edge list instead of the distributed delta
+    * iteration — the join-strategy analog of broadcast-vs-shuffle,
+    * decided from the materialized pair count exactly like a broadcast
+    * decision is from relation size. A post-LSH dedup pair list is tiny
+    * relative to its corpus by construction (band collision + estimate
+    * threshold), so at bench scales the distributed path's ~6 jobs per
+    * round were pure scheduling overhead over a few thousand edges; at
+    * 100 TB the pair list blows past the bound and the delta iteration
+    * runs unchanged. 2²⁰ pairs ≈ 16 MB of collected longs — broadcast-
+    * sized driver traffic. Override with `graft.cc.maxDriverPairs`. */
+  val MaxDriverPairs: Long = 1L << 20
+
   def connectedComponents(pairs: DataFrame,
                           srcCol: String = "src", dstCol: String = "dst",
                           maxIter: Int = 50,
                           trace: String => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
+    // the pair list is materialized ONCE (persist + count) to drive the
+    // strategy choice; both strategies then read the pinned copy — the
+    // distributed path previously evaluated the (expensive — shingle
+    // self-join upstream) pair plan through the symmetrizing union
+    val p2 = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p2.count()
+    val bound = spark.conf.getOption("graft.cc.maxDriverPairs")
+      .map(_.toLong).getOrElse(MaxDriverPairs)
+    val dt = p2.schema("src").dataType
+    val integral = dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.ByteType
+    if (nPairs <= bound && integral &&
+        dt == p2.schema("dst").dataType) {
+      trace(s"driver-CC pairs=$nPairs")
+      val out = driverComponents(p2, dt)
+      p2.unpersist()
+      return out
+    }
     // (severed leaf view, releasable pin, row count). The row copy is
     // the Dataset.checkpoint recipe: toRdd's UnsafeRows are buffer-
     // reused within a partition, and pinned storage needs stable
@@ -74,8 +108,8 @@ object Graph {
       val n = pinned.count() // materialize BEFORE any predecessor releases
       (GraftShim.internalCreateDataFrame(spark, pinned, df.schema), pinned, n)
     }
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val edges = p2
+      .unionByName(p2.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var (labels, labelsPin, _) = barrier(
       edges.select(col("src").as("id")).distinct()
@@ -115,6 +149,7 @@ object Graph {
       trace(s"delta-CC iter=$iter frontier=$frontier")
     }
     edges.unpersist()
+    p2.unpersist()
     // the terminal (empty-frontier) updates frame is still pinned
     if (changedPin ne labelsPin) changedPin.unpersist()
     // silent under-merging would split components and let near-dups
@@ -135,6 +170,74 @@ object Graph {
     val out = labels.persist()
     out.count()
     labelsPin.unpersist()
+    out
+  }
+
+  /** Driver-side min-label CC over a collected (integral-typed) pair
+    * list: union-find with path halving, then one pass per component to
+    * its MIN member — semantically identical to the delta iteration
+    * (component = min vertex id of the component, vertices = those
+    * present in the pairs; integral casts to long are order-preserving,
+    * so the min is the same value). Returns the same pinned-frame
+    * contract as the distributed path. The result rides back as an
+    * RDD-backed frame (constant-size plan — never a LocalRelation that
+    * would inline O(vertices) rows into every downstream plan). */
+  private def driverComponents(p2: DataFrame,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = p2.sparkSession
+    val edges = p2
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    // index vertices densely so union-find runs over int arrays
+    // Integer values, not Int: a primitive-valued java.util.HashMap
+    // unboxes an absent key's null to 0, so the miss test must see the
+    // boxed reference
+    val idOf = new java.util.HashMap[java.lang.Long, Integer](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def idx(v: Long): Int = {
+      val got = idOf.get(v)
+      if (got != null) got.intValue()
+      else { val i = ids.length; idOf.put(v, Integer.valueOf(i)); ids += v; i }
+    }
+    val parent = new Array[Int](edges.length * 2)
+    var n = 0
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { r =>
+      // NULL endpoints cannot occur here: both strategies see the same
+      // pair frames, whose endpoints are join/explode keys — but guard
+      // loudly rather than NPE on a future caller's nullable column
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "connectedComponents: NULL edge endpoint")
+      val a = idx(r.getLong(0)); val b = idx(r.getLong(1))
+      while (n < ids.length) { parent(n) = n; n += 1 }
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    // min label per root, then one (id, component) row per vertex
+    val minOf = new Array[Long](ids.length)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val labels = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) { labels(i) = (ids(i), minOf(find(i))); i += 1 }
+    import spark.implicits._
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      labels.length / 65536 + 1))
+    val out = spark.sparkContext.parallelize(labels.toIndexedSeq, slices)
+      .toDF("id", "component")
+      .select(col("id").cast(dt).as("id"),
+        col("component").cast(dt).as("component"))
+      .persist()
+    out.count()
     out
   }
 }

@@ -211,9 +211,27 @@ object CurationRunner {
       // no crash point between the store commits and here can strand
       // corpus docs outside the indexes
       val landed = landedBatch(spark, p, batchId)
-      refreshIndexes(spark, p, landed,
-        guardEmbeddings(embeddings, batch, landed, conf), conf)
-      if (publish) release(spark, p, conf)
+      val emb = guardEmbeddings(embeddings, batch, landed, conf)
+      if (!publish) refreshIndexes(spark, p, landed, emb, conf)
+      else {
+        // the index refresh and the release are INDEPENDENT subtrees on
+        // disjoint store roots (index/ann vs curated/shards/shardsFrom),
+        // both reading only durable corpus state — so they run
+        // concurrently (the [[Runner.runBatch]] branch pattern): each
+        // phase is a chain of small commits whose driver-side planning
+        // gaps would otherwise leave the executors idle half the wall.
+        // A crash with either half-done replays to convergence exactly
+        // as the sequential order did (the watermark advances only after
+        // BOTH complete). Both futures settle before any failure
+        // propagates — never unwind while the sibling is committing.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+        val idx = Future(refreshIndexes(spark, p, landed, emb, conf))
+        val rel = scala.util.Try(release(spark, p, conf))
+        val idxSettled = scala.util.Try(Await.result(idx, Duration.Inf))
+        rel.get; idxSettled.get
+      }
       Watermarks.advance(spark, p.control, Job, Some(asOf), "SUCCESS", asOf)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -617,8 +635,54 @@ object CurationRunner {
     require(last.nonEmpty || !AtomicRewrite.exists(spark, p.corpus),
       "corpus exists with no control row — a first batch crashed " +
         "mid-run; replay it to completion before maintenance")
-    StoreMaintenance.rebaseBatchPartitions(spark, p.dedupStore, buckets)
-    StoreMaintenance.rebaseBatchPartitions(spark, p.nearDupStore, buckets)
+    // the five per-store maintenance passes touch DISJOINT store roots
+    // with no ordering contract between them (each store's internal
+    // crash ordering lives inside its own pass) — run them as
+    // concurrent branches (the [[Runner.runBatch]] pattern): each pass
+    // is driver-gap-heavy small commits, and serializing them leaves
+    // the executors idle most of the wall. All branches settle before
+    // any failure propagates.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+    val passes = Seq(
+      Future(StoreMaintenance.rebaseBatchPartitions(spark, p.dedupStore, buckets)),
+      Future(StoreMaintenance.rebaseBatchPartitions(spark, p.nearDupStore, buckets)),
+      Future(maintainCorpus(spark, p, buckets)),
+      // shrink the index's docstats bucket lists back to exact (the
+      // old∪new crash-replay upper bound only ever grows under
+      // re-submission; maintenance is where it converges) — a no-op
+      // burning no version when nothing is stale
+      Future(IndexStore.maintain(spark, p.index)),
+      // (re)establish the ANN vecmap coverage proof — a version-keyed
+      // no-op when covering, one narrow backfill otherwise. On the slow
+      // (vacuum) cadence, pass auditAnnVecmap = true: the unconditional
+      // backfill purges orphan intent rows a never-replayed crashed
+      // append left behind and restores erasability after an
+      // immutable-embedding contract violation (AnnIndexStore.maintain's
+      // audit contract) — both invisible to the version-keyed skip
+      Future(AnnIndexStore.maintain(spark, p.ann, audit = auditAnnVecmap)))
+    val settled = passes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.foreach(_.get)
+    val ip = IndexStore.Paths(p.index)
+    val sp = TrainingShards.Paths(p.shards)
+    val ap = AnnIndexStore.Paths(p.ann)
+    // (TrainingShards' manifest_from, IndexStore's docstats_shrunk_at /
+    // docstats_chain_clean and AnnIndexStore's vecmap_covers are plain
+    // hint FILES, not versioned tables — nothing to vacuum)
+    val sweeps = Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus,
+      p.curated, p.shardsFrom, sp.shards, sp.manifest, ip.postings,
+      ip.docstats, ip.stats, ap.centroids, ap.cells, ap.vecmap)
+      .filter(AtomicRewrite.exists(spark, _))
+      .map(r => Future(AtomicRewrite.vacuum(spark, r, keepVersions, retainHours)))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    sweeps.foreach(_.get)
+  }
+
+  /** Step 2 of [[maintain]]: fold the corpus' per-batch `batch_id` dirs
+    * into ≤ `buckets` (see the maintain doc). */
+  private def maintainCorpus(spark: SparkSession, p: Paths,
+                             buckets: Int): Unit =
     if (AtomicRewrite.exists(spark, p.corpus)) {
       // incremental corpus fold: only batch dirs NOT already under
       // FoldPrefix fold (each into the fold bucket its id hashes to),
@@ -656,31 +720,6 @@ object CurationRunner {
             corpus.select("batch_id").schema)))
       }
     }
-    // shrink the index's docstats bucket lists back to exact (the
-    // old∪new crash-replay upper bound only ever grows under
-    // re-submission; maintenance is where it converges) — a no-op
-    // burning no version when nothing is stale
-    IndexStore.maintain(spark, p.index)
-    // (re)establish the ANN vecmap coverage proof — a version-keyed
-    // no-op when covering, one narrow backfill otherwise. On the slow
-    // (vacuum) cadence, pass auditAnnVecmap = true: the unconditional
-    // backfill purges orphan intent rows a never-replayed crashed
-    // append left behind and restores erasability after an
-    // immutable-embedding contract violation (AnnIndexStore.maintain's
-    // audit contract) — both invisible to the version-keyed skip
-    AnnIndexStore.maintain(spark, p.ann, audit = auditAnnVecmap)
-    val ip = IndexStore.Paths(p.index)
-    val sp = TrainingShards.Paths(p.shards)
-    val ap = AnnIndexStore.Paths(p.ann)
-    // (TrainingShards' manifest_from, IndexStore's docstats_shrunk_at /
-    // docstats_chain_clean and AnnIndexStore's vecmap_covers are plain
-    // hint FILES, not versioned tables — nothing to vacuum)
-    Seq(p.control, p.dedupStore, p.nearDupStore, p.corpus, p.curated,
-      p.shardsFrom, sp.shards, sp.manifest, ip.postings,
-      ip.docstats, ip.stats, ap.centroids, ap.cells, ap.vecmap)
-      .filter(AtomicRewrite.exists(spark, _))
-      .foreach(AtomicRewrite.vacuum(spark, _, keepVersions, retainHours))
-  }
 
   /** Per-layer [[Gdpr.StoreErasure]] hooks covering EVERY derived
     * artifact under a curation root — wire as

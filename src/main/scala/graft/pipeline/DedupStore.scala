@@ -69,7 +69,7 @@ object DedupStore {
     // pin the result BEFORE the store commit: after it, recomputing the
     // anti-join would see its own batch's fingerprints
     val out = accepted.drop("__fp").persist()
-    out.count()
+    val nAccepted = out.count()
     val landed = land(out) // durable consumer first — crash contract above
     val committed =
       if (landed eq out) accepted
@@ -81,7 +81,13 @@ object DedupStore {
     // StoreMaintenance rebase — AtomicRewrite.compact preserves the
     // hive layout, so it cannot shrink the dir count).
     val seq = AtomicRewrite.currentVersion(spark, storeRoot).map(_ + 1).getOrElse(0L)
-    if (seq == 0L || !committed.isEmpty) // nothing accepted → no store churn
+    // nothing accepted → no store churn. The direct-sink path decides
+    // from the count already materialized above (committed == accepted,
+    // same cardinality as `out`) instead of paying an isEmpty job; only
+    // a nested sink that may itself reject rows needs the probe.
+    val commitNonEmpty =
+      if (landed eq out) nAccepted > 0 else !committed.isEmpty
+    if (seq == 0L || commitNonEmpty)
       AtomicRewrite.writePartitions(spark, storeRoot,
         committed.select(col("__fp").as("fingerprint"))
           .withColumn("batch_seq", lit(seq).cast("int")),

@@ -30,8 +30,9 @@ object Runner {
     * built for concurrent job submission from multiple driver threads —
     * each branch's jobs interleave across the executor cores instead of
     * leaving them idle during another branch's narrow stages. Sized small:
-    * branches, not tasks, are the unit of concurrency here. */
-  private lazy val branchEc: scala.concurrent.ExecutionContext =
+    * branches, not tasks, are the unit of concurrency here. Shared with
+    * [[CurationRunner]] (same unit of concurrency, one pool). */
+  private[pipeline] lazy val branchEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newCachedThreadPool(r => {
         val t = new Thread(r, "graft-pipeline-branch")
