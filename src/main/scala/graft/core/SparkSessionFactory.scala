@@ -17,6 +17,13 @@ object SparkSessionFactory {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // coalescePartitions.parallelismFirst stays at its TRUE default
+      // deliberately (r16 measured the alternative): =false coalesces
+      // post-shuffle stages to advisory BYTES, which serialized the
+      // engine's compute-dense-per-byte stages (sha-over-shingles,
+      // tokenize) onto 1-2 tasks — q26 8.7→13.2 s, q137 14.7→21.1 s.
+      // AQE sizes by bytes and cannot see CPU density; parallelism-first
+      // is load-bearing for this workload shape.
       .config("spark.sql.files.maxPartitionBytes", "128m")
       // whole-stage-codegen compiled-class cache, sized to the engine's
       // operator surface: the 100-entry default thrashes on any session

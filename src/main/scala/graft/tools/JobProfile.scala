@@ -37,8 +37,19 @@ object JobProfile {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         if (collecting) synchronized {
+          // prefer the SQL execution's physical-plan head — the stage
+          // callsite is an uninformative thread-pool frame under SQL
           val d = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap { id =>
+              Option(org.apache.spark.sql.execution.SQLExecution
+                .getQueryExecution(id.toLong))
+                .map(_.executedPlan.toString.split("\n")
+                  .filterNot(l => l.trim.isEmpty || l.contains("== ") ||
+                    l.contains("AdaptiveSparkPlan"))
+                  .take(3).mkString(" | ")
+                  .replaceAll("\\s+", " "))
+            }
             .orElse(e.stageInfos.lastOption.map(_.name))
             .getOrElse("?")
           val r = JobRec(e.jobId, e.time, desc = d)
@@ -90,6 +101,13 @@ object JobProfile {
     done.sortBy(j => -(j.end - j.start)).take(60).foreach { j =>
       println(f"${j.end - j.start}%6d ms  tasks=${j.tasks}%4d " +
         f"taskTime=${j.taskTimeMs}%6d ms  [${j.id}%3d] ${j.desc.take(110)}")
+    }
+    if (args.contains("--all")) {
+      println("--- all jobs chronological ---")
+      done.foreach { j =>
+        println(f"[${j.id}%3d] ${j.end - j.start}%5d ms t=${j.tasks}%3d " +
+          j.desc.take(150))
+      }
     }
     spark.stop()
   }

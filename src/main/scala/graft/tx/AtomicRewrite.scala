@@ -959,6 +959,39 @@ object AtomicRewrite {
     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(v.toString)
 
+  /** Version-group relation cache: a manifest-resolved read constructs
+    * one parquet relation PER OWNING VERSION (each paying its own file
+    * listing + schema-inference job), and an append-style store
+    * accretes one owning version per commit — so without this cache a
+    * read after commit k re-inferred all k groups (O(versions) driver
+    * jobs per read, measured growing 0.6 s → 1.5 s over 12 commits in
+    * CommitProfile) even though k−1 of them are byte-identical to the
+    * previous read's. A committed version dir is immutable, so the
+    * (root, version, dir-set) relation can be reused forever; the
+    * commit-marker mtime token guards the delete-and-rebuild hole
+    * exactly like [[readCache]]. Crude size cap, no LRU: entries are
+    * plans (cheap), and a full clear just re-infers once. */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String, Long, Long, String), DataFrame]()
+
+  private def readGroup(spark: SparkSession, root: String, ver: Long,
+                        dirs: Seq[String]): DataFrame = {
+    val base = s"$root/v=$ver"
+    val tok = versionToken(fs(spark, new Path(root)), root, ver)
+    val key = (System.identityHashCode(spark), root, ver, tok,
+      dirs.sorted.mkString("\n"))
+    val hit = groupCache.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.option("basePath", base)
+        .parquet(dirs.sorted.map(d => s"$base/$d"): _*)
+      if (groupCache.size() > 8192) groupCache.clear()
+      groupCache.put(key, df)
+      df
+    }
+  }
+
   /** Time travel (Delta `versionAsOf`): read a specific retained snapshot
     * version, resolving its partition manifest if present. Only versions
     * the vacuum policy kept are readable. */
@@ -973,9 +1006,7 @@ object AtomicRewrite {
       case Some(m) =>
         require(m.nonEmpty, s"$root v=$version has an empty partition manifest")
         m.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
-          val base = s"$root/v=$ver"
-          spark.read.option("basePath", base)
-            .parquet(parts.keys.toSeq.sorted.map(d => s"$base/$d"): _*)
+          readGroup(spark, root, ver, parts.keys.toSeq)
         }.reduce(_.unionByName(_))
     }
   }
@@ -1011,9 +1042,7 @@ object AtomicRewrite {
                         m: Map[String, Long], version: Long): DataFrame =
     if (m.isEmpty) readVersion(spark, root, version).limit(0)
     else m.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
-      val base = s"$root/v=$ver"
-      spark.read.option("basePath", base)
-        .parquet(parts.keys.toSeq.sorted.map(d => s"$base/$d"): _*)
+      readGroup(spark, root, ver, parts.keys.toSeq)
     }.reduce(_.unionByName(_))
 
   /** OPTIMIZE analog (Delta OPTIMIZE [ZORDER BY]): rewrite the current
