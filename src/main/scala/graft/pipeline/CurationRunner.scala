@@ -530,10 +530,16 @@ object CurationRunner {
       TrainingShards.build(spark, p.shards,
         AtomicRewrite.read(spark, p.curated).drop(CuratedBucketCol),
         conf.nShards, orderCol = ShardOrderCol)
-      import spark.implicits._
-      AtomicRewrite.write(spark, p.shardsFrom,
-        Seq((curVer, conf.nShards, ShardOrderCol))
-          .toDF("curated_version", "n_shards", "order_col").coalesce(1))
+      // the marker row lives on the driver — commit it driver-side
+      AtomicRewrite.writeLocalRows(spark, p.shardsFrom,
+        Seq(org.apache.spark.sql.Row(curVer, conf.nShards, ShardOrderCol)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("curated_version",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_shards",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("order_col",
+            org.apache.spark.sql.types.StringType, nullable = false))))
     }
   }
 
@@ -745,6 +751,17 @@ object CurationRunner {
     * doesn't exist yet or holds nothing of the subject, and every
     * delete is partition-aware: O(touched buckets/shards/batches),
     * never O(store). */
+  /** [[storeErasures]] with the dependency structure made explicit for
+    * [[Gdpr.forgetStoresStaged]]: stage 1 is the dedup-store hook alone
+    * (it READS the corpus the later hooks delete — the ordering that
+    * was the whole-sequence contract), stage 2 is every other store —
+    * disjoint roots, no cross-reads — erased concurrently. */
+  def storeErasureStages(spark: SparkSession, root: String,
+                         conf: Conf = Conf()): Seq[Seq[Gdpr.StoreErasure]] = {
+    val all = storeErasures(spark, root, conf)
+    Seq(Seq(all.head), all.tail)
+  }
+
   def storeErasures(spark: SparkSession, root: String,
                     conf: Conf = Conf()): Seq[Gdpr.StoreErasure] = {
     val p = Paths(root)

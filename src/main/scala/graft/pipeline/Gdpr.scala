@@ -188,21 +188,43 @@ object Gdpr {
   def forgetStores(spark: SparkSession, subjects: DataFrame,
                    subjectType: String, stores: Seq[StoreErasure],
                    auditRoot: String, salt: String,
-                   now: Timestamp): DataFrame = {
+                   now: Timestamp): DataFrame =
+    forgetStoresStaged(spark, subjects, subjectType,
+      stores.map(Seq(_)), auditRoot, salt, now)
+
+  /** [[forgetStores]] with an explicit dependency structure: stages run
+    * in sequence, the hooks WITHIN a stage concurrently (they must
+    * touch disjoint stores with no cross-reads — the caller's proof,
+    * e.g. [[CurationRunner.storeErasureStages]]). Hooks are driver-gap-
+    * heavy chains of small discovery reads and partition commits, so a
+    * stage of independent stores overlaps their planning and task tails
+    * (the [[graft.pipeline.Runner.runBatch]] branch pattern). Each
+    * successful hook's audit rows still append IMMEDIATELY after its
+    * rewrite — appends serialize on one lock (the append log is a
+    * single-writer layout) — so a sibling's failure can never lose a
+    * committed deletion's compliance record. */
+  def forgetStoresStaged(spark: SparkSession, subjects: DataFrame,
+                         subjectType: String,
+                         stages: Seq[Seq[StoreErasure]],
+                         auditRoot: String, salt: String,
+                         now: Timestamp): DataFrame = {
     val ids = subjects.toDF("subject_id").distinct().cache()
-    if (ids.isEmpty || stores.isEmpty) {
+    if (ids.isEmpty || stages.forall(_.isEmpty)) {
       ids.unpersist()
       return emptyAudit(ids, subjectType, now)
     }
+    val auditLock = new Object
     try {
-      var failures = List.empty[Throwable]
+      val failures =
+        java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Throwable]())
       // the WHOLE per-store unit (forget + audit append) is one Try:
       // an audit-append failure must not abort the remaining stores any
       // more than a forget failure may. (Residual window: a delete that
       // commits and then fails its append before any retry loses that
       // one record — closing it needs a pre-commit intent log; the
       // erasure itself is never at risk.)
-      val audits = stores.flatMap { s =>
+      def unit(s: StoreErasure): Option[DataFrame] =
         scala.util.Try {
           val matched = s.forget(ids)
           // audit rows are claimed ONLY for subjects the store actually
@@ -214,15 +236,26 @@ object Gdpr {
             val rows = auditRows(
               ids.filter(col("subject_id").isin(matched: _*)),
               subjectType, s.store, s.artifacts, salt, now)
-            appendAudit(spark, auditRoot, rows)
+            auditLock.synchronized(appendAudit(spark, auditRoot, rows))
             Some(rows)
           }
         } match {
           case scala.util.Success(opt) => opt
-          case scala.util.Failure(e) => failures ::= e; None
+          case scala.util.Failure(e) => failures.add(e); None
         }
+      val audits = stages.flatMap {
+        case Seq(only) => unit(only) // no thread hop for a 1-hook stage
+        case stage =>
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+          // every hook SETTLES before the stage ends (a failure above
+          // must never unwind while a sibling is still committing)
+          stage.map(s => Future(unit(s)))
+            .map(f => Await.result(f, Duration.Inf)).flatten
       }
-      failures.reverse match {
+      import scala.jdk.CollectionConverters._
+      failures.asScala.toList match {
         case first :: rest => rest.foreach(first.addSuppressed); throw first
         case Nil =>
       }

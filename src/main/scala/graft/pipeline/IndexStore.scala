@@ -249,29 +249,34 @@ object IndexStore {
       // crash-replay union: the stored bound stays ≤ two texts wide
       // under clean-chain resubmission instead of growing monotonically
       val chainClean = live && chainAt(spark, root).contains(v0)
-      val old = oldBucketLists(spark, p, ids, docBuckets, live).persist()
+      val old = oldBucketLists(spark, p, ids, docBuckets, live)
       val oldSide =
         if (chainClean) coalesce(col("__oldlive"), col("__old"))
         else col("__old")
-      val intent0 = ds
+      val joined = ds
         .join(old, Seq("doc_id"), "left")
         .withColumn("buckets", array_sort(array_distinct(concat(
           col("buckets"),
           coalesce(oldSide, array().cast("array<int>"))))))
-        .drop("__old", "__oldlive", "__olddl")
+        .drop("__old", "__oldlive")
       // a v2 store (no buckets_live committed yet): keep its schema —
       // the column arrives via the one-time [[maintain]] upgrade, never
-      // a mixed-schema partition commit
-      val intent = (if (live) intent0 else intent0.drop("buckets_live"))
+      // a mixed-schema partition commit. __olddl rides into the pinned
+      // frame so the summary delta below is ONE aggregate over it.
+      val intentDl = (if (live) joined else joined.drop("buckets_live"))
         .persist()
-      // the summary delta, from the SAME O(batch) pruned reads: how many
-      // batch ids are genuinely new, and how the exact token-length sum
-      // moves under replacement (old dl out, new dl in)
-      val oldAgg = old.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__olddl").cast("long")), lit(0L)).as("dl")).head()
-      val newAgg = intent.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl")).head()
-      old.unpersist()
+      val intent = intentDl.drop("__olddl")
+      // the summary delta, from the SAME O(batch) pruned read, in one
+      // action: new docs/lengths from every intent row, old ones from
+      // the rows whose docstats entry existed (docstats holds one row
+      // per doc and dl is never NULL, so count/sum over __olddl are
+      // exactly the old side's aggregates)
+      val delta = intentDl.agg(
+        count(lit(1)).as("n_new"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl_new"),
+        count(col("__olddl")).as("n_old"),
+        coalesce(sum(col("__olddl").cast("long")), lit(0L)).as("dl_old"))
+        .head()
       // docstats commit FIRST (the intent record): a batch id's old row
       // lives in the SAME doc bucket its new row lands in (doc_bucket is
       // a pure hash of the id), so the replaced set needs no discovery
@@ -294,10 +299,10 @@ object IndexStore {
           survivors.unionByName(post), Seq("bucket"),
           replaced = Some(touched.toDF()))
       }
-      intent.unpersist()
+      intentDl.unpersist()
       statsIncrement(spark, root, v0,
-        newAgg.getLong(0) - oldAgg.getLong(0),
-        newAgg.getLong(1) - oldAgg.getLong(1))
+        delta.getLong(0) - delta.getLong(2),
+        delta.getLong(1) - delta.getLong(3))
       // extend the clean chain ONLY if it was clean coming in (a broken
       // link means some OTHER doc's crash window may still be open —
       // this append can't vouch for it) and every commit above landed.
@@ -398,11 +403,20 @@ object IndexStore {
     base match {
       case None => refreshStats(spark, root)
       case Some(row) =>
-        import spark.implicits._
         val toVersion = AtomicRewrite.currentVersion(spark, p.docstats).get
-        AtomicRewrite.write(spark, p.stats,
-          Seq((row.getLong(0) + dDocs, row.getLong(1) + dDl, toVersion))
-            .toDF("n_docs", "sum_dl", "docstats_version").coalesce(1))
+        // the incremented summary lives on the driver — commit it
+        // driver-side, zero jobs (the O(1) fast path should not pay a
+        // scheduled job to write one row)
+        AtomicRewrite.writeLocalRows(spark, p.stats,
+          Seq(org.apache.spark.sql.Row(
+            row.getLong(0) + dDocs, row.getLong(1) + dDl, toVersion)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("sum_dl",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("docstats_version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
     }
   }
 

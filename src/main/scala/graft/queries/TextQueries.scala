@@ -1353,9 +1353,10 @@ object TextQueries {
         d.filter(col("doc_id") < 200), ts(1), "b1", conf, publish = false)
       graft.pipeline.CurationRunner.runBatch(s, root,
         d.filter(col("doc_id") >= 200), ts(2), "b2", conf)
-      graft.pipeline.Gdpr.forgetStores(s,
+      graft.pipeline.Gdpr.forgetStoresStaged(s,
         d.filter(col("doc_id") % 9 === 4).select(col("doc_id").as("subject_id")),
-        "document", graft.pipeline.CurationRunner.storeErasures(s, root, conf),
+        "document",
+        graft.pipeline.CurationRunner.storeErasureStages(s, root, conf),
         s"$root/audit", "s", ts(3))
       val p = graft.pipeline.CurationRunner.Paths(root)
       val sp = graft.pipeline.TrainingShards.Paths(p.shards)

@@ -294,6 +294,30 @@ object AtomicRewrite {
     vacuum(spark, root, keepVersions)
   }
 
+  /** Commit DRIVER-RESIDENT rows as the next full snapshot — the
+    * control-plane twin of [[write]] for tiny tables whose rows already
+    * live on the driver (watermark merges, 1-row stats summaries,
+    * marker rows). Stages ONE parquet file via [[LocalParquet]] (zero
+    * Spark jobs — a coalesce(1) job for a handful of rows costs a full
+    * schedule/plan round-trip, ~60 of which ride every bench sweep),
+    * then promotes and vacuums exactly like [[write]]. Plain tables
+    * only: a partition-committed layout must go through [[write]] /
+    * [[writePartitions]], which carry the manifest. */
+  def writeLocalRows(spark: SparkSession, root: String,
+                     rows: Seq[org.apache.spark.sql.Row],
+                     schema: org.apache.spark.sql.types.StructType,
+                     keepVersions: Int = 2): Unit = {
+    require(partitionColsOf(spark, root).forall(_.isEmpty),
+      s"$root is partition-committed; writeLocalRows would flatten it")
+    val cur = currentVersion(spark, root)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    val target = stagingPath(root, next)
+    LocalParquet.write(spark, new Path(target, "part-00000.parquet"),
+      rows, schema)
+    promote(spark, root, cur, next, target)
+    vacuum(spark, root, keepVersions)
+  }
+
   /** Partition columns of the current version, if it carries a manifest
     * header (i.e. the table is partition-committed). */
   def partitionColsOf(spark: SparkSession, root: String): Option[Seq[String]] = {

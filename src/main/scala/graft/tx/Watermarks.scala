@@ -23,8 +23,8 @@ object Watermarks {
 
   def bootstrap(spark: SparkSession, root: String): Unit =
     if (!AtomicRewrite.exists(spark, root))
-      AtomicRewrite.write(spark, root,
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+      // schema-bearing empty snapshot, committed driver-side (zero jobs)
+      AtomicRewrite.writeLocalRows(spark, root, Nil, schema)
 
   /** Version-keyed driver cache of control-table contents. The table is
     * tiny by definition (one row per job name), yet a pipeline batch
@@ -93,11 +93,11 @@ object Watermarks {
       .flatMap(r => Option(r.getTimestamp(1)))
     val next = Row(job, ts.orElse(prevTs).orNull, runAt, status)
     val merged = rows.filterNot(_.getString(0) == job) :+ next
-    // control tables are tiny by definition: one output file, not one per
-    // shuffle partition (32 near-empty files per advance otherwise)
-    AtomicRewrite.write(spark, root,
-      spark.createDataFrame(java.util.Arrays.asList(merged: _*), schema)
-        .coalesce(1))
+    // control tables are tiny by definition AND the merged rows already
+    // live on the driver: commit them driver-side — one file, zero
+    // Spark jobs (a coalesce(1) job per advance was ~100 ms of pure
+    // schedule/plan round-trip, several times per pipeline batch)
+    AtomicRewrite.writeLocalRows(spark, root, merged, schema)
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicRewrite.currentVersion(spark, root)
