@@ -139,11 +139,25 @@ object AnnIndexStore {
     val cells = assign(corpus, AtomicRewrite.read(spark, p.centroids))
       .withColumn("qv8", code(col("embedding")))
       .persist()
-    AtomicRewrite.write(spark, p.cells, cells,
-      partitionBy = Seq("centroid_id"))
-    AtomicRewrite.write(spark, p.vecmap, vecmapOf(cells),
-      partitionBy = Seq("vec_bucket"))
+    // cells and vecmap both derive from the pinned assignment, and at
+    // BUILD time there is no intent-ordering between them — the covers
+    // hint is broken for the whole window (any crash state heals by one
+    // maintain backfill) — so the two table writes run as concurrent
+    // branches (the IndexStore.build pattern). Append keeps its
+    // vecmap-intent-first ordering; that contract is append's, not
+    // build's.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      graft.pipeline.Runner.branchEc
+    val writes = Seq(
+      Future(AtomicRewrite.write(spark, p.cells, cells,
+        partitionBy = Seq("centroid_id"))),
+      Future(AtomicRewrite.write(spark, p.vecmap, vecmapOf(cells),
+        partitionBy = Seq("vec_bucket"))))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     cells.unpersist()
+    writes.foreach(_.get)
     markCovers(spark, root,
       AtomicRewrite.currentVersion(spark, p.cells).get)
   }

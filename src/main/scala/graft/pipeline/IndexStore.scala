@@ -164,11 +164,24 @@ object IndexStore {
     // shrink). Break both hints before the first write; the marks at
     // the end restore them at the new, provably-exact version.
     breakMaintHints(spark, root, p)
-    val canon = canonicalBatch(corpus, textCol, idCol)
-    AtomicRewrite.write(spark, p.postings,
-      postingsOf(canon), partitionBy = Seq("bucket"))
-    AtomicRewrite.write(spark, p.docstats,
-      docstatsOf(canon), partitionBy = Seq("doc_bucket"))
+    // canon pinned: postings and docstats both derive from it (one
+    // tokenize/canonicalize pass, not two), and at BUILD time the two
+    // table writes have no intent-ordering contract (a crash mid-build
+    // is "no complete index" either way — the hints are already broken
+    // and append() requires BOTH tables) — so they run as concurrent
+    // branches (the Runner.runBatch pattern)
+    val canon = canonicalBatch(corpus, textCol, idCol).persist()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+    val writes = Seq(
+      Future(AtomicRewrite.write(spark, p.postings,
+        postingsOf(canon), partitionBy = Seq("bucket"))),
+      Future(AtomicRewrite.write(spark, p.docstats,
+        docstatsOf(canon), partitionBy = Seq("doc_bucket"))))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    canon.unpersist()
+    writes.foreach(_.get)
     refreshStats(spark, root)
     // a fresh build IS an exact state: lists equal the live lists equal
     // the postings — start the clean chain and the shrink convergence

@@ -111,13 +111,16 @@ object NearDupStore {
     val acceptedIds = accepted.select(col("doc_id")).persist()
     val out = batch.join(acceptedIds.select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi").persist()
-    out.count()
+    val nOut = out.count()
     land(out) // durable consumer BEFORE the store commit — crash replays
     // append-only store commit (see DedupStore): new signatures land in
     // their own batch_seq partition, all earlier ones ride the manifest —
     // O(batch) bytes per commit even with an all-time store behind it
     val seq = AtomicRewrite.currentVersion(spark, storeRoot).map(_ + 1).getOrElse(0L)
-    if (seq == 0L || !acceptedIds.isEmpty) // nothing accepted → no store churn
+    // nothing accepted → no store churn. acceptedIds ⊆ the batch's ids
+    // (accepted derives from the batch's signatures), so the count
+    // already materialized above decides without a second isEmpty job
+    if (seq == 0L || nOut > 0L)
       AtomicRewrite.writePartitions(spark, storeRoot,
         accepted.select((col("doc_id") +: sigCols.map(col)): _*)
           .withColumn("batch_seq", lit(seq).cast("int")),
