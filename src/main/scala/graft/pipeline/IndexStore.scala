@@ -290,28 +290,47 @@ object IndexStore {
         count(col("__olddl")).as("n_old"),
         coalesce(sum(col("__olddl").cast("long")), lit(0L)).as("dl_old"))
         .head()
-      // docstats commit FIRST (the intent record): a batch id's old row
+      // docstats commits FIRST (the intent record): a batch id's old row
       // lives in the SAME doc bucket its new row lands in (doc_bucket is
-      // a pure hash of the id), so the replaced set needs no discovery
+      // a pure hash of the id), so the replaced set needs no discovery.
+      // The ordering contract binds the POINTER SWAPS, not the staging —
+      // so both tables STAGE concurrently (each against its own
+      // committed state, which neither staging touches) and the
+      // promotes then run in intent order. A crash with only docstats
+      // promoted is the designed intent-without-postings window; a
+      // crash before that leaves dot-dir staging the vacuum sweep
+      // reclaims.
       val dsSurvivors = committed
         .filter(col("doc_bucket").isin(docBuckets: _*))
         .join(ids, Seq("doc_id"), "left_anti")
-      AtomicRewrite.writePartitions(spark, p.docstats,
-        dsSurvivors.unionByName(intent), Seq("doc_bucket"),
-        replaced = Some(intent.select("doc_bucket").distinct()))
       // postings touched set = the union of the batch docs' (old ∪ new)
       // bucket lists — read from the intent frame, never the postings
       val touched = intent.select(explode(col("buckets")).as("bucket"))
         .distinct()
       val partIds = touched.collect().map(_.getInt(0)).toSeq
-      if (partIds.nonEmpty) {
-        val survivors = AtomicRewrite.read(spark, p.postings)
-          .filter(col("bucket").isin(partIds: _*))
-          .join(ids, Seq("doc_id"), "left_anti")
-        AtomicRewrite.writePartitions(spark, p.postings,
-          survivors.unionByName(post), Seq("bucket"),
-          replaced = Some(touched.toDF()))
-      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+      val dsStage = Future(AtomicRewrite.stagePartitions(spark, p.docstats,
+        dsSurvivors.unionByName(intent), Seq("doc_bucket"),
+        replaced = Some(intent.select("doc_bucket").distinct())))
+      val postStage = Future(
+        if (partIds.isEmpty) None
+        else {
+          val survivors = AtomicRewrite.read(spark, p.postings)
+            .filter(col("bucket").isin(partIds: _*))
+            .join(ids, Seq("doc_id"), "left_anti")
+          Some(AtomicRewrite.stagePartitions(spark, p.postings,
+            survivors.unionByName(post), Seq("bucket"),
+            replaced = Some(touched.toDF())))
+        })
+      // both stagings settle before EITHER promote: a staging failure
+      // must abort the whole merge with zero pointers moved
+      val dsStaged = scala.util.Try(Await.result(dsStage, Duration.Inf))
+      val postStaged = scala.util.Try(Await.result(postStage, Duration.Inf))
+      dsStaged.get; postStaged.get
+      dsStaged.get.apply()            // intent first
+      postStaged.get.foreach(_.apply())
       intentDl.unpersist()
       statsIncrement(spark, root, v0,
         delta.getLong(0) - delta.getLong(2),

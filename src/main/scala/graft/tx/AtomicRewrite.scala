@@ -367,7 +367,40 @@ object AtomicRewrite {
                       replaced: Option[(Seq[org.apache.spark.sql.Row],
                         org.apache.spark.sql.types.StructType)],
                       keepVersions: Int = 2,
-                      bucketCount: Option[Int] = None): Unit = {
+                      bucketCount: Option[Int] = None): Unit =
+    stagePartitionsRows(spark, root, df, partitionBy, replaced,
+      keepVersions, bucketCount)()
+
+  /** [[writePartitionsRows]] split at the commit point: performs the
+    * full staging (data write + manifest) and returns the PROMOTE
+    * closure (pointer swap + vacuum). Lets a caller with an ordering
+    * contract between TWO tables stage both concurrently and still
+    * swap their pointers in contract order — the commit point is the
+    * pointer swap, never the staging ([[IndexStore.append]]'s
+    * docstats-intent-first merge). The returned closure must run on a
+    * table nothing else committed meanwhile (single-writer contract;
+    * [[promote]] throws [[ConcurrentWriteException]] otherwise), and an
+    * abandoned staging dir is reclaimed by the next vacuum's 24 h
+    * sweep. */
+  private[graft] def stagePartitions(spark: SparkSession, root: String,
+                      df: DataFrame, partitionBy: Seq[String],
+                      replaced: Option[DataFrame] = None,
+                      keepVersions: Int = 2): () => Unit =
+    stagePartitionsRows(spark, root, df, partitionBy,
+      replaced.map { r =>
+        (r.select(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().collect().toSeq,
+          org.apache.spark.sql.types.StructType(
+            partitionBy.map(c => r.schema(c))))
+      }, keepVersions)
+
+  private[tx] def stagePartitionsRows(spark: SparkSession, root: String,
+                      df: DataFrame,
+                      partitionBy: Seq[String],
+                      replaced: Option[(Seq[org.apache.spark.sql.Row],
+                        org.apache.spark.sql.types.StructType)],
+                      keepVersions: Int = 2,
+                      bucketCount: Option[Int] = None): () => Unit = {
     require(partitionBy.nonEmpty, "writePartitions needs partition columns")
     val f = fs(spark, new Path(root))
     val cur = currentVersion(spark, root)
@@ -431,8 +464,10 @@ object AtomicRewrite {
     } else {
       writeManifest(f, target, partitionBy, merged, effectiveBuckets)
     }
-    promote(spark, root, cur, next, target)
-    vacuum(spark, root, keepVersions)
+    () => {
+      promote(spark, root, cur, next, target)
+      vacuum(spark, root, keepVersions)
+    }
   }
 
   /** Partition-DIFFED snapshot replace: commit `df` as the table's new
