@@ -165,6 +165,16 @@ object Bench {
     // of the run, as its own early line AND in the file + final line
     val canaryJson = canaries.map(r3).mkString("[", ",", "]")
     println(s"""{"metric":"steal_canary","boundaries":${canaries.length},"sec":$canaryJson}""")
+    // The driver-contract line IN FULL — {"metric","value","unit",
+    // "queries":{name: median_sec},"sf"} — so a parser reading the whole
+    // stdout (or merging per-line) gets every query's median under its
+    // full name as a plain number (round-16 PERF came up empty because
+    // no line carried that exact shape). Too long for the 2000-char tail
+    // window, so it prints BEFORE the compact final line, which stays
+    // LAST and tail-safe; additions only — nothing removed or renamed.
+    val fullQueries = results.map { case (n, v, _, _, _) =>
+      s""""$n":${r3(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsPerQuery,"queries":$fullQueries,"sf":"${new java.io.File(sfDir).getName}"}""")
     // Full-fidelity artifact ON DISK: the round capture keeps only a
     // 2000-char stdout tail — r9 lost ~110 queries' [median,min,n]
     // triples to it, exactly the steal-adjudication data the triples

@@ -107,15 +107,61 @@ object AnnIndexStore {
     * corpora at both test scales. */
   val RerankFloor = 32
 
-  /** Nearest-centroid assignment (argmax via max_by; ties → lowest id). */
-  private def assign(df: DataFrame, cents: DataFrame): DataFrame =
-    df.crossJoin(broadcast(cents))
-      .withColumn("__cos", cos(col("embedding"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("centroid_id")),
-        struct(col("__cos"), -col("centroid_id"))).as("__best"))
-      .select(col("vec_id"), col("__best.embedding").as("embedding"),
-        col("__best.centroid_id").as("centroid_id"))
+  /** Nearest-centroid assignment (argmax; ties → lowest id) as a NARROW
+    * MAP: the K centroids pack into ONE broadcast row and each corpus
+    * row takes `array_max` over (cos, −id) structs — the same
+    * (cos DESC, id ASC) order the previous `groupBy(vec_id).max_by`
+    * argmax used, WITHOUT the corpus-wide exchange that groupBy paid on
+    * every call (train rounds, build, append all ride this). Input
+    * contract: one row per vec_id — the IVF key; [[append]]
+    * canonicalizes at-least-once batches before assigning, and every
+    * other caller feeds a keyed corpus. `cents` must be non-empty
+    * (every caller's build/train contract). */
+  private def assign(df: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = packedCentroids(df.sparkSession, cents)
+    df.crossJoin(broadcast(packed))
+      // the struct carries the id twice: negated for the (cos DESC,
+      // id ASC) max ordering, verbatim as the payload — so the output
+      // keeps the centroid_id's exact type (the legacy centroidEvery
+      // path keys centroids by long vec_ids)
+      .withColumn("__best", array_max(transform(col("__cents"),
+        c => struct(cos(col("embedding"), c.getField("cv")).as("c"),
+          (-c.getField("centroid_id")).as("ni"),
+          c.getField("centroid_id").as("id")))))
+      .select(col("vec_id"), col("embedding"),
+        col("__best").getField("id").as("centroid_id"))
+  }
+
+  /** The K (centroid_id, cv) rows packed into ONE local-relation row —
+    * the broadcast side of [[assign]]. Collected on the DRIVER and
+    * inlined as a LocalRelation (one row, an array of K structs): a
+    * local relation broadcasts without a scheduled job, where a
+    * `collect_list` aggregate inside the broadcast exchange paid one
+    * job per assign. For literal-frame cents (every train round) the
+    * collect itself is also job-free (LocalTableScan executeCollect);
+    * for table-read cents (append) it is the same single job the old
+    * broadcast build ran. Shared with the inline vector family
+    * ([[graft.queries.VectorQueries]]). */
+  private[graft] def packedCentroids(spark: SparkSession,
+                                     cents: DataFrame): DataFrame = {
+    val proj = cents.select(col("centroid_id"), col("cv"))
+    val rows = proj.collect()
+    AtomicRewrite.literalFrame(spark,
+      Seq(org.apache.spark.sql.Row(rows.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cents",
+          org.apache.spark.sql.types.ArrayType(proj.schema)))))
+  }
+
+  /** One (vec_id, embedding) row per id — an at-least-once source may
+    * compact a replay into one micro-batch (the
+    * [[IndexStore.canonicalBatch]] shape). Deterministic pick by content
+    * hash; under the immutable-embedding contract every copy is
+    * identical anyway, so this only collapses exact replays. */
+  private def canonicalVecs(batch: DataFrame): DataFrame =
+    batch.groupBy("vec_id")
+      .agg(max_by(col("embedding"), xxhash64(col("embedding")))
+        .as("embedding"))
 
   /** Build the index with an EXPLICIT centroid set (`centroid_id`,
     * `cv`) — the production path: K is fixed by the caller (a
@@ -197,9 +243,20 @@ object AnnIndexStore {
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 0, s"iterations must be non-negative, got $iters")
     val spark = corpus.sparkSession
-    var cents = sampleCentroids(corpus, k)
+    val cents = sampleCentroids(corpus, k)
+    if (iters == 0) return cents
+    // rounds materialize K rows each way — the coalesce of a round's
+    // means into the previous centroid list is a K-row fold that lives
+    // on the DRIVER (the Watermarks merge discipline): one collected
+    // action per round (the means aggregate) instead of a join whose
+    // plan re-executes it plus a second collect. Values pass through
+    // untouched (no arithmetic on the driver), so the merged rows are
+    // bit-identical to the join's coalesce(mv, cv).
+    var rows = cents.collect().toSeq
+    val schema = cents.schema
     for (_ <- 0 until iters) {
-      val asg = assign(corpus.select(col("vec_id"), col("embedding")), cents)
+      val centsDf = graft.tx.AtomicRewrite.literalFrame(spark, rows, schema)
+      val asg = assign(corpus.select(col("vec_id"), col("embedding")), centsDf)
       val means = asg.select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(round(sum(col("col").cast("double")
@@ -208,12 +265,13 @@ object AnnIndexStore {
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("mv"))
-      val next = cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("mv"), col("cv")).as("cv"))
-      cents = graft.tx.AtomicRewrite.literalFrame(spark,
-        next.collect().toSeq, next.schema)
+        .collect()
+      val mv = means.map(r => r.getInt(0) -> r.get(1)).toMap
+      // an emptied centroid keeps its previous vector (the coalesce)
+      rows = rows.map(r => org.apache.spark.sql.Row(
+        r.get(0), mv.getOrElse(r.getInt(0), r.get(1))))
     }
-    cents
+    graft.tx.AtomicRewrite.literalFrame(spark, rows, schema)
   }
 
   /** Build the index from a corpus (`vec_id`, `embedding`): every
@@ -255,7 +313,7 @@ object AnnIndexStore {
     val covered = AtomicRewrite.currentVersion(spark, p.cells)
       .exists(v => coversAt(spark, root).contains(v))
     val cents = AtomicRewrite.read(spark, p.centroids)
-    val asg = assign(batch, cents)
+    val asg = assign(canonicalVecs(batch), cents)
       .withColumn("qv8", code(col("embedding"))).persist()
     val touched = asg.select("centroid_id").distinct().persist()
     if (!touched.isEmpty) {
@@ -369,20 +427,35 @@ object AnnIndexStore {
         else if (cellIds.size > AtomicRewrite.MaxSetMembershipTerms) None
         else Some(col("centroid_id").isInCollection(cellIds))
       }
-    def del(table: String, keyCol: String,
-            prune: Option[Column]): (Boolean, Seq[Any]) =
-      if (collectKeys) {
-        val ks = AtomicRewrite.deleteMatchingKeys(spark, table, vecIds,
-          keyCol, prune)
-        (ks.nonEmpty, ks)
-      } else
-        (AtomicRewrite.deleteMatching(spark, table, vecIds, keyCol, prune),
-          Nil)
-    val (a, keysA) = del(p.cells, "vec_id", cellPrune)
-    val (b, keysB) =
-      if (vb.isEmpty) (false, Seq.empty[Any])
-      else del(p.vecmap, "vec_id",
-        Some(col("vec_bucket").isin(vb: _*)))
+    // the two deletes touch disjoint tables and each staging reads only
+    // its own committed state, so they stage CONCURRENTLY and the
+    // pointer swaps keep the sequential order — cells first, map second
+    // (a map row may outlive its cells row, never the reverse); both
+    // stagings settle before either promote, a failure aborting with
+    // zero pointers moved (the IndexStore.append stage/promote rule)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+    val cellsF = Future(AtomicRewrite.stageDeleteMatching(spark, p.cells,
+      vecIds, "vec_id", collectKeys, cellPrune))
+    val vmF = Future(
+      if (vb.isEmpty) None
+      else AtomicRewrite.stageDeleteMatching(spark, p.vecmap,
+        vecIds, "vec_id", collectKeys,
+        Some(col("vec_bucket").isin(vb: _*))))
+    val cellsStaged = scala.util.Try(Await.result(cellsF, Duration.Inf))
+    val vmStaged = scala.util.Try(Await.result(vmF, Duration.Inf))
+    (cellsStaged.failed.toOption orElse vmStaged.failed.toOption).foreach { e =>
+      Seq(cellsStaged, vmStaged).flatMap(_.failed.toOption)
+        .filter(_ ne e).foreach(e.addSuppressed)
+      throw e
+    }
+    cellsStaged.get.foreach(_.promote())
+    vmStaged.get.foreach(_.promote())
+    val (a, keysA) = (cellsStaged.get.isDefined,
+      cellsStaged.get.map(_.matched).getOrElse(Nil))
+    val (b, keysB) = (vmStaged.get.isDefined,
+      vmStaged.get.map(_.matched).getOrElse(Nil))
     if (covered && (a || b))
       markCovers(spark, root,
         AtomicRewrite.currentVersion(spark, p.cells).get)

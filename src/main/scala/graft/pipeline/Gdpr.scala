@@ -111,14 +111,20 @@ object Gdpr {
       ids.unpersist()
       return emptyAudit(ids, subjectType, now)
     }
+    // the per-table matched sets are already ON THE DRIVER — the audit
+    // rows materialize as folded literal-frame projections and the
+    // one-file append commits driver-side (zero scheduled jobs), the
+    // forgetStores discipline applied to the relational path
     val audit = rewritten.map { case (p, matched) =>
-        auditRows(ids.filter(col("subject_id").isin(matched: _*)),
+        auditRows(AtomicRewrite.literalFrame(spark,
+            matched.distinct.map(org.apache.spark.sql.Row(_)), ids.schema),
           subjectType, p.table, p.setCols.keys.toSeq, salt, now)
       }
       .reduce(_ unionByName _)
-    appendAudit(spark, auditRoot, audit)
+    val rows = audit.collect().toSeq
+    graft.tx.AppendLog.appendLocal(spark, auditRoot, rows, audit.schema)
     ids.unpersist()
-    audit
+    AtomicRewrite.literalFrame(spark, rows, audit.schema)
   }
 
   /** Zero-row audit frame with the canonical [[AuditCols]] schema. */
@@ -232,13 +238,15 @@ object Gdpr {
           // untouched store — or an unheld subject — would falsely
           // record artifacts as scrubbed at `now`)
           if (matched.isEmpty) None
-          else {
-            val rows = auditRows(
-              ids.filter(col("subject_id").isin(matched: _*)),
-              subjectType, s.store, s.artifacts, salt, now)
-            auditLock.synchronized(appendAudit(spark, auditRoot, rows))
-            Some(rows)
-          }
+          else
+            // the matched keys are already ON THE DRIVER, so the audit
+            // rows materialize without a job (the salted-fingerprint
+            // projection runs over a literal frame — still the engine's
+            // own hash expressions, folded by the optimizer) and the
+            // one-file append commits driver-side: the eager per-store
+            // audit contract at zero scheduled jobs per store
+            Some(auditLocalRows(spark, auditRoot, auditLock, ids.schema,
+              matched, subjectType, s.store, s.artifacts, salt, now))
         } match {
           case scala.util.Success(opt) => opt
           case scala.util.Failure(e) => failures.add(e); None
@@ -264,14 +272,27 @@ object Gdpr {
     } finally ids.unpersist()
   }
 
-  /** Append one run's audit rows as ONE new parquet file — prior runs'
-    * files are never rewritten, so the write is O(this run) while the
-    * log holds O(all-time erasures); the read path stays a plain scan.
-    * (The previous read-union-rewrite through one task was
-    * O(all-time-audit) per propagate run.) See [[graft.tx.AppendLog]]. */
-  private def appendAudit(spark: SparkSession, auditRoot: String,
-                          audit: DataFrame): Unit =
-    graft.tx.AppendLog.append(spark, auditRoot, audit)
+  /** [[auditRows]] + append for an already-COLLECTED matched-subject
+    * set: the ids inline as a literal frame, the fingerprint projection
+    * folds to local rows (zero jobs — still computed by the engine's
+    * own hash expressions, never a driver reimplementation), and the
+    * one-file append commits driver-side
+    * ([[graft.tx.AppendLog.appendLocal]]). Returns the written rows as
+    * a literal frame in the canonical [[AuditCols]] schema. */
+  private def auditLocalRows(spark: SparkSession, auditRoot: String,
+                             auditLock: Object,
+                             idSchema: org.apache.spark.sql.types.StructType,
+                             matched: Seq[Any], subjectType: String,
+                             table: String, scrubbed: Seq[String],
+                             salt: String, now: Timestamp): DataFrame = {
+    val idsLocal = AtomicRewrite.literalFrame(spark,
+      matched.distinct.map(org.apache.spark.sql.Row(_)), idSchema)
+    val audit = auditRows(idsLocal, subjectType, table, scrubbed, salt, now)
+    val rows = audit.collect().toSeq
+    auditLock.synchronized(
+      graft.tx.AppendLog.appendLocal(spark, auditRoot, rows, audit.schema))
+    AtomicRewrite.literalFrame(spark, rows, audit.schema)
+  }
 
   /** Whether any audit rows have ever been written. */
   def auditExists(spark: SparkSession, auditRoot: String): Boolean =

@@ -525,10 +525,13 @@ object IndexStore {
     * or a pre-doc_bucket layout) → the legacy full-recompute path. */
   private case class ForgetScope(fromVersion: Long, nDocs: Long,
                                  sumDl: Long, docBuckets: Seq[Any],
-                                 postBuckets: Option[Seq[Any]])
+                                 postBuckets: Option[Seq[Any]],
+                                 dbTouched: Seq[Any],
+                                 matchedKeys: Seq[Any])
 
   private def forgetScope(spark: SparkSession, p: Paths, docIds: DataFrame,
-                          chainClean: Boolean): Option[ForgetScope] = {
+                          chainClean: Boolean,
+                          collectKeys: Boolean): Option[ForgetScope] = {
     if (!AtomicRewrite.exists(spark, p.docstats)) return None
     val committed = AtomicRewrite.read(spark, p.docstats)
     if (!committed.columns.contains("doc_bucket")) return None
@@ -542,7 +545,7 @@ object IndexStore {
     val withLists = chainClean && committed.columns.contains("buckets")
     if (docBuckets.isEmpty)
       return Some(ForgetScope(v0, 0L, 0L, Nil,
-        if (withLists) Some(Nil) else None))
+        if (withLists) Some(Nil) else None, Nil, Nil))
     val matched = committed.filter(col("doc_bucket").isin(docBuckets: _*))
       .join(docIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     // the postings prune = the union of the matched docs' bucket lists,
@@ -570,7 +573,8 @@ object IndexStore {
         coalesce(col("buckets_live"), col("buckets"))
       else col("buckets")
     val agg = matched
-      .select(col("dl"), coalesce(listCol, array().cast("array<int>")).as("__l"))
+      .select(col("dl"), col("doc_bucket"), col("doc_id"),
+        coalesce(listCol, array().cast("array<int>")).as("__l"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl"),
         coalesce(expr("bit_or(aggregate(__l, cast(0 as bigint), " +
@@ -578,13 +582,22 @@ object IndexStore {
           .as("pbmask"),
         coalesce(expr("bool_or(exists(__l, " +
           s"b -> b IS NULL OR b < 0 OR b >= $PostingBuckets))"), lit(false))
-          .as("pb_out_of_range"))
+          .as("pb_out_of_range"),
+        // the EXACT touched doc buckets (≤ DocBuckets ints) ride the
+        // same single-row aggregate — they are the docstats delete's
+        // replaced set, so the delete needs no discovery scan of its
+        // own; matched keys ride along only on the audit shape (bounded
+        // by the erasure-request contract, like deleteMatchingKeys)
+        collect_set(col("doc_bucket")).as("db_touched"),
+        (if (collectKeys) collect_set(col("doc_id"))
+         else array()).as("matched_keys"))
       .head()
     val mask = agg.getLong(2)
     val pb = (0 until PostingBuckets)
       .filter(b => (mask >> b & 1L) == 1L).map(x => x: Any)
     Some(ForgetScope(v0, agg.getLong(0), agg.getLong(1), docBuckets,
-      if (withLists && !agg.getBoolean(3)) Some(pb) else None))
+      if (withLists && !agg.getBoolean(3)) Some(pb) else None,
+      agg.getSeq[Any](4), agg.getSeq[Any](5)))
   }
 
   /** The shared body of [[forget]]/[[forgetMatched]] — break hints,
@@ -608,35 +621,102 @@ object IndexStore {
     // the only writer (the quiesced-store contract), so it still
     // vouches for the committed state the deletes below read.
     val marks = breakMaintHints(spark, root, p)
-    val scope = forgetScope(spark, p, docIds, chainClean = marks._1)
-    def del(table: String, prune: Option[Column]): (Boolean, Seq[Any]) =
-      if (collectKeys) {
-        val ks = AtomicRewrite.deleteMatchingKeys(spark, table, docIds,
-          "doc_id", prune)
-        (ks.nonEmpty, ks)
-      } else
-        (AtomicRewrite.deleteMatching(spark, table, docIds, "doc_id", prune),
-          Nil)
-    val (a, keysA) = scope.flatMap(_.postBuckets) match {
-      // chain clean and no matched docstats rows (or zero-token docs
-      // only) ⟹ provably no postings: skip the table entirely
-      case Some(pb) if pb.isEmpty => (false, Seq.empty[Any])
-      case Some(pb) => del(p.postings, Some(col("bucket").isin(pb: _*)))
-      case None => del(p.postings, None)
-    }
-    val (b, keysB) = scope match {
-      case Some(s) if s.docBuckets.isEmpty => (false, Seq.empty[Any])
+    val scope = forgetScope(spark, p, docIds, chainClean = marks._1,
+      collectKeys)
+    scope.filter(_.postBuckets.isDefined) match {
       case Some(s) =>
-        del(p.docstats, Some(col("doc_bucket").isin(s.docBuckets: _*)))
-      case None => del(p.docstats, None)
-    }
-    if (b) scope match {
-      case Some(s) =>
+        // CLEAN-CHAIN fast path: the one pruned docstats read already
+        // produced BOTH tables' exact touched sets — the matched docs'
+        // doc buckets, and the union of their live posting-bucket lists
+        // (chain clean ⟹ each listed bucket holds ≥ 1 committed posting
+        // of a matched doc, so the mask is the postings delete's exact
+        // replaced set, not just a prune) — so neither delete pays a
+        // discovery scan, and the two stagings run concurrently against
+        // their own committed state (the [[append]] stage/promote
+        // discipline). Promotes keep the sequential order (postings
+        // first): every crash state is one the broken-at-entry hints
+        // already cover. Matched keys come from docstats alone — chain
+        // clean ⟹ a doc absent from docstats has no postings, so the
+        // docstats match set ⊇ the postings one (the union the
+        // sequential path collected).
+        if (s.dbTouched.isEmpty) {
+          // nothing matched anywhere: no version burns, no stats shift
+          restoreMaintHints(spark, root, p, marks)
+          return (false, Nil)
+        }
+        val ks = docIds.select("doc_id").distinct()
+        val pb = s.postBuckets.get
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = Runner.branchEc
+        // both bucket columns are int by construction of every write
+        // path (bucketOf/docBucketOf cast to int) — the fast path is
+        // gated on the current layout, so the replaced-set schema is a
+        // constant, no relation probe needed
+        def touchedRows(vals: Seq[Any], c: String) =
+          Some((vals.map(org.apache.spark.sql.Row(_)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.types.IntegerType)))))
+        val postStage = Future(
+          if (pb.isEmpty) None // zero-token matches only: no postings
+          else {
+            val keep = AtomicRewrite.read(spark, p.postings)
+              .filter(col("bucket").isin(pb: _*))
+              .join(ks, Seq("doc_id"), "left_anti")
+            Some(AtomicRewrite.stagePartitionsRows(spark, p.postings,
+              keep, Seq("bucket"), touchedRows(pb, "bucket")))
+          })
+        val dsStage = Future {
+          val keep = AtomicRewrite.read(spark, p.docstats)
+            .filter(col("doc_bucket").isin(s.dbTouched: _*))
+            .join(ks, Seq("doc_id"), "left_anti")
+          AtomicRewrite.stagePartitionsRows(spark, p.docstats,
+            keep, Seq("doc_bucket"),
+            touchedRows(s.dbTouched, "doc_bucket"))
+        }
+        // both stagings settle before EITHER promote — a staging
+        // failure aborts the whole forget with zero pointers moved,
+        // sibling failures attached (the append rule)
+        val postStaged = scala.util.Try(Await.result(postStage, Duration.Inf))
+        val dsStaged = scala.util.Try(Await.result(dsStage, Duration.Inf))
+        (postStaged.failed.toOption orElse dsStaged.failed.toOption)
+          .foreach { e =>
+            Seq(postStaged, dsStaged).flatMap(_.failed.toOption)
+              .filter(_ ne e).foreach(e.addSuppressed)
+            throw e
+          }
+        postStaged.get.foreach(_.apply())
+        dsStaged.get.apply()
         statsIncrement(spark, root, s.fromVersion, -s.nDocs, -s.sumDl)
-      case None => refreshStats(spark, root)
+        restoreMaintHints(spark, root, p, marks)
+        (true, s.matchedKeys)
+      case None =>
+        // broken chain / legacy layout: the always-sound sequential
+        // discovery deletes
+        def del(table: String, prune: Option[Column]): (Boolean, Seq[Any]) =
+          if (collectKeys) {
+            val ks = AtomicRewrite.deleteMatchingKeys(spark, table, docIds,
+              "doc_id", prune)
+            (ks.nonEmpty, ks)
+          } else
+            (AtomicRewrite.deleteMatching(spark, table, docIds, "doc_id", prune),
+              Nil)
+        val (a, keysA) = del(p.postings, None)
+        val (b, keysB) = scope match {
+          case Some(s) if s.docBuckets.isEmpty => (false, Seq.empty[Any])
+          case Some(s) =>
+            del(p.docstats, Some(col("doc_bucket").isin(s.docBuckets: _*)))
+          case None => del(p.docstats, None)
+        }
+        if (b) scope match {
+          case Some(s) =>
+            statsIncrement(spark, root, s.fromVersion, -s.nDocs, -s.sumDl)
+          case None => refreshStats(spark, root)
+        }
+        restoreMaintHints(spark, root, p, marks)
+        (a || b, (keysA ++ keysB).distinct)
     }
-    restoreMaintHints(spark, root, p, marks)
-    (a || b, (keysA ++ keysB).distinct)
   }
 
   /** Maintenance: shrink docstats bucket lists back to EXACT. The lists

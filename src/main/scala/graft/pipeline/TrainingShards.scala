@@ -161,24 +161,40 @@ object TrainingShards {
     * rewritten; [[forgetMatched]] additionally returns the matched ids
     * for per-subject audit trails. */
   def forget(spark: SparkSession, root: String, docIds: DataFrame,
-             idCol: String = "doc_id"): Boolean = {
-    val orderCol = refreshableOrderCol(spark, root)
-    val changed = AtomicRewrite.deleteMatching(spark, Paths(root).shards,
-      docIds, idCol)
-    if (changed) refreshManifest(spark, root, orderCol)
-    changed
-  }
+             idCol: String = "doc_id"): Boolean =
+    forgetImpl(spark, root, docIds, idCol, collectKeys = false).nonEmpty
 
   /** [[forget]] returning the matched ids (empty = epoch untouched, no
     * version burned) — the audit-precision shape for
     * [[Gdpr.StoreErasure]]. */
   def forgetMatched(spark: SparkSession, root: String, docIds: DataFrame,
-                    idCol: String = "doc_id"): Seq[Any] = {
+                    idCol: String = "doc_id"): Seq[Any] =
+    forgetImpl(spark, root, docIds, idCol, collectKeys = true)
+
+  /** Shared body of [[forget]]/[[forgetMatched]]. The delete already
+    * knows exactly which shard partitions it rewrote, so the manifest
+    * refresh rides [[refreshManifestIncremental]] — prev rows verbatim
+    * for untouched shards, a plan-pruned re-aggregate for the touched
+    * ones, O(touched shards) instead of a full-epoch re-read (any stale
+    * marker still falls back to the full recompute and heals). Returns
+    * the matched ids (a `true` sentinel when `collectKeys` is off). */
+  private def forgetImpl(spark: SparkSession, root: String,
+                         docIds: DataFrame, idCol: String,
+                         collectKeys: Boolean): Seq[Any] = {
+    val p = Paths(root)
     val orderCol = refreshableOrderCol(spark, root)
-    val matched = AtomicRewrite.deleteMatchingKeys(spark,
-      Paths(root).shards, docIds, idCol)
-    if (matched.nonEmpty) refreshManifest(spark, root, orderCol)
-    matched
+    // the version the delete replaces, read BEFORE it commits — the
+    // incremental refresh's validity stamp
+    val v0 = AtomicRewrite.currentVersion(spark, p.shards)
+    AtomicRewrite.stageDeleteMatching(spark, p.shards, docIds, idCol,
+      collectKeys, pruneTo = None) match {
+      case None => Nil
+      case Some(d) =>
+        d.promote()
+        refreshManifestIncremental(spark, root, orderCol, v0,
+          Some(d.touched.map(_.get(0))))
+        if (collectKeys) d.matched else Seq(true)
+    }
   }
 
   /** The epoch's recorded order column — resolved (and its presence

@@ -77,19 +77,26 @@ object VectorQueries {
     * predicate, so eval cost stays ~flat as the corpus grows. */
   val EvalPanel = 40
 
-  /** Nearest-centroid assignment — argmax via max_by, not a row_number
-    * window: the aggregate partial-combines the vec×centroid cross product
-    * map-side, so the id shuffle moves one row per vector instead of one
-    * per (vector, centroid), and needs no global sort. Tie-break matches
-    * the oracles: highest cos, then lowest centroid_id. */
-  private def assign(df: DataFrame, cents: DataFrame, idCol: String): DataFrame =
-    df.crossJoin(cents)
-      .withColumn("__c_cos", cosN(col("embedding"), col("cv")))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("embedding"), col("centroid_id")),
-        struct(col("__c_cos"), -col("centroid_id"))).as("__best"))
-      .select(col(idCol), col("__best.embedding").as("embedding"),
-        col("__best.centroid_id").as("centroid_id"))
+  /** Nearest-centroid assignment — argmax as a NARROW MAP (the
+    * [[graft.pipeline.AnnIndexStore]] assign shape): the K centroids
+    * pack into ONE broadcast row and each vector takes `array_max` over
+    * (cos, −id) structs — no shuffle of the corpus at all, where the
+    * previous groupBy argmax still exchanged one row per vector.
+    * Tie-break matches the oracles: highest cos, then lowest
+    * centroid_id. Input is keyed by `idCol` (unique — the embeddings
+    * table's contract), so the per-row argmax equals the old per-key
+    * max_by. */
+  private def assign(df: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val packed = graft.pipeline.AnnIndexStore.packedCentroids(
+      df.sparkSession, cents)
+    df.crossJoin(broadcast(packed))
+      .withColumn("__best", array_max(transform(col("__cents"),
+        c => struct(cosN(col("embedding"), c.getField("cv")).as("c"),
+          (-c.getField("centroid_id")).as("ni"),
+          c.getField("centroid_id").as("id")))))
+      .select(col(idCol), col("embedding"),
+        col("__best").getField("id").as("centroid_id"))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs with IVF-cell candidate

@@ -65,6 +65,37 @@ object AppendLog {
     }
   }
 
+  /** [[append]] for DRIVER-RESIDENT rows (untagged): one parquet file
+    * written via [[LocalParquet]] — zero scheduled jobs, the
+    * writeLocalRows discipline applied to the append-log shape (an
+    * audit batch is a handful of rows whose values were already
+    * collected; a coalesce(1) job to persist them is a pure
+    * schedule/plan round-trip). Crash-safe like the Spark path: staged
+    * to a dot-dir, renamed to its flat name in one FS op — a torn write
+    * can never land where [[read]] scans. The name deliberately does
+    * NOT carry the `log_` tag prefix, so a fold never records it as an
+    * absorbed tag. */
+  def appendLocal(spark: SparkSession, root: String,
+                  rows: Seq[org.apache.spark.sql.Row],
+                  schema: org.apache.spark.sql.types.StructType,
+                  foldThreshold: Int = FoldThreshold): Unit = {
+    migrateLegacy(spark, root)
+    completeFold(spark, root)
+    if (partFiles(spark, root).length > foldThreshold)
+      fold(spark, root)
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    if (!f.exists(rootPath)) f.mkdirs(rootPath)
+    val id = java.util.UUID.randomUUID()
+    val staged = new Path(root, s".stage-local-$id")
+    LocalParquet.write(spark, new Path(staged, "part.parquet"), rows, schema)
+    val target = new Path(root, s"loc_$id.parquet")
+    if (!f.rename(new Path(staged, "part.parquet"), target))
+      throw new IllegalStateException(
+        s"append-log local rename failed: $staged -> $target")
+    f.delete(staged, true)
+  }
+
   /** Whether a `tag`ged append has already happened — a file-exists
     * probe plus the `_TAGS` sidecar (tags whose files a fold absorbed);
     * no log scan either way. */

@@ -394,7 +394,7 @@ object AtomicRewrite {
             partitionBy.map(c => r.schema(c))))
       }, keepVersions)
 
-  private[tx] def stagePartitionsRows(spark: SparkSession, root: String,
+  private[graft] def stagePartitionsRows(spark: SparkSession, root: String,
                       df: DataFrame,
                       partitionBy: Seq[String],
                       replaced: Option[(Seq[org.apache.spark.sql.Row],
@@ -778,7 +778,32 @@ object AtomicRewrite {
   private def deleteImpl(spark: SparkSession, root: String,
                          keys: DataFrame, keyCol: String,
                          collectKeys: Boolean,
-                         pruneTo: Option[Column]): Option[Seq[Any]] = {
+                         pruneTo: Option[Column]): Option[Seq[Any]] =
+    stageDeleteMatching(spark, root, keys, keyCol, collectKeys, pruneTo)
+      .map { d => d.promote(); d.matched }
+
+  /** A fully staged partition-level delete: the matched keys (empty
+    * unless requested), the touched partition-value rows, and the
+    * promote closure (pointer swap + vacuum) — the
+    * [[stagePartitions]] shape for deletes, so a caller with an
+    * ordering contract between two tables can stage both deletes
+    * concurrently and swap the pointers in contract order. */
+  private[graft] case class StagedDelete(matched: Seq[Any],
+                                         touched: Seq[org.apache.spark.sql.Row],
+                                         promote: () => Unit)
+
+  /** [[deleteMatching]] split at the commit point ([[stagePartitions]]'
+    * discipline): runs the discovery scan and stages the rewritten
+    * partitions, returning what it found plus the promote closure.
+    * None = nothing matched, nothing staged, no version burned. The
+    * full-table fallback (touched set beyond the predicate ceilings)
+    * cannot pre-stage through this seam — its closure performs the
+    * whole write, serialized at promote time (rare by construction:
+    * single-column bucket layouts stay under [[MaxSetMembershipTerms]]). */
+  private[graft] def stageDeleteMatching(spark: SparkSession, root: String,
+                         keys: DataFrame, keyCol: String,
+                         collectKeys: Boolean,
+                         pruneTo: Option[Column]): Option[StagedDelete] = {
     import org.apache.spark.sql.functions.col
     if (!exists(spark, root)) return None
     val ks = keys.select(col(keyCol)).distinct()
@@ -808,29 +833,30 @@ object AtomicRewrite {
       } else
         (Nil, matchedRows.select(pcols.map(col): _*).distinct().collect().toSeq)
     if (touched.isEmpty) return None
-    if (touched.size > MaxInlinedPartitionTerms &&
-        (pcols.lengthCompare(1) > 0 || touched.size > MaxSetMembershipTerms))
-      // multi-column layouts (or a set outgrowing even the InSet
-      // ceiling): at this spread a full scan IS the right plan — and a
-      // hard failure here would poison the erasure request driving it
-      write(spark, root, table.join(ks, Seq(keyCol), "left_anti"),
-        partitionBy = pcols)
-    else {
-      // single-column wide sets ride the InSet shape of
-      // partitionPredicate: a bulk-subject delete (a banned source
-      // spanning tens of thousands of partitions) rewrites only its
-      // touched partitions — bystanders ride the manifest by reference,
-      // their pages never read — instead of degrading to an O(table)
-      // rewrite exactly when the table is biggest. The touched rows
-      // pass as-collected (writePartitionsRows) — a DataFrame wrap
-      // would inline an O(set)-row LocalRelation just to collect it
-      // back
-      val keep = table.filter(partitionPredicate(pcols, touched))
-        .join(ks, Seq(keyCol), "left_anti")
-      writePartitionsRows(spark, root, keep, pcols, replaced = Some((touched,
-        org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))))
-    }
-    Some(matched)
+    val promote: () => Unit =
+      if (touched.size > MaxInlinedPartitionTerms &&
+          (pcols.lengthCompare(1) > 0 || touched.size > MaxSetMembershipTerms))
+        // multi-column layouts (or a set outgrowing even the InSet
+        // ceiling): at this spread a full scan IS the right plan — and a
+        // hard failure here would poison the erasure request driving it
+        () => write(spark, root, table.join(ks, Seq(keyCol), "left_anti"),
+          partitionBy = pcols)
+      else {
+        // single-column wide sets ride the InSet shape of
+        // partitionPredicate: a bulk-subject delete (a banned source
+        // spanning tens of thousands of partitions) rewrites only its
+        // touched partitions — bystanders ride the manifest by reference,
+        // their pages never read — instead of degrading to an O(table)
+        // rewrite exactly when the table is biggest. The touched rows
+        // pass as-collected (writePartitionsRows) — a DataFrame wrap
+        // would inline an O(set)-row LocalRelation just to collect it
+        // back
+        val keep = table.filter(partitionPredicate(pcols, touched))
+          .join(ks, Seq(keyCol), "left_anti")
+        stagePartitionsRows(spark, root, keep, pcols, replaced = Some((touched,
+          org.apache.spark.sql.types.StructType(pcols.map(c => table.schema(c))))))
+      }
+    Some(StagedDelete(matched, touched, promote))
   }
 
   private def writeManifest(f: FileSystem, versionDir: Path,
