@@ -80,7 +80,14 @@ object Graph {
     // strategy choice; both strategies then read the pinned copy — the
     // distributed path previously evaluated the (expensive — shingle
     // self-join upstream) pair plan through the symmetrizing union
+    // NULL endpoints drop BEFORE the strategy choice, so both strategies
+    // see the same edge set: the driver path required non-null loudly
+    // while the distributed joins silently never matched them — the same
+    // pipeline could crash or succeed depending only on the pair count.
+    // Engine pair-formers never produce nulls (join/explode keys); this
+    // pins the policy for a future nullable caller.
     val p2 = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = p2.count()
     val bound = spark.conf.getOption("graft.cc.maxDriverPairs")

@@ -203,7 +203,7 @@ object AnnIndexStore {
         partitionBy = Seq("vec_bucket"))))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     cells.unpersist()
-    writes.foreach(_.get)
+    Runner.settleAll(writes)
     markCovers(spark, root,
       AtomicRewrite.currentVersion(spark, p.cells).get)
   }

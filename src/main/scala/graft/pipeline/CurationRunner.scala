@@ -230,7 +230,7 @@ object CurationRunner {
         val idx = Future(refreshIndexes(spark, p, landed, emb, conf))
         val rel = scala.util.Try(release(spark, p, conf))
         val idxSettled = scala.util.Try(Await.result(idx, Duration.Inf))
-        rel.get; idxSettled.get
+        Runner.settleAll(Seq(rel, idxSettled))
       }
       Watermarks.advance(spark, p.control, Job, Some(asOf), "SUCCESS", asOf)
     } catch {
@@ -471,13 +471,19 @@ object CurationRunner {
           .select(col(conf.idCol))
         (keptAll.join(ids, Seq(conf.idCol), "left_semi"), Some(sig))
     }
-    val (cum, cached) = PrefixSum.runningTotals(kept,
+    val (cum, cached, totals) = PrefixSum.runningTotalsSummed(kept,
       Seq(col("quality_score").desc, col(conf.idCol)),
       Seq((col("n_tokens"), "cum_tokens"), (lit(1L), "train_pos")))
-    val budget = cached.agg(
-      floor(sum("n_tokens") * lit(conf.budgetShare)).cast("long").as("__budget"))
-    val sel = cum.crossJoin(broadcast(budget))
-      .filter(col("cum_tokens") <= col("__budget")).drop("__budget")
+    // the budget scalar derives from the prefix pass's own exact long
+    // total (floor(total × share) — the same double multiply + floor the
+    // aggregate computed), so the cut is a literal predicate: no second
+    // aggregate action, no broadcast build
+    val totalTokens = totals.head match {
+      case null => 0L
+      case t: java.lang.Long => t.longValue
+    }
+    val budgetV = math.floor(totalTokens * conf.budgetShare).toLong
+    val sel = cum.filter(col("cum_tokens") <= budgetV)
     // curriculum order (q117): the selection's train_pos round-robins
     // sources best-first. Source-keyed rank windows only; the one
     // unpartitioned window runs over the O(sources) distinct frame.
@@ -669,7 +675,7 @@ object CurationRunner {
       // audit contract) — both invisible to the version-keyed skip
       Future(AnnIndexStore.maintain(spark, p.ann, audit = auditAnnVecmap)))
     val settled = passes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    settled.foreach(_.get)
+    Runner.settleAll(settled)
     val ip = IndexStore.Paths(p.index)
     val sp = TrainingShards.Paths(p.shards)
     val ap = AnnIndexStore.Paths(p.ann)
@@ -682,7 +688,7 @@ object CurationRunner {
       .filter(AtomicRewrite.exists(spark, _))
       .map(r => Future(AtomicRewrite.vacuum(spark, r, keepVersions, retainHours)))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    sweeps.foreach(_.get)
+    Runner.settleAll(sweeps)
   }
 
   /** Step 2 of [[maintain]]: fold the corpus' per-batch `batch_id` dirs

@@ -121,13 +121,17 @@ object IndexStore {
     corpus.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .groupBy("doc_id")
       .agg(max_by(col("__text"), sha2(col("__text"), 256)).as("__text"))
+      // tokenize ONCE, here: both derived tables (postings, docstats)
+      // read the pinned token arrays, so a build/append pays one
+      // tokenize pass over the batch, not one per table
+      .select(col("doc_id"),
+        graft.ops.TextOps.tokens(col("__text")).as("__toks"))
 
   /** (token, doc_id, tf, dl, bucket) postings of a canonical batch —
     * term frequencies via one explode + keyed count, dl carried on
     * every row so scoring never joins the corpus. */
   private def postingsOf(canonical: DataFrame): DataFrame =
-    canonical.select(col("doc_id"),
-        graft.ops.TextOps.tokens(col("__text")).as("__toks"))
+    canonical
       .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
         explode(col("__toks")).as("token"))
       .groupBy("token", "doc_id")
@@ -142,8 +146,7 @@ object IndexStore {
     * starts equal and stays the CURRENT text's exact list while
     * `buckets` grows into the crash-replay union. */
   private def docstatsOf(canonical: DataFrame): DataFrame =
-    canonical.select(col("doc_id"),
-        graft.ops.TextOps.tokens(col("__text")).as("__toks"))
+    canonical
       .select(col("doc_id"),
         size(col("__toks")).cast("double").as("dl"),
         array_sort(array_distinct(
@@ -181,7 +184,7 @@ object IndexStore {
         docstatsOf(canon), partitionBy = Seq("doc_bucket"))))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     canon.unpersist()
-    writes.foreach(_.get)
+    Runner.settleAll(writes)
     refreshStats(spark, root)
     // a fresh build IS an exact state: lists equal the live lists equal
     // the postings — start the clean chain and the shrink convergence
@@ -235,7 +238,9 @@ object IndexStore {
         AtomicRewrite.exists(spark, p.docstats),
       s"no complete index at $root (postings + docstats) — build() an " +
         "index before appending to it")
-    val canon = canonicalBatch(batch, textCol, idCol)
+    // pinned: postings and docstats both derive from it — one
+    // canonicalize + tokenize pass per append, not one per table
+    val canon = canonicalBatch(batch, textCol, idCol).persist()
     val ids = canon.select("doc_id")
     val post = postingsOf(canon).persist()
     val ds = docstatsOf(canon)
@@ -252,7 +257,7 @@ object IndexStore {
       // partitions at plan time (severed lineage, the probed-cell idiom)
       val docBuckets = ids.select(docBucketOf(col("doc_id")).as("doc_bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      if (docBuckets.isEmpty) { post.unpersist(); return } // empty batch: no-op
+      if (docBuckets.isEmpty) { post.unpersist(); canon.unpersist(); return } // empty batch: no-op
       val v0 = AtomicRewrite.currentVersion(spark, p.docstats).get
       val live = committed.columns.contains("buckets_live")
       // CLEAN CHAIN: every append since the last provably-exact state
@@ -328,7 +333,7 @@ object IndexStore {
       // must abort the whole merge with zero pointers moved
       val dsStaged = scala.util.Try(Await.result(dsStage, Duration.Inf))
       val postStaged = scala.util.Try(Await.result(postStage, Duration.Inf))
-      dsStaged.get; postStaged.get
+      Runner.settleAll(Seq(dsStaged, postStaged))
       dsStaged.get.apply()            // intent first
       postStaged.get.foreach(_.apply())
       intentDl.unpersist()
@@ -345,9 +350,11 @@ object IndexStore {
         markChain(spark, root,
           AtomicRewrite.currentVersion(spark, p.docstats).get)
       post.unpersist()
+      canon.unpersist()
       return
     }
     post.unpersist()
+    canon.unpersist()
     refreshStats(spark, root)
   }
 

@@ -39,6 +39,16 @@ object Runner {
         t.setDaemon(true); t
       }))
 
+  /** Settle a set of concurrent branches: rethrow the FIRST failure
+    * with every sibling failure attached via addSuppressed (the
+    * [[Gdpr.forgetStoresStaged]] aggregation rule) — when two branches
+    * fail together, neither side's diagnostics are lost. */
+  private[graft] def settleAll(settled: Seq[scala.util.Try[_]]): Unit =
+    settled.flatMap(_.failed.toOption) match {
+      case Seq() => ()
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
+
   /** One pipeline batch from explicit sources (runAll = batch over the sf
     * tables; incremental harnesses feed later batches through the same
     * path).
@@ -76,7 +86,7 @@ object Runner {
         Medallion.goldScd3(spark, paths, "customer", "c_custkey",
           Seq("c_mktsegment", "c_acctbal"), now))
       val scd1Settled = scala.util.Try(Await.result(scd1, Duration.Inf))
-      scd3.get; scd1Settled.get
+      settleAll(Seq(scd3, scd1Settled))
     }
     val ordersChain = Future {
       Medallion.bronzeLoad(spark, paths, "orders", orders, "o_orderdate", batchId, now)
@@ -94,7 +104,7 @@ object Runner {
     // the sibling branch is still committing tables
     val settled = Seq(customerChain, ordersChain)
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    settled.foreach(_.get)
+    settleAll(settled)
 
     // --- fact: partition-committed on a stored month grain — an
     // incremental batch rewrites only the months it touches, never

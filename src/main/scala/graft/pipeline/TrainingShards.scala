@@ -99,22 +99,28 @@ object TrainingShards {
     * materializing whatever it derives from `assigned`. */
   private[graft] def rangeAssign(corpus: DataFrame, nShards: Int,
                                  orderCol: String): (DataFrame, DataFrame) = {
-    val (cum, cached) = graft.ops.PrefixSum.runningTotal(corpus,
+    val (cum, cached, total) = graft.ops.PrefixSum.runningTotalSummed(corpus,
       Seq(col(orderCol)), col("n_tokens"), "__cum")
-    // O(1) scalars from the cached narrow frame: total tokens → the
-    // per-shard target; broadcast back into the assignment map
-    val target = cached.agg(
-      greatest(ceil(sum("n_tokens") / lit(nShards.toDouble)), lit(1L))
-        .cast("long").as("__target"))
+    // the per-shard target derives from the prefix pass's own exact long
+    // total (the same double divide + ceil the aggregate computed; an
+    // empty corpus floors at 1 like the old greatest(…, 1)), so the
+    // assignment map carries a literal — no second aggregate action, no
+    // broadcast build
+    val totalTokens = total match {
+      case null => 0L
+      case t: java.lang.Long => t.longValue
+    }
+    val targetV =
+      math.max(math.ceil(totalTokens / nShards.toDouble).toLong, 1L)
     // clamped into [0, nShards): without the floor-at-0, a zero-token
     // document at the HEAD of the order (running total still 0) would
     // compute floor(-1/target) = -1 and land in a shard no loader
     // iterating 0..n-1 ever reads
-    val assigned = cum.crossJoin(broadcast(target))
+    val assigned = cum
       .withColumn("shard_id",
-        greatest(least(floor((col("__cum") - 1) / col("__target")),
+        greatest(least(floor((col("__cum") - 1) / lit(targetV)),
           lit(nShards - 1L)), lit(0L)).cast("int"))
-      .drop("__cum", "__target")
+      .drop("__cum")
     (assigned, cached)
   }
 

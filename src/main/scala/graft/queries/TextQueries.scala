@@ -939,13 +939,17 @@ object TextQueries {
         .join(keptIds, "doc_id")
         .select(col("doc_id"), col("n_tokens"),
           qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))
-      val (cum, cached) = graft.ops.PrefixSum.runningTotal(d,
+      val (cum, cached, total) = graft.ops.PrefixSum.runningTotalSummed(d,
         Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
         "cum_tokens")
-      val budget = cached.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
-        .cast("long").as("budget"))
-      val out = cum.crossJoin(broadcast(budget))
-        .filter(col("cum_tokens") <= col("budget"))
+      // the budget scalar derives from the prefix pass's own exact long
+      // total (same double multiply + floor the aggregate computed) —
+      // literal predicate, no second aggregate action
+      val budgetV = math.floor(Option(total)
+        .map(_.asInstanceOf[java.lang.Long].longValue).getOrElse(0L)
+        * TokenBudgetShare).toLong
+      val out = cum
+        .filter(col("cum_tokens") <= budgetV)
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           col("cum_tokens"))
       materializeAndRelease(out, cached, gate)
@@ -972,14 +976,16 @@ object TextQueries {
           TextOps.tokenHits(toks, TextOps.StopwordsEn).as("stop_hits"))
         .select(col("doc_id"), col("n_tokens"),
           qualityScore(col("n_tokens"), col("stop_hits")).as("quality_score"))
-      val (cum, cached) = graft.ops.PrefixSum.runningTotal(d,
+      val (cum, cached, total) = graft.ops.PrefixSum.runningTotalSummed(d,
         Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
         "cum_tokens")
-      // budget reads the cached narrow frame — never a second tokenize scan
-      val budget = cached.agg(floor(sum("n_tokens") * lit(TokenBudgetShare))
-        .cast("long").as("budget"))
-      val out = cum.crossJoin(broadcast(budget))
-        .filter(col("cum_tokens") <= col("budget"))
+      // the budget scalar rides the prefix pass's own exact long total
+      // (never a second tokenize scan, and no second aggregate action)
+      val budgetV = math.floor(Option(total)
+        .map(_.asInstanceOf[java.lang.Long].longValue).getOrElse(0L)
+        * TokenBudgetShare).toLong
+      val out = cum
+        .filter(col("cum_tokens") <= budgetV)
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           col("cum_tokens"))
       materializeAndRelease(out, cached)
@@ -1257,22 +1263,25 @@ object TextQueries {
     "q121_vocab_coverage" -> ((s, dir) => {
       val freq = docs(s, dir).select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cf"))
-      val (cum, cached) = graft.ops.PrefixSum.runningTotals(freq,
-        Seq(col("cf").desc, col("token")),
+      val (cum, cached, totalCf) = graft.ops.PrefixSum.runningTotalsSummed(
+        freq, Seq(col("cf").desc, col("token")),
         Seq(col("cf") -> "cum_cf", lit(1L) -> "vocab_rank"))
-      val total = cached.agg(sum("cf").as("total"))
+      // the corpus token total rides the prefix pass (exact long) — a
+      // literal in the threshold predicate, no second aggregate action
+      val totalV = Option(totalCf.head)
+        .map(_.asInstanceOf[java.lang.Long].longValue).getOrElse(0L)
       val th = CoverageThresholds
         .map(t => org.apache.spark.sql.Row(t))
       val thDf = graft.tx.AtomicRewrite.literalFrame(s, th,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("threshold",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
-      val out = cum.crossJoin(broadcast(total)).crossJoin(broadcast(thDf))
-        .filter(col("cum_cf") / col("total") >= col("threshold"))
+      val out = cum.crossJoin(broadcast(thDf))
+        .filter(col("cum_cf") / lit(totalV) >= col("threshold"))
         .groupBy("threshold")
         .agg(min("vocab_rank").as("vocab_size"),
           min_by(col("cum_cf"), col("vocab_rank")).as("tokens_covered"),
-          round(min_by(col("cum_cf"), col("vocab_rank")) / first(col("total")), 6)
+          round(min_by(col("cum_cf"), col("vocab_rank")) / lit(totalV), 6)
             .as("coverage"))
       materializeAndRelease(out, cached)
     }),

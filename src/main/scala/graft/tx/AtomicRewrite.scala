@@ -1054,11 +1054,18 @@ object AtomicRewrite {
     * previous read's. A committed version dir is immutable, so the
     * (root, version, dir-set) relation can be reused forever; the
     * commit-marker mtime token guards the delete-and-rebuild hole
-    * exactly like [[readCache]]. Crude size cap, no LRU: entries are
-    * plans (cheap), and a full clear just re-infers once. */
-  private val groupCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, String, Long, Long, String), DataFrame]()
+    * exactly like [[readCache]]. Access-ordered LRU, capped: entries for
+    * vacuumed versions and dead sessions age out INCREMENTALLY as live
+    * groups re-enter, instead of an unbounded map (or a full clear that
+    * would re-infer every live group at once). */
+  private val GroupCacheMax = 8192
+  private val groupCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, String, Long, Long, String), DataFrame](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Long, Long, String), DataFrame])
+        : Boolean = size() > GroupCacheMax
+    })
 
   private def readGroup(spark: SparkSession, root: String, ver: Long,
                         dirs: Seq[String]): DataFrame = {
@@ -1071,8 +1078,7 @@ object AtomicRewrite {
     else {
       val df = spark.read.option("basePath", base)
         .parquet(dirs.sorted.map(d => s"$base/$d"): _*)
-      if (groupCache.size() > 8192) groupCache.clear()
-      groupCache.put(key, df)
+      groupCache.put(key, df) // LRU-capped (removeEldestEntry)
       df
     }
   }
