@@ -40,7 +40,19 @@ object LocalParquet {
     * to have copied them in (a bare read `.toBoolean`s to an IAE on an
     * unset key). Taken as [[SQLConf]] ENTRIES, not key strings, so a
     * rename breaks the compile instead of the runtime; values are the
-    * session's EFFECTIVE ones (defaults included) via `spark.conf.get`. */
+    * session's EFFECTIVE ones (defaults included) via `spark.conf.get`.
+    *
+    * PINNED to the confs `ParquetWriteSupport.init` +
+    * `SparkToParquetSchemaConverter` read as of Spark 4.1 (the jars this
+    * repo builds against): writeLegacyParquetFormat, outputTimestampType,
+    * fieldId.write.enabled, variant annotation, the two rebase modes, and
+    * the session timezone (int96 writer). A Spark upgrade that adds a new
+    * conf read inside ParquetWriteSupport would make driver-written
+    * control files silently diverge from task-written ones — re-audit
+    * this list against ParquetWriteSupport.init on any Spark bump
+    * (LocalParquetSpec's byte-equivalence pin is the tripwire for
+    * default-value drift; non-default values of a NEW conf are the
+    * residual hole). */
   private def writeConfEntries = {
     import org.apache.spark.sql.internal.SQLConf._
     Seq(PARQUET_WRITE_LEGACY_FORMAT, PARQUET_OUTPUT_TIMESTAMP_TYPE,
